@@ -1,0 +1,546 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{Candles, Merge, Pipeline, Scd2, Views}
+import graft.schema.ReferenceSchemas.MaxUid
+import graft.sources.Tables
+import graft.sources.Tables.epochSecs
+
+/** Aggregation / window / sort / scalar-function / streaming-semantics
+  * queries (SURVEY.md §2.4-§2.8). The candle queries run the real
+  * [[graft.operators.Candles]] engine over the exchange-trades mapping of
+  * `events`; their oracles transliterate `pg.rs:680-815` as DuckDB CTEs. */
+object AggQueries {
+
+  // ---------- candle oracle SQL (CTE-chain transliteration) ----------
+
+  /** Minute-candle CTE ≙ `calculate_minute_candles` (`pg.rs:680-738`),
+    * bucketed on epoch seconds. */
+  private def c1mCte(where: String = ""): String =
+    s"""c1m AS (
+       |  SELECT CAST(epoch(date_trunc('minute', time_stamp)) AS BIGINT) AS ts_1m,
+       |    amount_asset_id, price_asset_id, sender AS matcher_address,
+       |    min(price) AS low, max(price) AS high,
+       |    sum(amount) AS volume, sum(amount * price) AS quote_volume,
+       |    max(height) AS max_height, count(price) AS txs_count,
+       |    floor(sum(amount * price) / sum(amount)) AS wap,
+       |    min_by(price, uid) AS open, max_by(close_src, uid) AS close
+       |  FROM (SELECT t.*, price AS close_src FROM trades t $where)
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Ladder-edge CTE ≙ `calculate_non_minute_candles` (`pg.rs:740-815`). */
+  private def ladderCte(src: String, dst: String, secs: Long): String =
+    s"""c$dst AS (
+       |  SELECT CAST(floor(ts_$src / $secs) * $secs AS BIGINT) AS ts_$dst,
+       |    amount_asset_id, price_asset_id, matcher_address,
+       |    min(low) AS low, max(high) AS high,
+       |    sum(volume) AS volume, sum(quote_volume) AS quote_volume,
+       |    max(max_height) AS max_height, sum(txs_count) AS txs_count,
+       |    floor(sum(wap * volume) / sum(volume)) AS wap,
+       |    min_by(open, ts_$src) AS open, max_by(close, ts_$src) AS close
+       |  FROM c$src GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private def candleSelect(ts: String): String =
+    s"""SELECT $ts AS time_start_epoch, amount_asset_id, price_asset_id, matcher_address,
+       |  CAST(low AS DOUBLE) AS low, CAST(high AS DOUBLE) AS high,
+       |  CAST(volume AS DOUBLE) AS volume, CAST(quote_volume AS DOUBLE) AS quote_volume,
+       |  max_height, CAST(txs_count AS BIGINT) AS txs_count,
+       |  CAST(wap AS DOUBLE) AS weighted_average_price,
+       |  CAST(open AS DOUBLE) AS open, CAST(close AS DOUBLE) AS close""".stripMargin
+
+  private val orderTail =
+    "ORDER BY time_start_epoch, amount_asset_id, price_asset_id, matcher_address"
+
+  /** Spark-side projection of the library's candle frame to the oracle shape. */
+  private def candleOut(c: DataFrame): DataFrame =
+    c.select(
+      epochSecs(col("time_start")).as("time_start_epoch"),
+      col("amount_asset_id"), col("price_asset_id"), col("matcher_address"),
+      col("low").cast("double").as("low"),
+      col("high").cast("double").as("high"),
+      col("volume").cast("double").as("volume"),
+      col("quote_volume").cast("double").as("quote_volume"),
+      col("max_height"),
+      col("txs_count").cast("long").as("txs_count"),
+      col("weighted_average_price").cast("double").as("weighted_average_price"),
+      col("open").cast("double").as("open"),
+      col("close").cast("double").as("close"))
+      .orderBy("time_start_epoch", "amount_asset_id", "price_asset_id", "matcher_address")
+
+  private def withTrades(body: String): String =
+    s"WITH trades AS (${Tables.tradesOracleSql}),\n$body"
+
+  val all: Vector[QueryDef] = Vector(
+
+    // A1 — minute-candle OHLCV aggregation (pg.rs:680-738)
+    QueryDef("a1_candles_minute",
+      (s, dir) => candleOut(Candles.minuteCandles(Tables.trades(s, dir))),
+      Some(withTrades(c1mCte()) + "\n" + candleSelect("ts_1m") + "\nFROM c1m " + orderTail)),
+
+    // A2 — 12-edge ladder re-aggregation to 1h (pg.rs:740-815, candles.rs:39-52)
+    QueryDef("a2_candles_1h_ladder",
+      (s, dir) => {
+        val c1m = Candles.minuteCandles(Tables.trades(s, dir))
+        val c5 = Candles.ladderStep(c1m, "1m", "5m")
+        val c15 = Candles.ladderStep(c5, "5m", "15m")
+        val c30 = Candles.ladderStep(c15, "15m", "30m")
+        candleOut(Candles.ladderStep(c30, "30m", "1h"))
+      },
+      Some(withTrades(Seq(
+        c1mCte(),
+        ladderCte("1m", "5m", 300),
+        ladderCte("5m", "15m", 900),
+        ladderCte("15m", "30m", 1800),
+        ladderCte("30m", "1h", 3600)).mkString(",\n")) +
+        "\n" + candleSelect("ts_1h") + "\nFROM c1h " + orderTail)),
+
+    // A3 — incremental cut-off: recompute only from the first affected
+    // minute (pg.rs:660-678)
+    QueryDef("a3_candles_incremental",
+      (s, dir) => candleOut(Candles.minuteCandles(
+        Tables.trades(s, dir),
+        since = Some(Timestamp.valueOf("2024-01-10 00:00:00")))),
+      Some(withTrades(c1mCte("WHERE time_stamp >= TIMESTAMP '2024-01-10 00:00:00'")) +
+        "\n" + candleSelect("ts_1m") + "\nFROM c1m " + orderTail)),
+
+    // A4 — max/min scalar aggregates (pg.rs:70-78, 125-131)
+    QueryDef("a4_scalar_minmax",
+      (s, dir) => Tables.events(s, dir)
+        .agg(max("event_id").as("max_uid"), min("event_id").as("min_uid"),
+          max("user_id").as("max_height"), count(lit(1)).as("n")),
+      Some("SELECT max(event_id) AS max_uid, min(event_id) AS min_uid, max(user_id) AS max_height, count(*) AS n FROM events")),
+
+    // A5 — dedup-group by key: latest row per entity (mod.rs:614-621)
+    QueryDef("a5_latest_per_key",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"), col("value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id, value FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // A6 — count per batch (mod.rs:383-385)
+    QueryDef("a6_count_per_group",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // O20 — DISTINCT ON via row_number (tickers view, up.sql:432-435)
+    QueryDef("o20_distinct_on",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "value")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, value FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // O21 — SCD-2 successor linking via lead() (mod.rs:583-677)
+    QueryDef("o21_scd2_lead",
+      (s, dir) => Scd2.linkBatch(
+        Tables.events(s, dir).select(col("user_id"), col("event_id")),
+        key = "user_id", uidCol = "event_id")
+        .select("user_id", "event_id", "superseded_by")
+        .orderBy("user_id", "event_id"),
+      Some(s"""SELECT user_id, event_id,
+              |  lead(event_id, 1, ${MaxUid}) OVER (PARTITION BY user_id ORDER BY event_id) AS superseded_by
+              |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // O22 — deterministic uid window: height*100000 + idx (convert.rs:45-72)
+    QueryDef("o22_uid_window",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("height", floor(epochSecs(col("ts")) / 86400).cast("int"))
+        Pipeline.assignTxUids(ev, Seq(col("event_id")))
+          .select("event_id", "height", "uid")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, height,
+             |  CAST(height AS BIGINT) * 100000 + (row_number() OVER (PARTITION BY height ORDER BY event_id) - 1) AS uid
+             |FROM (SELECT event_id, CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS INT) AS height FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
+    // O23 — ordered first/last in group via min_by/max_by (pg.rs:695-696)
+    QueryDef("o23_first_last",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min_by(col("value"), col("event_id")).as("first_value"),
+          max_by(col("value"), col("event_id")).as("last_value"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, min_by(value, event_id) AS first_value, max_by(value, event_id) AS last_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // O24 — top-1 by order (pg.rs:71-77, up.sql:478-481)
+    QueryDef("o24_top1",
+      (s, dir) => Tables.events(s, dir)
+        .orderBy(col("ts").desc)
+        .limit(1)
+        .select(col("event_id"), epochSecs(col("ts")).as("ts_epoch")),
+      Some("SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch FROM events ORDER BY ts DESC LIMIT 1")),
+
+    // O30 — ORDER BY DESC NULLS LAST (up.sql:480)
+    QueryDef("o30_sort_nulls_last",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy(col("total").desc_nulls_last, col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             |GROUP BY c_custkey ORDER BY total DESC NULLS LAST, c_custkey""".stripMargin)),
+
+    // O31 — distance-ordered sort; after uid the distance is the reference's
+    // no-op tiebreaker (pg.rs:715, SURVEY O31)
+    QueryDef("o31_distance_sort",
+      (s, dir) => {
+        val t0 = lit(1704240000L) // 2024-01-03 00:00:00 UTC
+        Tables.events(s, dir)
+          .filter(epochSecs(col("ts")) >= t0)
+          .orderBy(col("event_id"), abs(epochSecs(col("ts")) - t0))
+          .limit(100)
+          .select("event_id", "user_id")
+      },
+      Some("""SELECT event_id, user_id FROM events
+             |WHERE CAST(floor(epoch(ts)) AS BIGINT) >= 1704240000
+             |ORDER BY event_id, abs(CAST(floor(epoch(ts)) AS BIGINT) - 1704240000)
+             |LIMIT 100""".stripMargin)),
+
+    // O32 — LIMIT 1
+    QueryDef("o32_limit1",
+      (s, dir) => Tables.events(s, dir).orderBy("event_id").limit(1).select("event_id", "user_id"),
+      Some("SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 1")),
+
+    // O33 — decimals view: UNION ALL with static WAVES row (up.sql:420-430)
+    QueryDef("o33_decimals_view",
+      (s, dir) => {
+        val au = Scd2.linkBatch(
+          Tables.events(s, dir).select(
+            concat(lit("U"), col("user_id").cast("string")).as("asset_id"),
+            col("event_id").as("uid"),
+            (col("user_id") % 9).cast("short").as("decimals")),
+          key = "asset_id", uidCol = "uid")
+        Views.decimals(s, au)
+          .select(col("asset_id"), col("decimals").cast("int").as("decimals"))
+          .orderBy("asset_id")
+      },
+      Some("""SELECT 'U' || CAST(user_id AS VARCHAR) AS asset_id, CAST(user_id % 9 AS INT) AS decimals
+             |FROM (SELECT DISTINCT user_id FROM events)
+             |UNION ALL SELECT 'WAVES', 8
+             |ORDER BY asset_id""".stripMargin)),
+
+    // O34 — range generation with sentinel (pg.rs:93-99)
+    QueryDef("o34_range_generation",
+      (s, dir) => {
+        import s.implicits._
+        s.range(100, 0, -10).toDF("height")
+          .unionByName(Seq(0L).toDF("height"))
+          .orderBy(col("height").desc)
+      },
+      Some("""SELECT CAST(h AS BIGINT) AS height FROM range(100, 0, -10) t(h)
+             |UNION ALL SELECT 0
+             |ORDER BY height DESC""".stripMargin)),
+
+    // F1 — date_trunc bucketing
+    QueryDef("f1_date_trunc",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(epochSecs(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("day_epoch"),
+      Some("""SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1 ORDER BY day_epoch""".stripMargin)),
+
+    // F2 — arbitrary-width bucket (_trunc_ts_by_secs, up.sql:521-528)
+    QueryDef("f2_trunc_by_secs",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(epochSecs(GraftFunctions.truncTsBySecs(col("ts"), 300)).as("bucket_epoch"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket_epoch"),
+      Some("""SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 300) * 300 AS BIGINT) AS bucket_epoch, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY bucket_epoch""".stripMargin)),
+
+    // F3 — interval dispatch incl. calendar buckets (_to_raw_timestamp)
+    QueryDef("f3_interval_dispatch",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("event_id") < 50)
+        .select(col("event_id"),
+          epochSecs(GraftFunctions.toRawTimestamp(col("ts"), "5m")).as("e5m"),
+          epochSecs(GraftFunctions.toRawTimestamp(col("ts"), "1h")).as("e1h"),
+          epochSecs(GraftFunctions.toRawTimestamp(col("ts"), "1d")).as("e1d"),
+          epochSecs(GraftFunctions.toRawTimestamp(col("ts"), "1w")).as("e1w"),
+          epochSecs(GraftFunctions.toRawTimestamp(col("ts"), "1M")).as("e1M"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 300) * 300 AS BIGINT) AS e5m,
+             |  CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) AS e1h,
+             |  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS e1d,
+             |  CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS e1w,
+             |  CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS "e1M"
+             |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin)),
+
+    // F4 — text_timestamp_cast (up.sql:487-494)
+    QueryDef("f4_text_timestamp_cast",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("ms_text", unix_millis(col("ts").cast("timestamp")).cast("string"))
+        .select(col("event_id"),
+          epochSecs(GraftFunctions.textTimestampCast(col("ms_text"))).as("parsed_epoch"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(floor(CAST(CAST(epoch_ms(ts) AS VARCHAR) AS DOUBLE) / 1000) AS BIGINT) AS parsed_epoch
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F5 — epoch-ms conversion (utils.rs:17-20)
+    QueryDef("f5_epoch_ms",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), unix_millis(col("ts").cast("timestamp")).as("epoch_ms"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, epoch_ms(ts) AS epoch_ms FROM events ORDER BY event_id")),
+
+    // F6 — floor / power / unary minus (pg.rs:693, 708-712)
+    QueryDef("f6_floor_pow_neg",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          floor(col("value")).as("fv"),
+          (col("value") * pow(lit(10), lit(2))).cast("double").as("scaled"),
+          negate(col("value")).as("neg"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(floor(value) AS BIGINT) AS fv,
+             |  CAST(value * power(10, 2) AS DOUBLE) AS scaled, -value AS neg
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F7 — decimal multiply-sum (quote volume shape, pg.rs:690)
+    QueryDef("f7_decimal_mulsum",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // F22 — sequence high-water mark as running max (pg.rs:190-194 analog)
+    QueryDef("f22_high_water",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), max(col("value")).over(w).as("high_water"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  max(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_water
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // ST1 — time-window micro-batch close (updates.rs:117-129)
+    QueryDef("st1_time_batches",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("es", epochSecs(col("ts")))
+        val m0 = ev.agg(min("es").as("m0"))
+        ev.crossJoin(m0)
+          .groupBy(floor((col("es") - col("m0")) / 300).as("batch_id"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("batch_id")
+      },
+      Some("""WITH m AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS m0 FROM events)
+             |SELECT CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - m.m0) / 300) AS BIGINT) AS batch_id, count(*) AS n
+             |FROM events, m GROUP BY 1 ORDER BY batch_id""".stripMargin)),
+
+    // ST2 — exactly-once: reprocessing is idempotent (mod.rs:168-186)
+    QueryDef("st2_idempotent_replay",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "event_type")
+        ev.unionByName(ev)
+          .dropDuplicates("event_id")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n FROM (
+             |  SELECT DISTINCT event_id, event_type FROM (
+             |    SELECT event_id, event_type FROM events
+             |    UNION ALL SELECT event_id, event_type FROM events))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ST3 — microblock squash (mod.rs:769-792): clicks are microblocks
+    QueryDef("st3_microblock_squash",
+      (s, dir) => {
+        val blocks = Tables.events(s, dir).select(
+          col("event_id").as("uid"),
+          col("event_id").cast("string").as("id"),
+          col("user_id").cast("int").as("height"),
+          when(col("event_type") === "click", lit(null).cast("timestamp"))
+            .otherwise(col("ts").cast("timestamp")).as("time_stamp"))
+        val keyBlockId = blocks.filter(col("time_stamp").isNotNull)
+          .orderBy(col("uid").desc).limit(1).select("id").collect().head.getString(0)
+        val (squashed, _) = Pipeline.squashMicroblocks(blocks, keyBlockId)
+        squashed
+          .select(col("uid"), col("id"), col("height"), epochSecs(col("time_stamp")).as("ts_epoch"))
+          .orderBy("uid")
+      },
+      Some("""WITH blocks AS (
+             |  SELECT event_id AS uid, CAST(event_id AS VARCHAR) AS id, CAST(user_id AS INT) AS height,
+             |    CASE WHEN event_type = 'click' THEN NULL ELSE ts END AS time_stamp
+             |  FROM events),
+             |k AS (SELECT max(uid) AS key_uid FROM blocks WHERE time_stamp IS NOT NULL),
+             |lm AS (SELECT max(uid) AS mu FROM blocks, k WHERE time_stamp IS NULL AND uid < key_uid)
+             |SELECT b.uid,
+             |  CASE WHEN b.uid = k.key_uid AND lm.mu IS NOT NULL THEN CAST(lm.mu AS VARCHAR) ELSE b.id END AS id,
+             |  b.height, CAST(floor(epoch(b.time_stamp)) AS BIGINT) AS ts_epoch
+             |FROM blocks b, k, lm
+             |WHERE NOT (b.time_stamp IS NULL AND b.uid < k.key_uid)
+             |ORDER BY b.uid""".stripMargin)),
+
+    // ST4 — rollback: drop facts past the cut, recompute aggregates
+    // (mod.rs:794-863)
+    QueryDef("st4_rollback",
+      (s, dir) => {
+        val facts = Map("events" -> Tables.events(s, dir).withColumn("block_uid", col("event_id")))
+        val rolled = Pipeline.rollbackFacts(facts, 700L)("events")
+        rolled.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events WHERE event_id <= 700
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ST5 — startup safety rollback cut (mod.rs:103-137)
+    QueryDef("st5_startup_rollback",
+      (s, dir) => {
+        val blocks = Tables.events(s, dir).select(
+          col("event_id").as("uid"),
+          when(col("event_type") === "click", lit(null).cast("timestamp"))
+            .otherwise(col("ts").cast("timestamp")).as("time_stamp"))
+        val cut = Pipeline.startupRollbackCut(blocks, depth = 3).get
+        Tables.events(s, dir)
+          .filter(col("event_id") <= cut)
+          .agg(count(lit(1)).as("n"))
+          .withColumn("cut_uid", lit(cut))
+      },
+      Some("""WITH kb AS (SELECT event_id FROM events WHERE event_type <> 'click' ORDER BY event_id DESC LIMIT 4),
+             |cut AS (SELECT min(event_id) AS c FROM kb)
+             |SELECT (SELECT count(*) FROM events, cut WHERE event_id <= c) AS n, c AS cut_uid FROM cut""".stripMargin)),
+
+    // ST6 — liveness probe (src/bin/consumer.rs:9)
+    QueryDef("st6_liveness",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("event_type") =!= "click")
+        .orderBy(col("event_id").desc)
+        .limit(1)
+        .select(unix_millis(col("ts").cast("timestamp")).as("latest_ms")),
+      Some("""SELECT epoch_ms(ts) AS latest_ms FROM events
+             |WHERE event_type <> 'click' ORDER BY event_id DESC LIMIT 1""".stripMargin)),
+
+    // Views — tickers (O20 over asset_tickers, up.sql:432-435)
+    QueryDef("view_tickers",
+      (s, dir) => {
+        val at = Tables.events(s, dir)
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("uid"),
+            concat(lit("U"), col("user_id").cast("string")).as("asset_id"),
+            col("event_id").cast("string").as("ticker"))
+        Views.tickers(at).orderBy("asset_id")
+      },
+      Some("""SELECT 'U' || CAST(user_id AS VARCHAR) AS asset_id, CAST(max(event_id) AS VARCHAR) AS ticker
+             |FROM events WHERE event_type = 'click' GROUP BY user_id ORDER BY asset_id""".stripMargin)),
+
+    // Views — assets: current dim LEFT JOIN tickers LEFT JOIN origins +
+    // synthetic WAVES row (up.sql:437-485)
+    QueryDef("view_assets",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val au = Scd2.linkBatch(ev.select(
+          concat(lit("U"), col("user_id").cast("string")).as("asset_id"),
+          col("event_id").as("uid"),
+          col("event_id").as("block_uid"),
+          (col("user_id") % 9).cast("short").as("decimals"),
+          concat(lit("N"), col("user_id").cast("string")).as("name"),
+          lit("").as("description"),
+          (col("user_id") % 2 === 0).as("reissuable"),
+          (col("user_id") * 1000).as("volume"),
+          when(col("user_id") % 3 === 0, lit("base64:AA==")).otherwise(lit(null).cast("string")).as("script"),
+          lit(null).cast("long").as("sponsorship"),
+          lit(false).as("nft")),
+          key = "asset_id", uidCol = "uid")
+        val tickers = ev.filter(col("event_type") === "click").select(
+          col("event_id").as("uid"),
+          concat(lit("U"), col("user_id").cast("string")).as("asset_id"),
+          concat(lit("T"), col("user_id").cast("string")).as("ticker"))
+        val origins = ev.groupBy(concat(lit("U"), col("user_id").cast("string")).as("asset_id"))
+          .agg(min("event_id").as("first_asset_update_uid"),
+            min("event_id").cast("string").as("origin_transaction_id"),
+            first(concat(lit("I"), col("user_id").cast("string"))).as("issuer"),
+            min(col("user_id")).cast("int").as("issue_height"),
+            min(col("ts").cast("timestamp")).as("issue_time_stamp"))
+        val wavesData = ev.select(
+          col("user_id").cast("int").as("height"),
+          (lit(100000000L) + col("user_id")).cast("decimal(38,0)").as("quantity"))
+        Views.assets(s, au, tickers, origins, wavesData)
+          .select(col("asset_id"), col("ticker"), col("asset_name"), col("sender"),
+            col("issue_height"), epochSecs(col("issue_timestamp")).as("issue_epoch"),
+            col("total_quantity").cast("double").as("total_quantity"),
+            col("decimals"), col("reissuable"), col("has_script"))
+          .orderBy("asset_id")
+      },
+      Some("""WITH u AS (SELECT user_id, min(epoch(ts)) AS first_es, max(user_id) OVER () AS mu FROM events GROUP BY user_id),
+             |t AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+             |SELECT 'U' || CAST(u.user_id AS VARCHAR) AS asset_id,
+             |  CASE WHEN t.user_id IS NOT NULL THEN 'T' || CAST(u.user_id AS VARCHAR) ELSE NULL END AS ticker,
+             |  'N' || CAST(u.user_id AS VARCHAR) AS asset_name,
+             |  'I' || CAST(u.user_id AS VARCHAR) AS sender,
+             |  CAST(u.user_id AS INT) AS issue_height,
+             |  CAST(floor(u.first_es) AS BIGINT) AS issue_epoch,
+             |  CAST(u.user_id * 1000 AS DOUBLE) AS total_quantity,
+             |  CAST(u.user_id % 9 AS INT) AS decimals,
+             |  u.user_id % 2 = 0 AS reissuable,
+             |  u.user_id % 3 = 0 AS has_script
+             |FROM u LEFT JOIN t ON u.user_id = t.user_id
+             |UNION ALL
+             |SELECT 'WAVES', 'WAVES', 'Waves', '', 0,
+             |  CAST(epoch(TIMESTAMP '2016-04-11 21:00:00') AS BIGINT),
+             |  CAST(100000000 + (SELECT max(user_id) FROM events) AS DOUBLE),
+             |  8, false, false
+             |ORDER BY asset_id""".stripMargin)),
+
+    // SCD-2 rollback re-open (pg.rs:244-256, mod.rs:823-859)
+    QueryDef("scd2_rollback_reopen",
+      (s, dir) => {
+        val dim = Scd2.linkBatch(
+          Tables.events(s, dir).select(col("user_id"), col("event_id")),
+          key = "user_id", uidCol = "event_id")
+          .withColumn("block_uid", col("event_id"))
+        Scd2.rollback(dim, 700L, uidCol = "event_id")
+          .select("user_id", "event_id", "superseded_by")
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""WITH au AS (
+              |  SELECT user_id, event_id,
+              |    lead(event_id, 1, ${MaxUid}) OVER (PARTITION BY user_id ORDER BY event_id) AS sb
+              |  FROM events)
+              |SELECT user_id, event_id,
+              |  CASE WHEN sb <> ${MaxUid} AND sb > 700 THEN ${MaxUid} ELSE sb END AS superseded_by
+              |FROM au WHERE event_id <= 700
+              |ORDER BY user_id, event_id""".stripMargin)))
+}

@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Merge, Pipeline}
+import graft.sources.Tables
+import graft.sources.Tables.epochSecs
+
+/** Reference-parity queries: sources/sinks (S2-S10), projections/predicates
+  * (O1-O8), joins (J1-J5). IDs follow SURVEY.md §2 / VERDICT.md. */
+object CoreQueries {
+
+  /** Reference insert chunk sizing: `(65535 / ncols) / 10 * 10` (`pg.rs:31-32`). */
+  def chunkRows(ncols: Int): Int = 65535 / ncols / 10 * 10
+
+  val all: Vector[QueryDef] = Vector(
+
+    // S2 — batch accumulator: batches close at 256 rows (updates.rs:117-129)
+    QueryDef("s2_batch_accumulator",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"))
+        Pipeline.assignBatchIds(ev, col("event_id"), 256)
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n"), min("event_id").as("first_uid"), max("event_id").as("last_uid"))
+          .orderBy("batch_id")
+      },
+      Some("""SELECT batch_id, count(*) AS n, min(event_id) AS first_uid, max(event_id) AS last_uid
+             |FROM (SELECT event_id,
+             |        CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 256) AS BIGINT) AS batch_id
+             |      FROM events)
+             |GROUP BY batch_id ORDER BY batch_id""".stripMargin)),
+
+    // S3 — decode raw payload into typed event (updates.rs:154-263)
+    QueryDef("s3_decode_typed",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_value"),
+          col("event_type"))
+        .filter(col("k_value").isNotNull)
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value, event_type
+             |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
+    // S4 — chunked bulk-insert sizing (pg.rs:31-32, 841-872); lineitem has 11 cols
+    QueryDef("s4_chunked_insert",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+        li.withColumn("chunk_id", floor((row_number().over(w) - 1) / chunkRows(11)))
+          .groupBy("chunk_id")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("chunk_id")
+      },
+      Some(s"""SELECT chunk_id, count(*) AS n
+              |FROM (SELECT CAST(floor((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) / ${chunkRows(11)}) AS BIGINT) AS chunk_id
+              |      FROM lineitem)
+              |GROUP BY chunk_id ORDER BY chunk_id""".stripMargin)),
+
+    // S5 — upsert / ON CONFLICT DO UPDATE (pg.rs:721-773)
+    QueryDef("s5_upsert",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+        val base = ev.filter(col("event_id") < 500)
+        val updates = ev.filter(col("event_id") >= 400 && col("event_id") < 600)
+          .withColumn("value", col("value") + 1000)
+        Merge.upsert(base, updates, Seq("event_id")).orderBy("event_id")
+      },
+      Some("""SELECT event_id, value FROM events WHERE event_id < 400
+             |UNION ALL
+             |SELECT event_id, value + 1000 FROM events WHERE event_id >= 400 AND event_id < 600
+             |ORDER BY event_id""".stripMargin)),
+
+    // S6 — insert-ignore / ON CONFLICT DO NOTHING (pg.rs:176-214)
+    QueryDef("s6_insert_ignore",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"), col("value"), col("event_type"))
+        val base = ev.filter(col("event_id") < 500).select("event_id", "value")
+        val updates = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), negate(col("value")).as("value"))
+        Merge.insertIgnore(base, updates, Seq("event_id")).orderBy("event_id")
+      },
+      Some("""SELECT event_id, value FROM events WHERE event_id < 500
+             |UNION ALL
+             |SELECT event_id, -value AS value FROM events WHERE event_type = 'click' AND event_id >= 500
+             |ORDER BY event_id""".stripMargin)),
+
+    // S7 — DELETE ... RETURNING (select-before-delete, pg.rs:269-313)
+    QueryDef("s7_delete_returning",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val (_, deleted) = Merge.deleteWhere(ev, col("user_id") === 13)
+        deleted.select("event_id", "user_id", "event_type").orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, event_type FROM events WHERE user_id = 13 ORDER BY event_id")),
+
+    // S8 — DELETE scan: remaining side after predicate delete (pg.rs:160-174)
+    QueryDef("s8_delete_scan",
+      (s, dir) => {
+        val (remaining, _) = Merge.deleteWhere(Tables.events(s, dir), col("value") > 150)
+        remaining.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), min("event_id").as("min_uid"), max("event_id").as("max_uid"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, min(event_id) AS min_uid, max(event_id) AS max_uid
+             |FROM events WHERE NOT (value > 150)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // S9 — UPDATE scan (pg.rs:151-158, 216-223)
+    QueryDef("s9_update_scan",
+      (s, dir) => {
+        val updated = Merge.updateWhere(Tables.events(s, dir),
+          col("event_type") === "error", Map("value" -> lit(0.0)))
+        updated.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(CASE WHEN event_type = 'error' THEN 0 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // S10/J5 — bulk keyed UPDATE via UNNEST-literal join (pg.rs:229-242)
+    QueryDef("s10_bulk_keyed_update",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"))
+          .withColumn("segment", lit("std"))
+        val updates = Seq((3L, "vip"), (7L, "pro"), (11L, "test")).toDF("user_id", "segment")
+        Merge.bulkKeyedUpdate(base, updates, "user_id", "segment").orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |  coalesce(u.segment, 'std') AS segment
+             |FROM events e
+             |LEFT JOIN (SELECT UNNEST([3, 7, 11]) AS user_id, UNNEST(['vip', 'pro', 'test']) AS segment) u
+             |  ON e.user_id = u.user_id
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // O1 — column projection (pg.rs:71-77 etc.)
+    QueryDef("o1_projection",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity")),
+
+    // O2 — equality predicate
+    QueryDef("o2_eq_predicate",
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey")),
+
+    // O3 — range predicate
+    QueryDef("o3_range_predicate",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 30 && col("l_quantity") <= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity > 30 AND l_quantity <= 45 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
+    // O4 — NULL predicate (via left-join miss, pg.rs:128/136 semantics)
+    QueryDef("o4_null_predicate",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .filter(col("o_custkey").isNull)
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
+             |WHERE o.o_custkey IS NULL ORDER BY c_custkey""".stripMargin)),
+
+    // O5 — IN-list predicate (eq_any, pg.rs:101-107)
+    QueryDef("o5_in_list",
+      (s, dir) => Tables.part(s, dir)
+        .filter(col("p_size").isin(1, 5, 9, 13, 21))
+        .select("p_partkey", "p_size", "p_brand")
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, p_size, p_brand FROM part WHERE p_size IN (1, 5, 9, 13, 21) ORDER BY p_partkey")),
+
+    // O6 — string prefix predicate (mod.rs:554-556)
+    QueryDef("o6_prefix_predicate",
+      (s, dir) => Tables.customer(s, dir)
+        .filter(col("c_mktsegment").startsWith("BU"))
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment LIKE 'BU%' ORDER BY c_custkey")),
+
+    // O7 — conditional rescale expression (pg.rs:708-713 shape)
+    QueryDef("o7_case_rescale",
+      (s, dir) => Tables.lineitem(s, dir)
+        .withColumn("rescaled",
+          when(col("l_quantity") > 25, col("l_extendedprice") * 100).otherwise(col("l_extendedprice")))
+        .groupBy("l_returnflag")
+        .agg(sum(col("rescaled").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(CASE WHEN l_quantity > 25 THEN l_extendedprice * 100 ELSE l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // O8 — per-row filter_map during ingest (mod.rs:476-546)
+    QueryDef("o8_filter_map",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("event_type") =!= "error")
+        .select(col("event_id"),
+          (col("value") * 2).as("doubled"),
+          upper(col("event_type")).as("kind"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, value * 2 AS doubled, upper(event_type) AS kind
+             |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin)),
+
+    // J1 — broadcast lookup join, null on miss (pg.rs:472-505)
+    QueryDef("j1_broadcast_lookup",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+        li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "left")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("s_name"))
+          .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
+      },
+      // (l_orderkey, l_linenumber) is not unique in the fixture — l_suppkey
+      // completes the total order (ties beyond that are identical rows)
+      Some("""SELECT l_orderkey, l_linenumber, l_suppkey, s_name FROM lineitem l
+             |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |ORDER BY l_orderkey, l_linenumber, l_suppkey""".stripMargin)),
+
+    // J2 — LEFT JOIN view composition (up.sql:466-469)
+    QueryDef("j2_left_join_chain",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = broadcast(Tables.nation(s, dir))
+        val r = broadcast(Tables.region(s, dir))
+        c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+          .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+          .select(col("c_custkey"), col("n_name"), col("r_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, n_name, r_name FROM customer c
+             |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J3 — strict dimension lookup (fail-on-miss checked engine-side; the
+    // query shape is the broadcast inner join + aggregation, pg.rs:710-711)
+    QueryDef("j3_strict_lookup",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val p = broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")))
+        li.join(p, li("l_partkey") === p("p_partkey"), "inner")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // J4 — positional zip join (mod.rs:274, convert.rs:507-520)
+    QueryDef("j4_zip_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def ranked(tpe: String, out: String): DataFrame = {
+          val w = Window.orderBy(col("event_id"))
+          ev.filter(col("event_type") === tpe)
+            .withColumn("rn", row_number().over(w))
+            .select(col("rn"), col("event_id").as(out))
+        }
+        ranked("error", "error_id").join(ranked("signup", "signup_id"), Seq("rn"), "inner")
+          .orderBy("rn")
+      },
+      Some("""SELECT e.rn, e.event_id AS error_id, s.event_id AS signup_id
+             |FROM (SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn FROM events WHERE event_type = 'error') e
+             |JOIN (SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn FROM events WHERE event_type = 'signup') s
+             |  ON e.rn = s.rn
+             |ORDER BY e.rn""".stripMargin)),
+
+    // J5 — UNNEST-derived literal join (pg.rs:229-242 shape)
+    QueryDef("j5_unnest_join",
+      (s, dir) => {
+        import s.implicits._
+        val lookup = Seq((1, "alpha"), (3, "beta"), (5, "gamma"), (7, "delta"))
+          .toDF("n_nationkey", "tag")
+        Tables.nation(s, dir)
+          .join(broadcast(lookup), Seq("n_nationkey"), "inner")
+          .select("n_nationkey", "n_name", "tag")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n.n_nationkey, n.n_name, u.tag
+             |FROM nation n
+             |JOIN (SELECT UNNEST([1, 3, 5, 7]) AS n_nationkey, UNNEST(['alpha', 'beta', 'gamma', 'delta']) AS tag) u
+             |  ON n.n_nationkey = u.n_nationkey
+             |ORDER BY n.n_nationkey""".stripMargin)))
+}

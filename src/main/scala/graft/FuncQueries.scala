@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Scalar-function surface queries F8-F21 (SURVEY.md §2.7): encodings,
+  * crypto UDFs, JSON access/serialization, tagged-union flattening. */
+object FuncQueries {
+
+  val all: Vector[QueryDef] = Vector(
+
+    // F8 — base58 encode UDF (utils.rs:3-5); Spark-only (no DuckDB base58)
+    QueryDef("f8_base58",
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          GraftFunctions.base58Encode(unhex(md5(col("c_name")))).as("b58"))
+        .orderBy("c_custkey"),
+      None),
+
+    // F9 — base64 with "base64:" prefix (utils.rs:7-15)
+    QueryDef("f9_prefixed_base64",
+      (s, dir) => Tables.part(s, dir)
+        .select(col("p_partkey"),
+          GraftFunctions.prefixedBase64(col("p_name").cast("binary")).as("b64"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, 'base64:' || to_base64(encode(p_name)) AS b64
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // F10 — 0x-prefixed hex (models.rs:180-182)
+    QueryDef("f10_prefixed_hex",
+      (s, dir) => Tables.supplier(s, dir)
+        .select(col("s_suppkey"),
+          GraftFunctions.prefixedHex(col("s_name").cast("binary")).as("hex"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, '0x' || lower(hex(encode(s_name))) AS hex
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // F11 — escape_unicode_null (utils.rs:22-24); corpus is NUL-free so the
+    // transform is the identity here — the escaping itself is unit-tested
+    QueryDef("f11_escape_null",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), GraftFunctions.escapeUnicodeNull(col("text")).as("escaped"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, text AS escaped FROM documents ORDER BY doc_id")),
+
+    // F12 — blake2b/keccak Waves address UDF (waves.rs:15-73); Spark-only
+    QueryDef("f12_waves_address",
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          GraftFunctions.wavesAddress(unhex(md5(col("c_name"))), lit(87)).as("address"))
+        .orderBy("c_custkey"),
+      None),
+
+    // F13 — extract_asset_id: empty bytes => WAVES (waves.rs:79-85); Spark-only
+    QueryDef("f13_extract_asset_id",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          GraftFunctions.extractAssetId(
+            when(col("doc_id") % 10 === 0, lit(Array.emptyByteArray))
+              .otherwise(col("source").cast("binary"))).as("asset_id"))
+        .orderBy("doc_id"),
+      None),
+
+    // F14 — fragstring parse via regexp (mod.rs:548-581)
+    QueryDef("f14_frag_parse",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("key", concat(col("source"), lit("__assetId2ticker__"), col("doc_id").cast("string")))
+        .select(col("doc_id"), GraftFunctions.tickerKeyAssetId(col("key")).as("extracted"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_extract(source || '__assetId2ticker__' || CAST(doc_id AS VARCHAR),
+             |    '^(.*?)__assetId2ticker__(.+)$', 2) AS extracted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // F15 — base58 validation (waves.rs:75-77): alphabet-only strings decode
+    QueryDef("f15_base58_validate",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          GraftFunctions.base58IsValid(col("source")).as("is_valid"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, regexp_full_match(source, '[1-9A-HJ-NP-Za-km-z]+') AS is_valid
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // F16 — md5(script) (up.sql:658-660)
+    QueryDef("f16_md5",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(text) AS content_md5 FROM documents ORDER BY doc_id")),
+
+    // F17 — to_tsvector approximation: sorted distinct lowercase tokens
+    QueryDef("f17_tsvector_approx",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_join(array_sort(array_distinct(split(lower(trim(col("text"))), "\\s+"))), " ").as("tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ') AS tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // F18 — jsonb ->> field access (up.sql:670-676)
+    QueryDef("f18_json_field",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          get_json_object(col("props"), "$.missing").as("missing"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  json_extract_string(props, '$.missing') AS missing
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F19 — version-dependent JSON serialization (models.rs:101-192)
+    QueryDef("f19_order_json",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("type"))).as("order_json"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  '{"id":' || CAST(event_id AS VARCHAR) || ',"type":"' || event_type || '"}' AS order_json
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F20 — InvokeScript arg -> tagged union columns (convert.rs:171-198)
+    QueryDef("f20_tagged_union",
+      (s, dir) => {
+        val t = col("event_type")
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        Tables.events(s, dir).select(
+          col("event_id"),
+          when(t === "click", "integer").when(t === "view", "boolean")
+            .when(t === "error", "string").when(t === "signup", "binary")
+            .otherwise("list").as("arg_type"),
+          when(t === "click", k).as("arg_value_integer"),
+          when(t === "view", col("value") > 100).as("arg_value_boolean"),
+          when(t === "error", col("props")).as("arg_value_string"),
+          when(t === "signup", concat(lit("base64:"), base64(t.cast("binary")))).as("arg_value_binary"),
+          when(t === "purchase", concat(lit("["), k, lit("]"))).as("arg_value_list"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE event_type WHEN 'click' THEN 'integer' WHEN 'view' THEN 'boolean'
+             |    WHEN 'error' THEN 'string' WHEN 'signup' THEN 'binary' ELSE 'list' END AS arg_type,
+             |  CASE WHEN event_type = 'click' THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS arg_value_integer,
+             |  CASE WHEN event_type = 'view' THEN value > 100 END AS arg_value_boolean,
+             |  CASE WHEN event_type = 'error' THEN props END AS arg_value_string,
+             |  CASE WHEN event_type = 'signup' THEN 'base64:' || to_base64(encode(event_type)) END AS arg_value_binary,
+             |  CASE WHEN event_type = 'purchase' THEN '[' || CAST(json_extract_string(props, '$.k') AS BIGINT) || ']' END AS arg_value_list
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F21 — DataEntry value -> typed columns (convert.rs:544-558)
+    QueryDef("f21_data_entry",
+      (s, dir) => {
+        val l = col("lang")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          when(l.isin("en", "es"), "string").when(l === "zh", "integer").otherwise("binary").as("data_type"),
+          when(l.isin("en", "es"), col("text")).as("data_value_string"),
+          when(l === "zh", col("n_chars")).as("data_value_integer"),
+          when(!l.isin("en", "es", "zh"), concat(lit("base64:"), base64(col("source").cast("binary")))).as("data_value_binary"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN lang IN ('en', 'es') THEN 'string' WHEN lang = 'zh' THEN 'integer' ELSE 'binary' END AS data_type,
+             |  CASE WHEN lang IN ('en', 'es') THEN text END AS data_value_string,
+             |  CASE WHEN lang = 'zh' THEN n_chars END AS data_value_integer,
+             |  CASE WHEN lang NOT IN ('en', 'es', 'zh') THEN 'base64:' || to_base64(encode(source)) END AS data_value_binary
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+}

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data-pipeline queries: dedup, similarity search, text analysis,
+  * multimodal plumbing — over `documents` / `embeddings` (TESTDATA.md). */
+object LlmQueries {
+
+  /** documents ∪ shifted copies of every 7th doc — guarantees exact
+    * duplicates so the dedup operators have real work. Mirrored in SQL. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  val all: Vector[QueryDef] = Vector(
+
+    // exact dedup: hash-groupBy, keep lowest id
+    QueryDef("llm_dedup_exact",
+      (s, dir) => Dedup.exact(corpus(s, dir)).select("doc_id").orderBy("doc_id"),
+      Some(s"""WITH $corpusSql
+              |SELECT doc_id FROM corpus
+              |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+              |ORDER BY doc_id""".stripMargin)),
+
+    // exact-dup group audit
+    QueryDef("llm_dedup_groups",
+      (s, dir) => Dedup.exactGroups(corpus(s, dir)).orderBy("content_hash"),
+      Some(s"""WITH $corpusSql
+              |SELECT md5(text) AS content_hash, count(*) AS copies, min(doc_id) AS keeper_id
+              |FROM corpus GROUP BY 1 HAVING count(*) > 1
+              |ORDER BY content_hash""".stripMargin)),
+
+    // MinHash-LSH near-dedup survivors (banded buckets — never all-pairs);
+    // Spark-only: the signature uses Spark's hash() family
+    QueryDef("llm_dedup_minhash",
+      (s, dir) => Dedup.nearDedupMinhash(corpus(s, dir)).select("doc_id").orderBy("doc_id"),
+      None),
+
+    // SimHash candidates within Hamming distance 3 (16-bit bands)
+    QueryDef("llm_dedup_simhash",
+      (s, dir) => Dedup.simhashCandidates(corpus(s, dir)).orderBy("id_a", "id_b"),
+      None),
+
+    // n-gram Jaccard verification over a fixed candidate set (word sets, k=1)
+    QueryDef("llm_jaccard",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        val ids = docs.select(col("doc_id"))
+        val cands = ids.select(col("doc_id").as("id_a"))
+          .crossJoin(ids.select(col("doc_id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
+        Dedup.jaccardVerify(cands, docs, k = 1, threshold = 0.2)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+             |  FROM documents WHERE doc_id < 60)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(CAST(len(list_filter(a.words, x -> list_contains(b.words, x))) AS DOUBLE)
+             |    / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+             |FROM d a, d b WHERE a.doc_id < b.doc_id
+             |  AND CAST(len(list_filter(a.words, x -> list_contains(b.words, x))) AS DOUBLE)
+             |    / len(list_distinct(list_concat(a.words, b.words))) >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // embedding-cosine near-dup pairs (queries bounded, corpus full)
+    QueryDef("llm_embed_neardup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        val q = emb.filter(col("vec_id") < 200)
+        q.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+          .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+          .filter(col("cosine") >= 0.5)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+             |FROM embeddings a, embeddings b
+             |WHERE a.vec_id < 200 AND a.vec_id < b.vec_id
+             |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ANN baseline: brute-force cosine top-k (exact)
+    QueryDef("llm_ann_bruteforce",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 100), emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine,
+             |    row_number() OVER (PARTITION BY a.vec_id
+             |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // ANN scale path: IVF-bucketed search (approximate; recall vs brute
+    // force asserted in LlmSpec)
+    QueryDef("llm_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 100), emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // random-hyperplane LSH bucket assignment
+    QueryDef("llm_lsh_buckets",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        Similarity.lshBuckets(emb, dim = 64, bits = 12)
+          .select("vec_id", "bucket")
+          .orderBy("vec_id")
+      },
+      None),
+
+    // language-ID heuristic (stopword n-gram scoring)
+    QueryDef("llm_langid",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextAnalysis.languageId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+             |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+             |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+             |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+             |       ELSE 'de' END AS pred_lang
+             |FROM (
+             |  SELECT doc_id, lang,
+             |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|a)\b')) AS s_en,
+             |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS s_es,
+             |    len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS s_fr,
+             |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|von|zu|mit|den|im|ein)\b')) AS s_de
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // quality scoring (length/punct/stopword-style ratios)
+    QueryDef("llm_quality",
+      (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          round(col("mean_word_len"), 4).as("mean_word_len"),
+          round(col("punct_ratio"), 4).as("punct_ratio"),
+          round(col("digit_ratio"), 4).as("digit_ratio"),
+          col("quality_score"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             |  round(mean_word_len, 4) AS mean_word_len,
+             |  round(punct_ratio, 4) AS punct_ratio,
+             |  round(digit_ratio, 4) AS digit_ratio,
+             |  round(CASE WHEN n_words < 2 THEN 0.0 ELSE
+             |    greatest(0.0, 1.0 - least(punct_ratio * 2, 0.5) - least(digit_ratio, 0.3)
+             |      - CASE WHEN n_chars_m < 20 THEN 0.2 ELSE 0.0 END) END, 4) AS quality_score
+             |FROM (
+             |  SELECT doc_id, length(text) AS n_chars_m,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+             |    CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+             |      THEN (CAST(length(text) AS DOUBLE) - (len(string_split_regex(trim(text), '\s+')) - 1))
+             |           / len(string_split_regex(trim(text), '\s+'))
+             |      ELSE 0.0 END AS mean_word_len,
+             |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+             |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // token counting: whitespace + BPE-ish regex
+    QueryDef("llm_token_count",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWhitespace(col("text")).cast("long").as("n_ws"),
+          TextAnalysis.tokenCountBpeish(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // rolling-hash document fingerprint (Spark-only UDF)
+    QueryDef("llm_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      None),
+
+    // multimodal: typed media columns + per-partition batched (stub) decode
+    QueryDef("llm_media_features",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", "image")
+        Multimodal.decodeToFeatures(s, media)
+          .select(col("asset_id"), col("media_type"), col("n_bytes"))
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id, 'image' AS media_type,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // multimodal: frame sampling (every 4th 256-byte frame)
+    QueryDef("llm_media_frames",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", "video")
+        Multimodal.sampleFrames(media)
+          .groupBy("asset_id")
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(floor((greatest(CAST(floor(octet_length(encode(text)) / 256) AS BIGINT), 1) - 1) / 4) AS BIGINT) + 1 AS n_sampled
+             |FROM documents ORDER BY asset_id""".stripMargin)))
+}

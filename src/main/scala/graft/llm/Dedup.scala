@@ -1,0 +1,238 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: every variant is bucket-first — candidate pairs only ever
+  * form inside a (band-hash) or (simhash-band) group, never via an all-pairs
+  * cross join. At 100 TB the band groupBy is the single shuffle, keyed on a
+  * hash, so it distributes uniformly; within-bucket pair expansion is bounded
+  * by bucket size (collision probability tuned via bands × rows).
+  */
+object Dedup {
+
+  // ---- exact -------------------------------------------------------------
+
+  /** Exact dedup via content-hash groupBy: keep the lowest-id copy per
+    * normalized text. One shuffle on the 128-bit md5 — no skew (hash keys). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup groups (size > 1) — the audit view of [[exact]]. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("copies"), min(col(idCol)).as("keeper_id"))
+      .filter(col("copies") > 1)
+
+  // ---- shingling / MinHash ----------------------------------------------
+
+  /** Word k-shingles of the lowercased text. Row-local single pass — the
+    * composed-builtin version (transform + slice + array_join per position)
+    * is O(words·k) in *expression nodes* and dominated wall-clock at sf0.01;
+    * this is a plain string walk. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val u = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else {
+        val words = s.trim.toLowerCase.split("\\s+")
+        val out = new scala.collection.mutable.ArrayBuffer[String](math.max(0, words.length - k + 1))
+        var i = 0
+        while (i + k <= words.length) {
+          out += words.slice(i, i + k).mkString(" ")
+          i += 1
+        }
+        out.toSeq
+      }
+    }
+    u(text)
+  }
+
+  /** splitmix64 finalizer — public mixing function, stable across JVMs. */
+  @inline private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: `perms` independent permutations of the shingle hash
+    * space, computed in ONE row-local pass (tokenize → k-shingle FNV-1a →
+    * splitmix64-seeded permutations → running min).
+    *
+    * Deliberately a compact UDF, not composed builtins: an expression with 32
+    * `aggregate(shingles(text))` legs re-evaluates the shingle pipeline per
+    * permutation after CollapseProject inlining (measured 46 s vs <1 s at
+    * sf0.001). One pass per row, no shuffle — the scan stays map-only. */
+  def minhashSignature(text: Column, perms: Int = 32, k: Int = 3): Column = {
+    val u = udf { (s: String) =>
+      val mins = Array.fill(perms)(Long.MaxValue)
+      if (s != null) {
+        val words = s.trim.toLowerCase.split("\\s+")
+        var i = 0
+        while (i + k <= words.length) {
+          // FNV-1a over the k-word shingle (words joined by ' ')
+          var h = 0xcbf29ce484222325L
+          var w = 0
+          while (w < k) {
+            if (w > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+            val t = words(i + w)
+            var c = 0
+            while (c < t.length) { h ^= t.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+            w += 1
+          }
+          var p = 0
+          while (p < perms) {
+            val g = splitmix64(h ^ (p * 0x9e3779b97f4a7c15L))
+            if (g < mins(p)) mins(p) = g
+            p += 1
+          }
+          i += 1
+        }
+      }
+      mins.toSeq
+    }
+    u(text)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: signature → `bands` bands of
+    * `rows` = perms/bands values → groupBy (band index, band hash) → pairs
+    * within bucket. Returns (id_a, id_b, band) candidates, id_a < id_b.
+    * Default 4 bands × 8 rows targets the (1/b)^(1/r) ≈ 0.84 collision
+    * threshold — keeps bucket pair expansion sub-quadratic even on corpora
+    * with high baseline similarity. */
+  def minhashLshCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      perms: Int = 32,
+      bands: Int = 4,
+      shingleK: Int = 3): DataFrame = {
+    val rows = perms / bands
+    val withSig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), perms, shingleK).as("sig"))
+    val banded = withSig.select(
+      col("id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+    // Single shuffle: bucket members per (band, hash), then expand ordered
+    // pairs inside each bucket. A self-join here would re-execute the whole
+    // signature scan per side; collect_set keeps it to one pass, and pair
+    // expansion stays bounded by bucket size.
+    banded
+      .groupBy("band", "band_hash")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("band"), explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("id_a"), y.as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("band"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity verification of candidate pairs: join texts
+    * back, compute |A∩B| / |A∪B| over word shingles with builtin array ops. */
+  def jaccardVerify(
+      candidates: DataFrame,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    // Shingle only the docs that appear in a candidate pair — the candidate
+    // set is tiny relative to the corpus once LSH has done its job.
+    val ids = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val sh = docs.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), array_distinct(shingles(col(textCol), k)).as("sh"))
+    val withA = candidates.join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+    val withB = withA.join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    withB
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+          .otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dedup: candidates → Jaccard verify → keep lowest
+    * id per connected component approximated as min(id_a) per duplicate. */
+  def nearDedupMinhash(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7): DataFrame = {
+    // The candidate frame feeds three consumers (two semi-join sides and the
+    // verify join) — persist so the signature scan runs once, not per branch.
+    val cands = minhashLshCandidates(docs, idCol, textCol).persist()
+    val dups = jaccardVerify(cands, docs, idCol, textCol, threshold = threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dups, Seq(idCol), "left_anti")
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens: per-token 64-bit hash votes on each bit;
+    * sign of the vote sum forms the fingerprint. Row-local UDF (bit loop). */
+  val simhashUdf = udf { (tokens: Seq[String]) =>
+    if (tokens == null || tokens.isEmpty) 0L
+    else {
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        // FNV-1a 64-bit — public hash, stable across JVMs
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+        var bit = 0
+        while (bit < 64) { votes(bit) += (if (((h >>> bit) & 1L) == 1L) 1 else -1); bit += 1 }
+      }
+      var fp = 0L
+      var bit = 0
+      while (bit < 64) { if (votes(bit) > 0) fp |= (1L << bit); bit += 1 }
+      fp
+    }
+  }
+
+  def simhash(text: Column): Column = simhashUdf(split(lower(trim(text)), "\\s+"))
+
+  /** SimHash near-dup candidates: 4 16-bit bands of the fingerprint bucket
+    * the pairs (any pair within Hamming distance ≤3 of 64 bits shares at
+    * least one of 4 bands by pigeonhole); verify by exact Hamming distance. */
+  def simhashCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val withFp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = withFp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(b => shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "band_bits")))
+    // One pass + one shuffle (see minhashLshCandidates): bucket members per
+    // 16-bit band value, expand ordered pairs in-bucket, verify Hamming.
+    banded
+      .groupBy("band", "band_bits")
+      .agg(sort_array(collect_set(struct(col("id"), col("fp")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(
+        flatten(transform(col("ms"), (x, i) =>
+          transform(slice(col("ms"), i + 2, size(col("ms"))),
+            y => struct(
+              x.getField("id").as("id_a"),
+              y.getField("id").as("id_b"),
+              bit_count(x.getField("fp").bitwiseXOR(y.getField("fp"))).as("hamming"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side contract — schema, partitioning, batch shape — is real and
+  * tested; the actual codec step is a clearly-marked deterministic stand-in
+  * (media libraries are not available in this environment, and on a real
+  * cluster it would be swapped for a vectorized decode over the same
+  * row-batch shape, e.g. Pandas-UDF-style `mapInPandas`/`mapInArrow`).
+  */
+object Multimodal {
+
+  /** Typed media-asset schema: payload + metadata travel together. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Wrap an id + binary frame into the typed media schema, deriving fake
+    * metadata deterministically from the payload. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit(mediaType).as("media_type"),
+      col(payloadCol).cast("binary").as("payload"),
+      when(lit(mediaType) === "image", pmod(crc32(col(payloadCol)), lit(1920)).cast("int")).as("width"),
+      when(lit(mediaType) === "image", pmod(crc32(col(payloadCol)), lit(1080)).cast("int")).as("height"),
+      when(lit(mediaType) === "audio", lit(16000)).cast("int").as("sample_rate"),
+      when(lit(mediaType) =!= "image", (length(col(payloadCol)) * 10).cast("long")).as("duration_ms"))
+
+  /** STUB decode: a real deployment decodes the codec here (libjpeg/ffmpeg
+    * via mapInArrow batches). The stand-in emits a deterministic 8-dim
+    * feature derived from payload bytes so the distributed plumbing —
+    * per-partition batching, schema, ordering — is fully exercised. */
+  def decodeToFeatures(spark: SparkSession, media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    val out: Dataset[Row] = media.select("asset_id", "media_type", "payload").mapPartitions { it =>
+      // Batch the iterator exactly as an Arrow-batch decode would.
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val mt = r.getString(1)
+          val payload = r.getAs[Array[Byte]](2)
+          val feature = fakeDecode(payload)
+          Row(id, mt, payload.length.toLong, feature)
+        }
+      }
+    }(enc)
+    out.toDF()
+  }
+
+  /** Deterministic stand-in for the codec: 8 byte-histogram buckets,
+    * L1-normalized. Replace with the real decoder on a real cluster. */
+  private[llm] def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](8)
+    if (payload != null && payload.nonEmpty) {
+      payload.foreach(b => hist((b & 0xff) >> 5) += 1f)
+      val total = payload.length.toFloat
+      var i = 0
+      while (i < 8) { hist(i) /= total; i += 1 }
+    }
+    hist
+  }
+
+  /** Frame sampling: pick every `stride`-th chunk of a video payload —
+    * row-local explode, no shuffle. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame =
+    media
+      .withColumn("n_frames", greatest(floor(length(col("payload")) / frameBytes), lit(1)).cast("int"))
+      .select(
+        col("asset_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        col("payload"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(
+        col("asset_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+}

@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact — the correctness oracle).
+  * Scale path: IVF-style coarse quantization — assign every vector to its
+  * nearest of C centroids, search only matching cells. The centroid
+  * assignment is a broadcast join + row-local argmax; the candidate join is
+  * keyed on cell id, so the shuffle is 1/C of brute force.
+  *
+  * Dot products use builtin `zip_with`/`aggregate` (codegen'd) — no UDF in
+  * the hot path.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ via zip_with + aggregate builtins. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query row against the full corpus,
+    * ranked per query. Exact; O(|Q|·|C|) — the oracle for ANN variants. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      queryIdCol: String = "vec_id",
+      corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-centroids: pick every ⌈n/C⌉-th corpus vector by id
+    * order. (k-means would iterate; for the engine the *plumbing* — assign,
+    * bucket, probe — is the contract, and deterministic seeds keep tests
+    * stable.) */
+  def seedCentroids(corpus: DataFrame, numCells: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.count()
+    val step = math.max(1L, n / numCells)
+    val w = Window.orderBy(col(idCol))
+    corpus
+      .withColumn("__rn", row_number().over(w) - 1)
+      .filter(col("__rn") % step === 0)
+      .limit(numCells)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("cell_id"), col(vecCol).as("centroid"))
+  }
+
+  /** Assign each vector to its nearest centroid (broadcast argmax — the
+    * centroid table is tiny by construction). */
+  def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val joined = vectors.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id"))
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
+  /** IVF-bucketed ANN top-k with `nprobe` cells per query: join query cells
+    * to corpus cells (shuffle keyed on cell_id), rank within candidates.
+    * Approximate — recall measured against [[bruteForceTopK]] in tests. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numCells: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = seedCentroids(corpus, numCells, idCol, vecCol)
+    val corpusCells = assignCells(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell_id"))
+
+    // nprobe nearest cells per query vector
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
+    val wq = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id"))
+    val probes = qCells
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell_id"))
+
+    val scored = probes.join(corpusCells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane LSH bucketing for cosine (the alternative scale
+    * path): `bits` signs of dot(v, rᵢ) with deterministic pseudo-random
+    * hyperplanes form the bucket key. */
+  def lshBuckets(vectors: DataFrame, dim: Int, bits: Int = 12, vecCol: String = "embedding"): DataFrame = {
+    val planes: Seq[Array[Double]] = (0 until bits).map { b =>
+      // xorshift-seeded deterministic pseudo-random hyperplane
+      var s = 0x9e3779b97f4a7c15L + b * 0xbf58476d1ce4e5b9L
+      Array.fill(dim) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        (s.toDouble / Long.MaxValue)
+      }
+    }
+    val key = (0 until bits).map { b =>
+      val plane = planes(b)
+      val d = aggregate(
+        zip_with(col(vecCol), typedLit(plane.toSeq), (x, r) => x * r),
+        lit(0.0d), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    vectors.withColumn("bucket", key)
+  }
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import java.sql.Timestamp
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CandleIntervals, GraftFunctions}
+import graft.schema.ReferenceSchemas
+
+/** OHLCV candle engine — the analytical heart of the reference
+  * (SURVEY.md §2.4 A1-A3; `pg.rs:660-815`, `candles.rs:24-70`).
+  *
+  * Input contract (columns of the trades frame, ≙ `txs_7`):
+  *   uid Long · time_stamp Timestamp · amount_asset_id String ·
+  *   price_asset_id String · sender String (matcher) · height Int ·
+  *   amount numeric-castable · price numeric-castable · tx_version Short?
+  *
+  * Scale shape: one hash aggregation keyed (minute, pair, matcher) — Spark
+  * plans partial (map-side) aggregation before the single shuffle, and every
+  * ladder step re-aggregates the *previous interval's output* (12 small aggs
+  * over candle rows), never re-scanning the trades fact — exactly the
+  * reference's incremental design, and the plan that survives 100 TB.
+  */
+object Candles {
+
+  private val money = ReferenceSchemas.money
+
+  /** Minute-candle aggregation (A1) ≙ `calculate_minute_candles` `pg.rs:680-738`.
+    *
+    * @param decimals optional (asset_id, decimals) dimension enabling the
+    *        `tx_version > 2` price rescale (`pg.rs:708-713`). Broadcast inner
+    *        join; per J3/`get_decimals_or_exception`, a missing asset must
+    *        FAIL the job, which [[requireAllMatched]] enforces.
+    */
+  def minuteCandles(
+      trades: DataFrame,
+      decimals: Option[DataFrame] = None,
+      since: Option[Timestamp] = None): DataFrame = {
+
+    val filtered = since.map(ts => trades.filter(col("time_stamp") >= lit(ts))).getOrElse(trades)
+
+    val priced = decimals match {
+      case Some(dim) =>
+        val aDec = broadcast(dim.select(col("asset_id"), col("decimals").as("__a_dec")))
+        val pDec = broadcast(dim.select(col("asset_id"), col("decimals").as("__p_dec")))
+        val joined = filtered
+          .join(aDec, filtered("amount_asset_id") === aDec("asset_id"), "left").drop(aDec("asset_id"))
+          .join(pDec, col("price_asset_id") === pDec("asset_id"), "left").drop(pDec("asset_id"))
+        requireAllMatched(joined)
+          .withColumn("__price",
+            when(col("tx_version") > 2,
+              col("price").cast(money) * pow(lit(10.0), col("__p_dec")).cast(money)
+                * pow(lit(10.0), -col("__a_dec")).cast(money))
+              .otherwise(col("price").cast(money)))
+          .drop("__a_dec", "__p_dec")
+      case None =>
+        filtered.withColumn("__price", col("price").cast(money))
+    }
+
+    priced
+      .select(
+        date_trunc("minute", col("time_stamp")).as("time_start"),
+        col("amount_asset_id"), col("price_asset_id"),
+        col("sender").as("matcher_address"),
+        col("uid"), col("height"),
+        col("amount").cast(money).as("__amount"),
+        col("__price"))
+      .groupBy("time_start", "amount_asset_id", "price_asset_id", "matcher_address")
+      .agg(
+        min(col("__price")).as("low"),
+        max(col("__price")).as("high"),
+        sum(col("__amount")).cast(money).as("volume"),
+        sum(col("__amount") * col("__price")).cast(money).as("quote_volume"),
+        max(col("height")).as("max_height"),
+        count(col("__price")).cast("int").as("txs_count"),
+        floor(sum(col("__amount") * col("__price")) / sum(col("__amount")))
+          .cast(money).as("weighted_average_price"),
+        // (array_agg(price ORDER BY uid))[1] / DESC — deterministic under
+        // parallelism via min_by/max_by on uid (SURVEY §7.4.2)
+        min_by(col("__price"), col("uid")).as("open"),
+        max_by(col("__price"), col("uid")).as("close"))
+      .withColumn("interval", lit("1m"))
+      .select(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** One ladder edge (A2) ≙ `calculate_non_minute_candles` `pg.rs:740-815`:
+    * re-aggregate `src`-interval candles (time_start >= since) into `dst`. */
+  def ladderStep(candles: DataFrame, src: String, dst: String, since: Option[Timestamp] = None): DataFrame = {
+    val base = candles.filter(col("interval") === src)
+    val filtered = since.map(ts => base.filter(col("time_start") >= lit(ts))).getOrElse(base)
+    filtered
+      .groupBy(
+        GraftFunctions.toRawTimestamp(col("time_start"), dst).as("time_start"),
+        col("amount_asset_id"), col("price_asset_id"), col("matcher_address"))
+      .agg(
+        min(col("low")).as("low"),
+        max(col("high")).as("high"),
+        sum(col("volume")).cast(money).as("volume"),
+        sum(col("quote_volume")).cast(money).as("quote_volume"),
+        max(col("max_height")).as("max_height"),
+        sum(col("txs_count")).cast("int").as("txs_count"),
+        floor(sum(col("weighted_average_price") * col("volume")) / sum(col("volume")))
+          .cast(money).as("weighted_average_price"),
+        min_by(col("open"), col("time_start")).as("open"),
+        max_by(col("close"), col("time_start")).as("close"))
+      .withColumn("interval", lit(dst))
+      .select(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Full 13-interval candle set from trades (fresh compute, no prior state):
+    * minute agg then the 12-edge ladder, each edge reading the previous
+    * edge's output. Returns the union of all intervals. */
+  def allIntervals(trades: DataFrame, decimals: Option[DataFrame] = None): DataFrame = {
+    val byInterval = scala.collection.mutable.Map("1m" -> minuteCandles(trades, decimals))
+    CandleIntervals.ladder.foreach { case (src, dst) =>
+      byInterval(dst) = ladderStep(byInterval(src), src, dst)
+    }
+    byInterval.values.reduce(_.unionByName(_))
+  }
+
+  /** Incremental maintenance (A3) ≙ `calculate_candles_since_block_uid`
+    * `pg.rs:660-678` + interval-start snapping `pg.rs:776-803`: recompute
+    * candles from the first affected minute and MERGE into prior state. */
+  def recomputeSince(
+      existing: DataFrame,
+      trades: DataFrame,
+      firstAffectedTs: Timestamp,
+      decimals: Option[DataFrame] = None): DataFrame = {
+    val minuteCutoff = truncateToMinute(firstAffectedTs)
+    val keys = Seq("interval", "time_start", "amount_asset_id", "price_asset_id", "matcher_address")
+    var state = Merge.upsert(existing, minuteCandles(trades, decimals, Some(minuteCutoff)), keys)
+    CandleIntervals.ladder.foreach { case (src, dst) =>
+      val snapped = intervalStart(minuteCutoff, dst)
+      state = Merge.upsert(state, ladderStep(state, src, dst, Some(snapped)), keys)
+    }
+    state
+  }
+
+  /** Candle rollback (`pg.rs:817-838`): delete every candle at or after the
+    * first affected minute, then recompute from the surviving trades. */
+  def rollback(
+      existing: DataFrame,
+      trades: DataFrame,
+      firstAffectedTs: Timestamp,
+      decimals: Option[DataFrame] = None): DataFrame = {
+    val minuteCutoff = truncateToMinute(firstAffectedTs)
+    val (kept, _) = Merge.deleteWhere(existing, col("time_start") >= lit(minuteCutoff))
+    recomputeSince(kept, trades, minuteCutoff, decimals)
+  }
+
+  /** `with_second(0).with_nanosecond(0)` (`pg.rs:669-673`). */
+  def truncateToMinute(ts: Timestamp): Timestamp =
+    Timestamp.from(Instant.ofEpochSecond(ts.toInstant.getEpochSecond / 60 * 60))
+
+  /** Ladder cut-off snap (`pg.rs:776-803`): epoch-floor for fixed-width
+    * intervals; Monday 00:00 for 1w; first-of-month 00:00 for 1M. */
+  def intervalStart(since: Timestamp, interval: String): Timestamp =
+    CandleIntervals.seconds.get(interval) match {
+      case Some(secs) =>
+        Timestamp.from(Instant.ofEpochSecond(since.toInstant.getEpochSecond / secs * secs))
+      case None =>
+        val dt = LocalDateTime.ofInstant(since.toInstant, ZoneOffset.UTC)
+        val day: LocalDate = interval match {
+          case "1w" => dt.toLocalDate.minusDays(dt.getDayOfWeek.getValue - 1L)
+          case "1M" => dt.toLocalDate.withDayOfMonth(1)
+          case other => throw new IllegalArgumentException(s"unknown interval $other")
+        }
+        Timestamp.from(day.atStartOfDay.toInstant(ZoneOffset.UTC))
+    }
+
+  /** J3 / `get_decimals_or_exception` semantics: any trade whose asset missed
+    * the decimals dimension must fail the computation, not be dropped. The
+    * check compiles to a codegen'd assert inside the scan — no extra action. */
+  private def requireAllMatched(joined: DataFrame): DataFrame = {
+    val ok = col("__a_dec").isNotNull && col("__p_dec").isNotNull
+    joined.withColumn("__a_dec",
+      when(ok, col("__a_dec")).otherwise(raise_error(
+        concat(lit("decimals not found for asset "),
+          coalesce(col("amount_asset_id"), col("price_asset_id"))))))
+  }
+}

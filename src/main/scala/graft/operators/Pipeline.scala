@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.schema.ReferenceSchemas.UidsPerHeight
+
+/** Batch-pipeline semantics of the reference consumer
+  * (SURVEY.md §2.8; `mod.rs:190-251`, `mod.rs:769-863`).
+  *
+  * All of these are pure DataFrame transforms: given the current table state
+  * and a batch/cut, they produce corrected tables, which makes
+  * rollback∘append = identity property-testable (SURVEY §5).
+  */
+object Pipeline {
+
+  /** Deterministic tx-uid assignment (O22) ≙ `convert.rs:45-72`:
+    * `uid = height * 100000 + idx`, idx resetting per height in arrival
+    * order. Reproduces the reference's collision contract for >100000
+    * txs/height verbatim (SURVEY §7.4.7). Window partitions by height —
+    * bounded partitions, no global sort. */
+  def assignTxUids(txs: DataFrame, orderCols: Seq[Column], heightCol: String = "height"): DataFrame = {
+    val w = Window.partitionBy(col(heightCol)).orderBy(orderCols: _*)
+    txs.withColumn("uid",
+      col(heightCol).cast("long") * UidsPerHeight + (row_number().over(w) - 1))
+  }
+
+  /** Sequence high-water mark (F22) ≙ `setval`/`nextval` (`pg.rs:190-194`,
+    * `258-267`): next block of `n` uids starts after the persisted max. */
+  def nextUidRange(currentMax: Long, n: Int): Seq[Long] = (currentMax + 1) to (currentMax + n)
+
+  /** Microblock squash (ST3) ≙ `mod.rs:769-792` + `pg.rs:125-166`: when a key
+    * block arrives after provisional microblocks, (1) all fact rows pointing
+    * at microblock uids are re-pointed at the last key-block uid, (2) the
+    * microblock rows are deleted, (3) the key block takes over the last
+    * microblock's id (total-block id rename, `pg.rs:151-158`).
+    *
+    * @param blocks  blocks_microblocks state; microblocks have NULL time_stamp
+    * @param keyBlockId  id of the arriving key block (already inserted)
+    * @return corrected blocks frame and a remap (old_block_uid → new_block_uid)
+    *         to apply to fact tables via [[repointBlockUids]].
+    */
+  def squashMicroblocks(blocks: DataFrame, keyBlockId: String): (DataFrame, DataFrame) = {
+    val keyUid = blocks.filter(col("time_stamp").isNotNull && col("id") === keyBlockId)
+      .agg(max("uid")).first().getLong(0)
+    val micro = blocks.filter(col("time_stamp").isNull && col("uid") < keyUid)
+    val remap = micro.select(col("uid").as("old_block_uid"), lit(keyUid).as("new_block_uid"))
+    val lastMicroId = micro.orderBy(col("uid").desc).limit(1).select("id")
+      .collect().headOption.map(_.getString(0))
+    val (kept, _) = Merge.deleteWhere(blocks, col("time_stamp").isNull && col("uid") < keyUid)
+    val renamed = lastMicroId match {
+      case Some(newId) =>
+        Merge.updateWhere(kept, col("uid") === keyUid, Map("id" -> lit(newId)))
+      case None => kept
+    }
+    (renamed, remap)
+  }
+
+  /** Re-point fact rows at squashed block uids (`pg.rs:216-223`, `383-390`). */
+  def repointBlockUids(fact: DataFrame, remap: DataFrame): DataFrame =
+    Merge.bulkKeyedUpdate(
+      fact.withColumnRenamed("block_uid", "old_block_uid"),
+      remap, "old_block_uid", "new_block_uid",
+      extraFilter = lit(true))
+      .withColumn("block_uid", coalesce(col("new_block_uid"), col("old_block_uid")))
+      .drop("old_block_uid", "new_block_uid")
+
+  /** Rollback (ST4) ≙ `mod.rs:794-863`: drop every fact row with
+    * `block_uid > cut` across all tables. Dimension re-open and candle
+    * recompute are [[Scd2.rollback]] / [[Candles.rollback]]. */
+  def rollbackFacts(tables: Map[String, DataFrame], blockUidCut: Long): Map[String, DataFrame] =
+    tables.map { case (name, df) =>
+      name -> Merge.deleteWhere(df, col("block_uid") > blockUidCut)._1
+    }
+
+  /** Startup safety rollback (ST5) ≙ `mod.rs:103-137` + `pg.rs:80-112`:
+    * resolve the block uid `depth` key-blocks back from the tip. */
+  def startupRollbackCut(blocks: DataFrame, depth: Int): Option[Long] = {
+    val keyBlocks = blocks.filter(col("time_stamp").isNotNull)
+    keyBlocks.orderBy(col("uid").desc).limit(depth + 1)
+      .orderBy(col("uid").asc).limit(1)
+      .select("uid").collect().headOption.map(_.getLong(0))
+  }
+
+  /** Batch-close folding (S2/ST1) ≙ `updates.rs:89-152`: assign each row a
+    * batch id so that a batch closes at `maxSize` rows, mirroring the
+    * size-close rule (time-close is the streaming trigger's job). The global
+    * window mirrors the reference's single sequential batcher thread — this
+    * runs over one micro-batch, never the full history. */
+  def assignBatchIds(events: DataFrame, orderCol: Column, maxSize: Int): DataFrame = {
+    val w = Window.orderBy(orderCol)
+    events.withColumn("batch_id", floor((row_number().over(w) - 1) / maxSize))
+  }
+}

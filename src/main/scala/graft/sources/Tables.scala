@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * The `events.ts` column is physically INT64 TIMESTAMP(NANOS), which Spark 4
+  * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` — set at
+  * runtime here so it also holds in the driver's own smoke session. The
+  * nanos Long is normalized to a microsecond TimestampType column, matching
+  * DuckDB's microsecond truncation of the same file.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events` with `ts` as TimestampType (µs, truncated from nanos). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Seconds-since-epoch of a (possibly NTZ) timestamp column; the session
+    * timezone is pinned UTC so this matches DuckDB's naive-as-UTC `epoch()`. */
+  def epochSecs(c: Column): Column = unix_timestamp(c.cast("timestamp"))
+
+  /** The exchange-trades mapping of `events` — the candle-engine input
+    * (≙ txs_7; see FIXTURES.md A2). Must stay in lockstep with
+    * [[tradesOracleSql]]. */
+  def trades(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id").as("uid"),
+      col("ts").as("time_stamp"),
+      concat(lit("A"), (col("user_id") % 4).cast("string")).as("amount_asset_id"),
+      concat(lit("P"), (col("user_id") % 3).cast("string")).as("price_asset_id"),
+      col("event_type").as("sender"),
+      col("user_id").cast("int").as("height"),
+      (col("event_id") % 100 + 1).cast("long").as("amount"),
+      col("value").cast("decimal(18,2)").as("price"),
+      (col("event_id") % 4 + 1).cast("short").as("tx_version"))
+
+  /** DuckDB rendering of [[trades]] for oracle CTEs. */
+  val tradesOracleSql: String =
+    """SELECT event_id AS uid, ts AS time_stamp,
+      |  'A' || CAST(user_id % 4 AS VARCHAR) AS amount_asset_id,
+      |  'P' || CAST(user_id % 3 AS VARCHAR) AS price_asset_id,
+      |  event_type AS sender,
+      |  CAST(user_id AS INT) AS height,
+      |  CAST(event_id % 100 + 1 AS BIGINT) AS amount,
+      |  CAST(value AS DECIMAL(18,2)) AS price,
+      |  CAST(event_id % 4 + 1 AS SMALLINT) AS tx_version
+      |FROM events""".stripMargin
+}
