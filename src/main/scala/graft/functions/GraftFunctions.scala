@@ -16,6 +16,10 @@ object GraftFunctions {
   // ---- custom scalar UDFs (no Spark builtin exists) ----
 
   val base58Encode = udf((b: Array[Byte]) => if (b == null) null else Base58.encode(b))
+  /** Whole-array variant — UDFs cannot consume higher-order-function lambda
+    * variables, so proofs-style columns encode in one call. */
+  val base58EncodeArray = udf((arr: Seq[Array[Byte]]) =>
+    if (arr == null) null else arr.map(b => if (b == null) null else Base58.encode(b)))
   val base58Decode = udf((s: String) => if (s == null) null else Base58.decode(s).orNull)
   val base58IsValid = udf((s: String) => s != null && Base58.isValid(s))
   val blake2b256Udf = udf((b: Array[Byte]) => if (b == null) null else Blake2b256.hash(b))

@@ -57,13 +57,11 @@ object Pipeline {
     (renamed, remap)
   }
 
-  /** Re-point fact rows at squashed block uids (`pg.rs:216-223`, `383-390`). */
+  /** Re-point fact rows at squashed block uids (`pg.rs:216-223`, `383-390`).
+    * The remap is one micro-batch's microblocks — always broadcastable. */
   def repointBlockUids(fact: DataFrame, remap: DataFrame): DataFrame =
-    Merge.bulkKeyedUpdate(
-      fact.withColumnRenamed("block_uid", "old_block_uid"),
-      remap, "old_block_uid", "new_block_uid",
-      extraFilter = lit(true))
-      .withColumn("block_uid", coalesce(col("new_block_uid"), col("old_block_uid")))
+    fact.join(broadcast(remap), fact("block_uid") === remap("old_block_uid"), "left")
+      .withColumn("block_uid", coalesce(col("new_block_uid"), col("block_uid")))
       .drop("old_block_uid", "new_block_uid")
 
   /** Rollback (ST4) ≙ `mod.rs:794-863`: drop every fact row with

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, StreamingQueryListener, Trigger}
+
+/** Structured-Streaming wrapper of the reference's consumer loop
+  * (SURVEY.md §2.8; `updates.rs:40-152`, `mod.rs:148-187`).
+  *
+  * The gRPC subscription maps to any Spark streaming source (file stream,
+  * Kafka, a custom DSv2 MicroBatchStream); the reference's batching knobs map
+  * to the trigger + per-source rate options:
+  *
+  *   - batch_max_wait_time (5 s default)  → `Trigger.ProcessingTime(5 s)`
+  *   - batch_max_size (256 blocks)        → `maxFilesPerTrigger` /
+  *     `maxOffsetsPerTrigger`-style source caps
+  *   - mpsc::channel(1) backpressure      → Spark runs one micro-batch at a
+  *     time per query by construction
+  *   - one-ACID-txn-per-batch (ST2)       → `foreachBatch(batchId, df)`;
+  *     the sink must commit idempotently keyed on batchId
+  */
+object MicroBatchPipeline {
+
+  /** Attach the reference's trigger semantics to a stream writer. */
+  def withBatchClose[T](
+      w: DataStreamWriter[T],
+      maxWaitMs: Long = 5000L): DataStreamWriter[T] =
+    w.trigger(Trigger.ProcessingTime(maxWaitMs))
+
+  /** Exactly-once batch application (ST2): `handler` runs once per batchId;
+    * re-delivered batches (restart replay) are skipped via the last-applied
+    * high-water mark, mirroring "resume from max(height)" (`pg.rs:70-78`). */
+  final class IdempotentBatchHandler(handler: (DataFrame, Long) => Unit) extends Serializable {
+    private val lastApplied = new AtomicLong(-1L)
+    def apply(df: DataFrame, batchId: Long): Unit = {
+      if (batchId > lastApplied.get()) {
+        handler(df, batchId)
+        lastApplied.set(batchId)
+      }
+    }
+    def lastBatch: Long = lastApplied.get()
+  }
+
+  /** Run a stream of raw events through the batch pipeline exactly-once. */
+  def start[T](
+      events: Dataset[T],
+      handler: (DataFrame, Long) => Unit,
+      maxWaitMs: Long = 5000L,
+      queryName: String = "graft-consumer"): StreamingQuery = {
+    val idempotent = new IdempotentBatchHandler(handler)
+    withBatchClose(
+      events.toDF().writeStream
+        .queryName(queryName)
+        .outputMode("append")
+        .foreachBatch((df: DataFrame, id: Long) => idempotent(df, id)),
+      maxWaitMs)
+      .start()
+  }
+}
+
+/** Liveness monitoring (ST6) ≙ `src/bin/consumer.rs:9-46`: track the newest
+  * event-time seen; unhealthy when it falls behind wall-clock by more than
+  * `maxAgeMs` (reference: 300 s, polled every 60 s). */
+final class LivenessListener(maxAgeMs: Long = 300000L) extends StreamingQueryListener {
+  @volatile private var lastEventTimeMs: Long = -1L
+  @volatile private var lastProgressAtMs: Long = System.currentTimeMillis()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    lastProgressAtMs = System.currentTimeMillis()
+    Option(e.progress.eventTime.get("max")).foreach { iso =>
+      try lastEventTimeMs = java.time.Instant.parse(iso).toEpochMilli
+      catch { case _: Exception => }
+    }
+  }
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  def observe(eventTimeMs: Long): Unit = {
+    lastProgressAtMs = System.currentTimeMillis()
+    if (eventTimeMs > lastEventTimeMs) lastEventTimeMs = eventTimeMs
+  }
+
+  /** Healthy ⇔ newest block time within maxAge of now (`consumer.rs:33-38`). */
+  def isHealthy(nowMs: Long = System.currentTimeMillis()): Boolean =
+    lastEventTimeMs > 0 && nowMs - lastEventTimeMs <= maxAgeMs
+
+  def lastEventTime: Long = lastEventTimeMs
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.convert._
+import graft.functions.{Base58, Waves}
+import graft.schema.ReferenceSchemas
+
+/** 18-way transaction conversion (convert.rs:74-729): common prefix, typed
+  * payloads, child explosions, encodings, uid determinism. */
+class ConvertSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def bytes(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  private val pk = Array.tabulate[Byte](32)(_.toByte)
+
+  private def tx(id: String, t: Short): RawTx =
+    RawTx(id = bytes(id), txType = t, senderPublicKey = pk,
+      timeStampMs = 1704100000000L, fee = 100000L, txVersion = Some(2),
+      proofs = Seq(bytes("p1"), bytes("p2")))
+
+  private val blocks = Seq(
+    RawBlock("b1", 100, Some(1704100000000L), Some(1000000L), Seq(
+      tx("t1", 4).copy(assetId = Some(Array.emptyByteArray), amount = Some(500L),
+        recipient = Some(bytes("rcpt")), feeAssetId = Some(Array.emptyByteArray),
+        attachment = Some(bytes("hi"))),
+      tx("t2", 7).copy(order1 = Some(RawOrder("""{"id":"o1"}""")),
+        order2 = Some(RawOrder("""{"id":"o2"}""")),
+        amount = Some(10L), price = Some(20L),
+        amountAssetId = Some(bytes("aa")), priceAssetId = Some(Array.emptyByteArray),
+        buyMatcherFee = Some(1L), sellMatcherFee = Some(2L),
+        feeAssetId = Some(Array.emptyByteArray)),
+      tx("t3", 12).copy(dataEntries = Seq(
+        RawDataEntry("k_int", integerValue = Some(42L)),
+        RawDataEntry("k_str", stringValue = Some("hello")),
+        RawDataEntry("k_bin", binaryValue = Some(Array[Byte](0, 1))))))),
+    RawBlock("b2", 101, Some(1704100060000L), None, Seq(
+      tx("t4", 8).copy(recipient = Some(bytes("rcpt")), amount = Some(77L)),
+      tx("t5", 9).copy(leaseTxId = Some(bytes("t4"))),
+      tx("t6", 16).copy(dappAddress = Some(bytes("dapp")), functionName = Some("call"),
+        feeAssetId = Some(Array.emptyByteArray),
+        args = Seq(
+          RawInvokeArg("integer", integerValue = Some(7L)),
+          RawInvokeArg("list", listJson = Some("""[{"type":"integer","value":5}]"""))),
+        payments = Seq(RawPayment(5L, Array.emptyByteArray), RawPayment(6L, bytes("aa")))))))
+
+  private lazy val tables: Map[String, org.apache.spark.sql.DataFrame] = {
+    val blockFrame = Seq((1L, "b1"), (2L, "b2")).toDF("uid", "id")
+    val flat = TxConvert.withBlockUids(TxConvert.flatten(spark, blocks), blockFrame)
+    TxConvert.convert(flat)
+  }
+
+  test("uid assignment: height*100000 + idx in arrival order") {
+    val uids = tables("txs_4").select("id", "uid").as[(String, Long)].collect().toMap
+    assert(uids(Base58.encode(bytes("t1"))) == 100L * 100000)
+    val t4uid = tables("txs_8").select("uid").as[Long].collect().head
+    assert(t4uid == 101L * 100000)
+  }
+
+  test("common prefix populated: sender address, base58 ids, proofs, timestamps") {
+    val r = tables("txs_4").collect().head
+    assert(r.getAs[String]("sender") == Waves.addressFromPublicKey(pk, 'W'.toByte))
+    assert(r.getAs[String]("sender_public_key") == Base58.encode(pk))
+    assert(r.getAs[String]("id") == Base58.encode(bytes("t1")))
+    assert(r.getSeq[String](r.fieldIndex("proofs")) == Seq(Base58.encode(bytes("p1")), Base58.encode(bytes("p2"))))
+    assert(r.getAs[java.sql.Timestamp]("time_stamp").getTime == 1704100000000L)
+    assert(r.getAs[Long]("block_uid") == 1L)
+    assert(r.getAs[String]("status") == "succeeded")
+  }
+
+  test("WAVES sentinel for empty asset ids (waves.rs:79-85)") {
+    val r = tables("txs_4").collect().head
+    assert(r.getAs[String]("asset_id") == "WAVES")
+    assert(r.getAs[String]("fee_asset_id") == "WAVES")
+    val x = tables("txs_7").collect().head
+    assert(x.getAs[String]("amount_asset_id") == Base58.encode(bytes("aa")))
+    assert(x.getAs[String]("price_asset_id") == "WAVES")
+  }
+
+  test("data entries explode with tagged-union typing (txs_12_data)") {
+    val d = tables("txs_12_data").orderBy("position_in_tx").collect()
+    assert(d.length == 3)
+    assert(d(0).getAs[String]("data_type") == "integer" && d(0).getAs[Long]("data_value_integer") == 42L)
+    assert(d(1).getAs[String]("data_type") == "string" && d(1).getAs[String]("data_value_string") == "hello")
+    assert(d(2).getAs[String]("data_type") == "binary" && d(2).getAs[String]("data_value_binary") == "base64:AAE=")
+    assert(d.map(_.getAs[Short]("position_in_tx")).toSeq == Seq(0, 1, 2))
+  }
+
+  test("invoke args + payments explode (txs_16_args / txs_16_payment)") {
+    val a = tables("txs_16_args").orderBy("position_in_args").collect()
+    assert(a.length == 2)
+    assert(a(0).getAs[String]("arg_type") == "integer" && a(0).getAs[Long]("arg_value_integer") == 7L)
+    assert(a(1).getAs[String]("arg_type") == "list" &&
+      a(1).getAs[String]("arg_value_list") == """[{"type":"integer","value":5}]""")
+    val p = tables("txs_16_payment").orderBy("position_in_payment").collect()
+    assert(p.map(_.getAs[String]("asset_id")).toSeq == Seq("WAVES", Base58.encode(bytes("aa"))))
+  }
+
+  test("lease-cancel uid resolution via broadcast lookup (J1, pg.rs:472-505)") {
+    val resolved = TxConvert.resolveLeaseUids(tables("txs_9"), tables("txs_8"))
+    val r = resolved.collect().head
+    assert(r.getAs[Long]("lease_tx_uid") == 101L * 100000)
+  }
+
+  test("txs union view exposes the parent-scan prefix over all 18 types") {
+    val txs = TxConvert.txsUnionView(tables)
+    assert(txs.columns.toSeq == ReferenceSchemas.txsCommon.map(_.name))
+    assert(txs.count() == 6)
+    assert(txs.select("tx_type").distinct().as[Short].collect().toSet == Set(4, 7, 12, 8, 9, 16))
+  }
+
+  test("every produced table matches its registry schema's column names") {
+    tables.foreach { case (name, df) =>
+      val expected = ReferenceSchemas.tables(name).fieldNames.toSeq
+      val actual = df.columns.toSeq
+      // txs_9 carries the transient lease_id used by resolveLeaseUids
+      val normalized = if (name == "txs_9") actual.filterNot(_ == "lease_id") else actual
+      assert(normalized.sorted == expected.sorted, s"$name columns: $actual vs $expected")
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-pipeline operator behavior: dedup recall/precision on a synthetic
+  * near-dup corpus, ANN recall vs the exact baseline, text heuristics,
+  * multimodal batch plumbing. */
+class LlmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def doc(words: Seq[String]): String = words.mkString(" ")
+  private val baseWords = (1 to 40).map(i => s"w$i")
+
+  /** 20 distinct docs; ids 100+ are near-dups of doc 0 (one word changed);
+    * ids 200+ are exact dups of doc 1. */
+  private lazy val corpus = {
+    val distinct = (0 until 20).map(i => (i.toLong, doc(baseWords.map(w => s"$w-$i"))))
+    val nearDups = (0 until 3).map(i =>
+      (100L + i, doc(baseWords.map(w => s"$w-0").updated(i, "CHANGED"))))
+    val exactDups = (0 until 2).map(i => (200L + i, distinct(1)._2))
+    (distinct ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the lowest id per content group") {
+    val kept = Dedup.exact(corpus).select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(200L) && !kept.contains(201L))
+    assert(kept.contains(1L))
+    assert(kept.size == 23) // 20 distinct + 3 near-dups (not exact)
+    val groups = Dedup.exactGroups(corpus).collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("copies") == 3)
+  }
+
+  test("MinHash-LSH finds the planted near-dups and no false positives") {
+    val cands = Dedup.minhashLshCandidates(corpus, bands = 8) // 8x4 banding: collision threshold ~0.56 for the test corpus
+    val verified = Dedup.jaccardVerify(cands, corpus, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every planted near-dup pair of doc 0 must be found
+    (0 until 3).foreach { i =>
+      assert(verified.contains((0L, 100L + i)), s"missed near-dup 10${i}")
+    }
+    // exact dups of doc 1 found too
+    assert(verified.contains((1L, 200L)))
+    // nothing across genuinely distinct docs
+    val falsePos = verified.filter { case (a, b) =>
+      a < 20 && b < 20 && !(a == 1L && b == 1L)
+    }
+    assert(falsePos.isEmpty, s"false positives: $falsePos")
+  }
+
+  test("nearDedupMinhash survivors exclude planted duplicates") {
+    val kept = Dedup.nearDedupMinhash(corpus).select("doc_id").as[Long].collect().toSet
+    assert((0 until 20).forall(i => kept.contains(i.toLong)))
+    assert(!kept.exists(_ >= 100))
+  }
+
+  test("SimHash candidates catch near-dups within Hamming 3") {
+    val pairs = Dedup.simhashCandidates(corpus)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 200L))) // exact dup: distance 0
+  }
+
+  test("IVF ANN achieves >=60% recall@5 vs brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") < 30)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, emb, k = 5, numCells = 16, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("LSH buckets put identical vectors together") {
+    val v = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val b = Similarity.lshBuckets(v, dim = 8).select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L))
+  }
+
+  test("language-ID picks the dominant stopword language") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "xyzzy plugh qwerty")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.languageId(col("text")).as("l")).as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("quality score penalizes short/degenerate docs") {
+    val df = Seq(
+      (1L, "a solid sentence with plenty of normal readable words in it"),
+      (2L, "x"),
+      (3L, "!!! ??? *** $$$ %%% ###")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(df).select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(out(1L) > 0.8)
+    assert(out(2L) == 0.0)
+    assert(out(3L) < 0.6)
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq((1L, "hello world, it's 42 degrees!")).toDF("id", "text")
+    val out = df.select(
+      TextAnalysis.tokenCountWhitespace(col("text")),
+      TextAnalysis.tokenCountBpeish(col("text"))).collect().head
+    assert(out.getInt(0) == 5)
+    // words: hello, world, it, s, degrees; digits: 4, 2; punct: , ' !
+    assert(out.getInt(1) == 10)
+  }
+
+  test("multimodal decode plumbing: schema, batching, deterministic features") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "zzzzzzzz")).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val media = Multimodal.asMedia(docs, "doc_id", "payload", "image")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("asset_id", "media_type", "payload", "width", "height", "sample_rate", "duration_ms"))
+    val feats = Multimodal.decodeToFeatures(spark, media, batchSize = 1)
+    val rows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(rows(1L).length == 8)
+    assert(math.abs(rows(1L).sum - 1.0f) < 1e-5) // L1-normalized histogram
+    // determinism
+    val again = Multimodal.decodeToFeatures(spark, media, batchSize = 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(again(1L) == rows(1L))
+  }
+
+  test("frame sampling picks every 4th frame") {
+    val docs = Seq((1L, "x" * 2560)).toDF("doc_id", "text") // 10 frames of 256
+      .withColumn("payload", col("text").cast("binary"))
+    val media = Multimodal.asMedia(docs, "doc_id", "payload", "video")
+    val n = Multimodal.sampleFrames(media).count()
+    assert(n == 3) // frames 0,4,8
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Merge, Pipeline, Scd2}
+import graft.schema.ReferenceSchemas
+import graft.schema.ReferenceSchemas.MaxUid
+
+/** SCD-2, merge, and pipeline operator semantics against the reference's
+  * contracts (mod.rs:583-767, pg.rs:143-398, convert.rs:45-72). */
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("Scd2.linkBatch: chain is uid-monotonic and ends at MAX_UID (pg.rs:31)") {
+    val batch = Seq(
+      ("a", 1L), ("a", 5L), ("a", 9L),
+      ("b", 2L),
+      ("c", 3L), ("c", 4L)).toDF("asset_id", "uid")
+    val linked = Scd2.linkBatch(batch).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(linked.toSet == Set(
+      ("a", 1L, 5L), ("a", 5L, 9L), ("a", 9L, MaxUid),
+      ("b", 2L, MaxUid),
+      ("c", 3L, 4L), ("c", 4L, MaxUid)))
+  }
+
+  test("Scd2.applyBatch closes open rows at the batch's first uid (pg.rs:229-242)") {
+    val dim = Seq(("a", 1L, MaxUid, 10L), ("b", 2L, MaxUid, 10L)).toDF("asset_id", "uid", "superseded_by", "block_uid")
+    val batch = Seq(("a", 7L, 20L), ("a", 9L, 20L)).toDF("asset_id", "uid", "block_uid")
+    val out = Scd2.applyBatch(dim, batch).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("a", 1L, 7L), // closed at batch's first uid
+      ("b", 2L, MaxUid), // untouched
+      ("a", 7L, 9L), ("a", 9L, MaxUid)))
+  }
+
+  test("Scd2.rollback re-opens rows whose successor was dropped (pg.rs:244-256)") {
+    val dim = Seq(
+      ("a", 1L, 5L, 10L), ("a", 5L, 9L, 20L), ("a", 9L, MaxUid, 30L),
+      ("b", 2L, MaxUid, 10L)).toDF("asset_id", "uid", "superseded_by", "block_uid")
+    val rolled = Scd2.rollback(dim, blockUidCut = 20L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rolled == Set(
+      ("a", 1L, 5L),
+      ("a", 5L, MaxUid), // successor (uid 9, block 30) was rolled back
+      ("b", 2L, MaxUid)))
+  }
+
+  test("Scd2 rollback∘applyBatch = identity") {
+    val dim = Seq(("a", 1L, MaxUid, 10L), ("b", 2L, MaxUid, 10L)).toDF("asset_id", "uid", "superseded_by", "block_uid")
+    val batch = Seq(("a", 7L, 20L), ("c", 8L, 20L)).toDF("asset_id", "uid", "block_uid")
+    val applied = Scd2.applyBatch(dim, batch)
+    val back = Scd2.rollback(applied, blockUidCut = 10L)
+    assert(back.exceptAll(dim).count() == 0 && dim.exceptAll(back).count() == 0)
+  }
+
+  test("Merge.upsert replaces on key, appends otherwise (S5)") {
+    val base = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val updates = Seq((2L, "Y"), (3L, "z")).toDF("k", "v")
+    val out = Merge.upsert(base, updates, Seq("k")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "x"), (2L, "Y"), (3L, "z")))
+  }
+
+  test("Merge.insertIgnore drops conflicting keys and in-batch dups (S6)") {
+    val base = Seq((1L, "x")).toDF("k", "v")
+    val updates = Seq((1L, "CLOBBER"), (2L, "a"), (2L, "b")).toDF("k", "v")
+    val out = Merge.insertIgnore(base, updates, Seq("k")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.contains((1L, "x")) && out.exists(_._1 == 2L) && out.size == 2)
+  }
+
+  test("Merge.bulkKeyedUpdate rewrites only matched keys (S10)") {
+    val base = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
+    val updates = Seq((2L, "new")).toDF("k", "v")
+    val out = Merge.bulkKeyedUpdate(base, updates, "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "old"), (2L, "new")))
+  }
+
+  test("uid assignment resets per height and reproduces collision contract (convert.rs:45-72)") {
+    val txs = Seq((100, "a"), (100, "b"), (100, "c"), (101, "d"), (101, "e"))
+      .toDF("height", "id")
+    val out = Pipeline.assignTxUids(txs, Seq(col("id"))).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out("a") == 100L * 100000)
+    assert(out("b") == 100L * 100000 + 1)
+    assert(out("c") == 100L * 100000 + 2)
+    assert(out("d") == 101L * 100000) // idx reset at new height
+    assert(out("e") == 101L * 100000 + 1)
+  }
+
+  test("squash re-points facts and renames the key block (mod.rs:769-792)") {
+    val blocks = Seq(
+      (1L, "b1", 10, Some("2024-01-01 00:00:00")),
+      (2L, "m1", 10, None),
+      (3L, "m2", 10, None),
+      (4L, "b2", 11, Some("2024-01-01 00:01:00")))
+      .toDF("uid", "id", "height", "ts")
+      .select(col("uid"), col("id"), col("height"), to_timestamp(col("ts")).as("time_stamp"))
+    val (squashed, remap) = Pipeline.squashMicroblocks(blocks, "b2")
+    val rows = squashed.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "b1"), (4L, "m2"))) // micros deleted, b2 renamed to last micro id
+    val facts = Seq((100L, 2L), (101L, 3L), (102L, 1L)).toDF("fact_id", "block_uid")
+    val repointed = Pipeline.repointBlockUids(facts, remap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repointed == Set((100L, 4L), (101L, 4L), (102L, 1L)))
+  }
+
+  test("rollbackFacts drops rows past the cut across every table (mod.rs:794-863)") {
+    val t1 = Seq((1L, 10L), (2L, 20L)).toDF("id", "block_uid")
+    val t2 = Seq((3L, 15L), (4L, 25L)).toDF("id", "block_uid")
+    val rolled = Pipeline.rollbackFacts(Map("t1" -> t1, "t2" -> t2), 15L)
+    assert(rolled("t1").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(rolled("t2").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("schema registry covers all 33 reference tables with txs common prefix") {
+    assert(ReferenceSchemas.tables.size == 33)
+    val prefix = ReferenceSchemas.txsCommon.map(_.name)
+    (1 to 18).foreach { i =>
+      val t = ReferenceSchemas.tables(s"txs_$i")
+      assert(t.fieldNames.take(13).sameElements(prefix), s"txs_$i lost the common prefix")
+    }
+    assert(ReferenceSchemas.candles.fieldNames.length == 14)
+    assert(ReferenceSchemas.tables("asset_updates").fieldNames.contains("superseded_by"))
+  }
+}
