@@ -86,7 +86,7 @@ object AggQueries {
     // A2 — 12-edge ladder re-aggregation to 1h (pg.rs:740-815, candles.rs:39-52)
     QueryDef("a2_candles_1h_ladder",
       (s, dir) => {
-        val c1m = Candles.minuteCandles(Tables.trades(s, dir))
+        val c1m = Candles.partitionForLadder(Candles.minuteCandles(Tables.trades(s, dir)))
         val c5 = Candles.ladderStep(c1m, "1m", "5m")
         val c15 = Candles.ladderStep(c5, "5m", "15m")
         val c30 = Candles.ladderStep(c15, "15m", "30m")

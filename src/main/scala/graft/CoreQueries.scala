@@ -17,6 +17,23 @@ object CoreQueries {
 
   val all: Vector[QueryDef] = Vector(
 
+    // S1 — streaming source: a real Structured-Streaming query (MemoryStream
+    // → micro-batches → foreachBatch) replays events in 256-row batches
+    QueryDef("s1_stream_source",
+      (s, dir) => {
+        import graft.streaming.StreamReplay
+        val events = Tables.events(s, dir)
+          .filter(col("event_id") < 1024)
+          .orderBy("event_id")
+          .select("event_id", "event_type")
+          .collect()
+          .map(r => StreamReplay.StreamedEvent(r.getLong(0), r.getString(1)))
+        StreamReplay.replay(s, events.toSeq, chunk = 256).orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type,
+             |  CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 256) AS BIGINT) AS batch_id
+             |FROM events WHERE event_id < 1024 ORDER BY event_id""".stripMargin)),
+
     // S2 — batch accumulator: batches close at 256 rows (updates.rs:117-129)
     QueryDef("s2_batch_accumulator",
       (s, dir) => {
@@ -48,8 +65,8 @@ object CoreQueries {
     QueryDef("s4_chunked_insert",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-        val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-        li.withColumn("chunk_id", floor((row_number().over(w) - 1) / chunkRows(11)))
+        Pipeline.globalRowNumber(li, struct(col("l_orderkey"), col("l_linenumber")))
+          .withColumn("chunk_id", floor((col("__global_rn") - 1) / chunkRows(11)))
           .groupBy("chunk_id")
           .agg(count(lit(1)).as("n"))
           .orderBy("chunk_id")

@@ -19,7 +19,7 @@ object SparkEntry {
     * the §7.2 end-to-end slice (ingest → convert → minute agg → ladder). */
   def entry(spark: SparkSession): DataFrame = {
     val trades = Tables.trades(spark, "/root/testdata/sf0.001")
-    val c1m = Candles.minuteCandles(trades)
+    val c1m = Candles.partitionForLadder(Candles.minuteCandles(trades))
     val c5 = Candles.ladderStep(c1m, "1m", "5m")
     val c15 = Candles.ladderStep(c5, "5m", "15m")
     val c30 = Candles.ladderStep(c15, "15m", "30m")

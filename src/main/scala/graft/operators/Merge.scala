@@ -17,7 +17,10 @@ object Merge {
     * Rows in `updates` replace base rows sharing the key; others append. */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = base.columns.toSeq
+    // a USING-columns join reorders output keys-first; restore base order so
+    // positional consumers (union/except/checkpointed schemas) stay stable
     val kept = base.join(broadcast(updates.select(keys.map(col): _*).distinct()), keys, "left_anti")
+      .select(cols.map(col): _*)
     kept.unionByName(updates.select(cols.map(col): _*))
   }
 
@@ -27,6 +30,7 @@ object Merge {
     val cols = base.columns.toSeq
     val fresh = updates
       .join(broadcast(base.select(keys.map(col): _*).distinct()), keys, "left_anti")
+      .select(updates.columns.toSeq.map(col): _*)
       // in-batch dedup on the key, first writer wins (Postgres insert order)
       .dropDuplicates(keys)
     base.unionByName(fresh.select(cols.map(col): _*))

@@ -81,13 +81,33 @@ object Pipeline {
       .select("uid").collect().headOption.map(_.getLong(0))
   }
 
+  /** Distributed global row numbering: range-partition on the order key,
+    * number within partitions, add cumulative partition offsets. Unlike
+    * `row_number().over(Window.orderBy(k))` this never funnels the dataset
+    * through a single partition — the only driver-side state is one count
+    * per partition. Returns the frame with a 1-based `__global_rn` column. */
+  def globalRowNumber(events: DataFrame, orderCol: Column, partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+            else events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = events.repartitionByRange(n, orderCol).sortWithinPartitions(orderCol)
+    // zipWithIndex numbers one shared lineage (a count job + a map), so the
+    // partition ↔ offset mapping cannot drift between jobs the way a
+    // separate counts query can under AQE partition coalescing.
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__global_rn", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Batch-close folding (S2/ST1) ≙ `updates.rs:89-152`: assign each row a
     * batch id so that a batch closes at `maxSize` rows, mirroring the
-    * size-close rule (time-close is the streaming trigger's job). The global
-    * window mirrors the reference's single sequential batcher thread — this
-    * runs over one micro-batch, never the full history. */
-  def assignBatchIds(events: DataFrame, orderCol: Column, maxSize: Int): DataFrame = {
-    val w = Window.orderBy(orderCol)
-    events.withColumn("batch_id", floor((row_number().over(w) - 1) / maxSize))
-  }
+    * size-close rule (time-close is the streaming trigger's job). Built on
+    * [[globalRowNumber]] so the ordering never collapses to one partition. */
+  def assignBatchIds(events: DataFrame, orderCol: Column, maxSize: Int): DataFrame =
+    globalRowNumber(events, orderCol)
+      .withColumn("batch_id", floor((col("__global_rn") - 1) / maxSize))
+      .drop("__global_rn")
 }

@@ -1,0 +1,50 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Parquet table store with the layout discipline that substitutes for the
+  * reference's 60+ Postgres indexes (SURVEY.md §4): partition pruning takes
+  * the place of btree range scans, within-file ordering takes the place of
+  * clustered indexes (parquet min/max + dictionary pushdown).
+  *
+  * Conventions:
+  *   - fact tables partition by a height bucket (`height div 100000` — one
+  *     directory per uid epoch, aligning partition pruning with the uid
+  *     windows) and sort within partitions by uid;
+  *   - candles partition by `interval` (every reference read hits exactly
+  *     one: `pg.rs:760`) and sort by (pair, time_start);
+  *   - dimensions stay unpartitioned (small) but sorted by entity key.
+  */
+object TableStore {
+
+  val HeightBucketSize = 1000
+
+  def heightBucket(heightCol: String = "height"): org.apache.spark.sql.Column =
+    (col(heightCol) / HeightBucketSize).cast("int").as("height_bucket")
+
+  /** Write a fact table bucketed by height, uid-sorted within files. */
+  def writeFact(df: DataFrame, path: String, heightCol: String = "height", sortCol: String = "uid"): Unit =
+    df.withColumn("height_bucket", heightBucket(heightCol))
+      .repartition(col("height_bucket"))
+      .sortWithinPartitions(col("height_bucket"), col(sortCol))
+      .write.mode("overwrite")
+      .partitionBy("height_bucket")
+      .parquet(path)
+
+  /** Write candles partitioned by interval (single-partition reads). */
+  def writeCandles(df: DataFrame, path: String): Unit =
+    df.repartition(col("interval"))
+      .sortWithinPartitions(col("interval"), col("amount_asset_id"), col("price_asset_id"), col("time_start"))
+      .write.mode("overwrite")
+      .partitionBy("interval")
+      .parquet(path)
+
+  /** Read with an explicit schema (never inferSchema — SURVEY §1.3).
+    * Partition columns come back typed from the directory layout. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  def readAny(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}

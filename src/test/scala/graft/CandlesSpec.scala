@@ -109,17 +109,19 @@ class CandlesSpec extends SparkSpec {
     val full = Candles.allIntervals(fixture)
     // prior state: candles computed from only the first 4 trades
     val prior = Candles.allIntervals(fixture.filter(col("uid") <= 4))
+    // appended trades are uids 5 (11:30) and 6 (10:00:10); the reference
+    // cutoff is the FIRST appended tx timestamp (pg.rs:660-678)
     val incremental = Candles.recomputeSince(
-      prior, fixture, Timestamp.valueOf("2024-01-01 11:30:00"))
+      prior, fixture, Timestamp.valueOf("2024-01-01 10:00:10"))
     // compare as sets of rows
     assert(incremental.exceptAll(full).count() == 0 && full.exceptAll(incremental).count() == 0)
   }
 
   test("rollback∘append = identity (SURVEY §5)") {
     val before = Candles.allIntervals(fixture.filter(col("uid") <= 4))
-    val appended = Candles.recomputeSince(before, fixture, Timestamp.valueOf("2024-01-01 11:30:00"))
+    val appended = Candles.recomputeSince(before, fixture, Timestamp.valueOf("2024-01-01 10:00:10"))
     val rolledBack = Candles.rollback(appended, fixture.filter(col("uid") <= 4),
-      Timestamp.valueOf("2024-01-01 11:30:00"))
+      Timestamp.valueOf("2024-01-01 10:00:10"))
     assert(rolledBack.exceptAll(before).count() == 0 && before.exceptAll(rolledBack).count() == 0)
   }
 
