@@ -41,8 +41,9 @@ object TxConvert {
       col("height").cast("long") * ReferenceSchemas.UidsPerHeight + (row_number().over(w) - 1))
   }
 
-  private def b58(c: Column): Column = base58Encode(c)
-  private def optB58(c: Column): Column = when(c.isNotNull, base58Encode(c))
+  // native Catalyst expression (whole-stage codegen), not the UDF fallback
+  private def b58(c: Column): Column = graft.plans.GraftExtensions.base58Encode(c)
+  private def optB58(c: Column): Column = when(c.isNotNull, b58(c))
 
   /** The txs common prefix (`up.sql:45-62`): every type shares it. */
   private def common(flat: DataFrame): DataFrame = flat.select(

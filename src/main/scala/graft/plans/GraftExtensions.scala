@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` hook: registers the engine's native expressions
+  * with the session FunctionRegistry so `spark.sql("base58_encode(...)")`
+  * codegens without a UDF. Activate with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or call
+  * [[GraftExtensions.install]] on a builder).
+  *
+  * SURVEY §4 concluded no custom optimizer `Rule`/`SparkStrategy` is required
+  * for parity — the extension surface carries only expressions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("base58_encode"),
+      new ExpressionInfo(classOf[Base58Encode].getName, "base58_encode"),
+      (args: Seq[Expression]) => Base58Encode(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("base58_decode"),
+      new ExpressionInfo(classOf[Base58Decode].getName, "base58_decode"),
+      (args: Seq[Expression]) => Base58Decode(args.head)))
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  /** Register the native functions into an already-running session (the
+    * `spark.sql.extensions` config only applies at session construction). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.registerFunction(
+      new FunctionIdentifier("base58_encode"),
+      new ExpressionInfo(classOf[Base58Encode].getName, "base58_encode"),
+      (args: Seq[Expression]) => Base58Encode(args.head))
+    registry.registerFunction(
+      new FunctionIdentifier("base58_decode"),
+      new ExpressionInfo(classOf[Base58Decode].getName, "base58_decode"),
+      (args: Seq[Expression]) => Base58Decode(args.head))
+  }
+  /** Column-level access to the native expressions (no registry needed). */
+  def base58Encode(c: Column): Column = GraftColumnBridge.column(Base58Encode(GraftColumnBridge.expression(c)))
+  def base58Decode(c: Column): Column = GraftColumnBridge.column(Base58Decode(GraftColumnBridge.expression(c)))
+}

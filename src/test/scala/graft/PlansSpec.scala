@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Base58
+import graft.plans.GraftExtensions
+
+/** Native Catalyst expressions: codegen path matches the pure-Scala
+  * implementation and survives whole-stage codegen; the extension installs
+  * SQL-callable names. */
+class PlansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("Base58Encode expression matches the library implementation") {
+    val df = Seq("hello", "Waves test vector 123", "").toDF("s")
+      .withColumn("b", col("s").cast("binary"))
+    val out = df.select(col("s"), GraftExtensions.base58Encode(col("b")).as("b58"))
+      .as[(String, String)].collect().toMap
+    assert(out("hello") == "Cn8eVZg")
+    assert(out("Waves test vector 123") == "6NeN8CgExwoAH5ZqG2KGoWZWNw7zJ")
+    assert(out("") == "")
+  }
+
+  test("Base58Decode round-trips and yields NULL on invalid input") {
+    val df = Seq("Cn8eVZg", "not-valid-0OIl").toDF("s")
+    val out = df.select(col("s"), GraftExtensions.base58Decode(col("s")).as("raw")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Array[Byte]])).toMap
+    assert(out("Cn8eVZg").map(b => new String(b, "UTF-8")).contains("hello"))
+    assert(out("not-valid-0OIl").isEmpty)
+  }
+
+  test("expression runs inside whole-stage codegen (no UDF fallback)") {
+    val df = spark.range(100).withColumn("b", col("id").cast("string").cast("binary"))
+      .select(GraftExtensions.base58Encode(col("b")).as("b58"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), s"plan lost codegen:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    assert(df.count() == 100)
+  }
+
+  test("GraftExtensions registers SQL-callable functions") {
+    GraftExtensions.install(spark)
+    val r = spark.sql("SELECT base58_encode(cast('hello' as binary)) AS e, " +
+      "cast(base58_decode('Cn8eVZg') as string) AS d").collect().head
+    assert(r.getString(0) == "Cn8eVZg")
+    assert(r.getString(1) == "hello")
+  }
+
+  test("native expression agrees with the UDF on random inputs") {
+    val rnd = new scala.util.Random(7)
+    val inputs = Seq.fill(50)(rnd.nextString(rnd.nextInt(40)))
+    val df = inputs.toDF("s").withColumn("b", col("s").cast("binary"))
+    val both = df.select(
+      GraftExtensions.base58Encode(col("b")).as("native"),
+      graft.functions.GraftFunctions.base58Encode(col("b")).as("viaUdf"))
+    assert(both.filter(col("native") =!= col("viaUdf")).count() == 0)
+  }
+}
