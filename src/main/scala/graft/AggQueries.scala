@@ -34,6 +34,19 @@ object AggQueries {
        |  FROM (SELECT t.*, price AS close_src FROM trades t $where)
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** Calendar-bucket ladder edge (1d→1w / 1d→1M): DuckDB `date_trunc` over a
+    * naive timestamp rebuilt from the epoch key (TZ-independent). */
+  private def ladderCteCalendar(src: String, dst: String, trunc: String): String =
+    s"""c$dst AS (
+       |  SELECT CAST(epoch(date_trunc('$trunc', make_timestamp(ts_$src * 1000000))) AS BIGINT) AS ts_$dst,
+       |    amount_asset_id, price_asset_id, matcher_address,
+       |    min(low) AS low, max(high) AS high,
+       |    sum(volume) AS volume, sum(quote_volume) AS quote_volume,
+       |    max(max_height) AS max_height, sum(txs_count) AS txs_count,
+       |    floor(sum(wap * volume) / sum(volume)) AS wap,
+       |    min_by(open, ts_$src) AS open, max_by(close, ts_$src) AS close
+       |  FROM c$src GROUP BY 1, 2, 3, 4)""".stripMargin
+
   /** Ladder-edge CTE ≙ `calculate_non_minute_candles` (`pg.rs:740-815`). */
   private def ladderCte(src: String, dst: String, secs: Long): String =
     s"""c$dst AS (
@@ -57,20 +70,23 @@ object AggQueries {
   private val orderTail =
     "ORDER BY time_start_epoch, amount_asset_id, price_asset_id, matcher_address"
 
+  /** Oracle-shape projection columns of the library's candle frame. */
+  private def candleOutCols: Seq[org.apache.spark.sql.Column] = Seq(
+    epochSecs(col("time_start")).as("time_start_epoch"),
+    col("amount_asset_id"), col("price_asset_id"), col("matcher_address"),
+    col("low").cast("double").as("low"),
+    col("high").cast("double").as("high"),
+    col("volume").cast("double").as("volume"),
+    col("quote_volume").cast("double").as("quote_volume"),
+    col("max_height"),
+    col("txs_count").cast("long").as("txs_count"),
+    col("weighted_average_price").cast("double").as("weighted_average_price"),
+    col("open").cast("double").as("open"),
+    col("close").cast("double").as("close"))
+
   /** Spark-side projection of the library's candle frame to the oracle shape. */
   private def candleOut(c: DataFrame): DataFrame =
-    c.select(
-      epochSecs(col("time_start")).as("time_start_epoch"),
-      col("amount_asset_id"), col("price_asset_id"), col("matcher_address"),
-      col("low").cast("double").as("low"),
-      col("high").cast("double").as("high"),
-      col("volume").cast("double").as("volume"),
-      col("quote_volume").cast("double").as("quote_volume"),
-      col("max_height"),
-      col("txs_count").cast("long").as("txs_count"),
-      col("weighted_average_price").cast("double").as("weighted_average_price"),
-      col("open").cast("double").as("open"),
-      col("close").cast("double").as("close"))
+    c.select(candleOutCols: _*)
       .orderBy("time_start_epoch", "amount_asset_id", "price_asset_id", "matcher_address")
 
   private def withTrades(body: String): String =
@@ -99,6 +115,39 @@ object AggQueries {
         ladderCte("15m", "30m", 1800),
         ladderCte("30m", "1h", 3600)).mkString(",\n")) +
         "\n" + candleSelect("ts_1h") + "\nFROM c1h " + orderTail)),
+
+    // A2b — full ladder through the calendar buckets (1d→1w, 1d→1M): the
+    // non-fixed-width path the reference takes via date_trunc week/month
+    // (pg.rs:788-800); runs the engine's complete 13-interval set
+    QueryDef("a2b_candles_calendar",
+      (s, dir) => {
+        val all = Candles.allIntervals(Tables.trades(s, dir))
+        val cal = all.filter(col("interval").isin("1w", "1M"))
+        cal.select(col("interval") +: candleOutCols: _*)
+          .orderBy("interval", "time_start_epoch", "amount_asset_id", "price_asset_id", "matcher_address")
+      },
+      Some(withTrades((Seq(
+        c1mCte(),
+        ladderCte("1m", "5m", 300),
+        ladderCte("5m", "15m", 900),
+        ladderCte("15m", "30m", 1800),
+        ladderCte("30m", "1h", 3600),
+        ladderCte("1h", "3h", 10800),
+        ladderCte("3h", "6h", 21600),
+        ladderCte("6h", "12h", 43200),
+        ladderCte("12h", "1d", 86400),
+        ladderCteCalendar("1d", "1w", "week"),
+        // "1mo" not "1M": DuckDB identifiers are case-insensitive, so c1M
+        // would collide with the c1m minute CTE
+        ladderCteCalendar("1d", "1mo", "month"))).mkString(",\n")) +
+        s"""
+           |SELECT * FROM (
+           |  ${candleSelect("ts_1w").replace("SELECT ", "SELECT '1w' AS interval, ")}
+           |  FROM c1w
+           |  UNION ALL
+           |  ${candleSelect("ts_1mo").replace("SELECT ", "SELECT '1M' AS interval, ")}
+           |  FROM c1mo)
+           |ORDER BY interval, time_start_epoch, amount_asset_id, price_asset_id, matcher_address""".stripMargin)),
 
     // A3 — incremental cut-off: recompute only from the first affected
     // minute (pg.rs:660-678)

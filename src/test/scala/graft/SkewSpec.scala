@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Salted two-phase aggregation equals the direct aggregation — including
+  * the ordered argmin/argmax used for candle open/close. */
+class SkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("salted aggregate equals direct groupBy on a skewed key distribution") {
+    // one hot key (90% of rows) + a tail
+    val rows = (1 to 900).map(i => ("HOT", i.toLong, (i % 97).toDouble)) ++
+      (1 to 100).map(i => (s"k${i % 7}", 1000L + i, i.toDouble))
+    val df = rows.toDF("key", "uid", "value")
+
+    val direct = df.groupBy("key")
+      .agg(
+        sum(col("value").cast("decimal(18,2)")).as("total"),
+        count(lit(1)).as("n"),
+        min("value").as("lo"),
+        max("value").as("hi"),
+        min_by(col("value"), col("uid")).as("open"),
+        max_by(col("value"), col("uid")).as("close"))
+
+    val salted = Skew.saltedAggregate(
+      df,
+      keys = Seq(col("key")),
+      measures = Seq(
+        Skew.sumOf(col("value").cast("decimal(18,2)"), "total"),
+        Skew.countRows("n"),
+        Skew.minOf(col("value"), "lo"),
+        Skew.maxOf(col("value"), "hi"),
+        Skew.minByOf(col("value"), col("uid"), "open"),
+        Skew.maxByOf(col("value"), col("uid"), "close")),
+      saltBuckets = 16,
+      saltSource = col("uid"))
+
+    val d = direct.orderBy("key").collect().map(_.toSeq).toSeq
+    val s2 = salted.select(direct.columns.map(col).toIndexedSeq: _*).orderBy("key").collect().map(_.toSeq).toSeq
+    assert(d == s2)
+  }
+
+  test("salt actually spreads the hot key across partial groups") {
+    val rows = (1 to 1000).map(i => ("HOT", i.toLong, 1.0))
+    val df = rows.toDF("key", "uid", "value")
+    val partials = df.withColumn("__salt", pmod(hash(col("uid")), lit(16)))
+      .groupBy("key", "__salt").count()
+    assert(partials.count() > 8) // hot key split over many buckets
+  }
+}
