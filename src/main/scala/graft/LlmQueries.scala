@@ -83,10 +83,12 @@ object LlmQueries {
         val emb = Tables.embeddings(s, dir)
           .withColumn("embedding", col("embedding").cast("array<double>"))
         val q = emb.filter(col("vec_id") < 200)
-        q.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-          .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+        q.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+            Similarity.norm(col("embedding")).as("na"))
+          .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+            Similarity.norm(col("embedding")).as("nb")))
           .filter(col("id_a") < col("id_b"))
-          .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+          .withColumn("cosine", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .filter(col("cosine") >= 0.5)
           .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
           .orderBy("id_a", "id_b")

@@ -26,7 +26,9 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: every query row against the full corpus,
-    * ranked per query. Exact; O(|Q|·|C|) — the oracle for ANN variants. */
+    * ranked per query. Exact; O(|Q|·|C|) — the oracle for ANN variants.
+    * Norms are precomputed per row, not per pair — the per-pair work is one
+    * dot product and a division (cuts the candidate scoring by ~2/3). */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -34,11 +36,13 @@ object Similarity {
       queryIdCol: String = "vec_id",
       corpusIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -86,7 +90,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val centroids = seedCentroids(corpus, numCells, idCol, vecCol)
     val corpusCells = assignCells(corpus, centroids, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell_id"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"), col("cell_id"))
 
     // nprobe nearest cells per query vector
     val qCells = queries.crossJoin(broadcast(centroids))
@@ -95,11 +99,11 @@ object Similarity {
     val probes = qCells
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell_id"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"), col("cell_id"))
 
     val scored = probes.join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Candles
+import graft.sources.Tables
+
+/** Physical-plan regression guards: the shapes that matter at 100 TB —
+  * shuffle counts, broadcast joins, filter/column pushdown — must not
+  * silently regress. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def exchanges(df: DataFrame): Int =
+    executed(df).linesIterator.count(_.contains("Exchange"))
+
+  test("minute-candle aggregation is a single-shuffle hash aggregate") {
+    val plan = executed(Candles.minuteCandles(Tables.trades(spark, dir)))
+    assert(!plan.contains("SortMergeJoin"))
+    // partial + final HashAggregate around exactly one exchange
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2)
+    assert(exchanges(Candles.minuteCandles(Tables.trades(spark, dir))) <= 2)
+  }
+
+  test("pre-partitioned ladder chain adds no per-edge shuffles") {
+    val c1m = Candles.partitionForLadder(Candles.minuteCandles(Tables.trades(spark, dir)))
+    val c1h = Seq(("1m", "5m"), ("5m", "15m"), ("15m", "30m"), ("30m", "1h"))
+      .foldLeft(c1m) { case (acc, (src, dst)) => Candles.ladderStep(acc, src, dst) }
+    // one agg shuffle + one co-location repartition, zero for the 4 edges
+    assert(exchanges(c1h) <= 3, s"ladder re-shuffles:\n${executed(c1h)}")
+  }
+
+  test("dimension joins broadcast; no sort-merge joins in the assets view path") {
+    val q = SparkEntry.queries("view_assets")(spark, dir)
+    val plan = executed(q)
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), s"SMJ crept into view_assets:\n$plan")
+  }
+
+  test("filters and column pruning reach the parquet scan") {
+    val q = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val plan = executed(q)
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity,30.0)"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("LSH candidate generation performs no cross joins") {
+    val cands = graft.llm.Dedup.minhashLshCandidates(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val plan = executed(cands)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in LSH path:\n$plan")
+  }
+}
