@@ -573,6 +573,22 @@ object AggQueries {
              |  8, false, false
              |ORDER BY asset_id""".stripMargin)),
 
+    // SCD-2 close/insert batch application (pg.rs:229-242, mod.rs:660-668):
+    // applying the tail batch to the head dimension must equal linking the
+    // whole history at once
+    QueryDef("scd2_apply_batch",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"))
+        val dim = Scd2.linkBatch(ev.filter(col("event_id") < 500), key = "user_id", uidCol = "event_id")
+        val batch = ev.filter(col("event_id") >= 500)
+        Scd2.applyBatch(dim, batch, key = "user_id", uidCol = "event_id")
+          .select("user_id", "event_id", "superseded_by")
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""SELECT user_id, event_id,
+              |  lead(event_id, 1, ${MaxUid}) OVER (PARTITION BY user_id ORDER BY event_id) AS superseded_by
+              |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
     // SCD-2 rollback re-open (pg.rs:244-256, mod.rs:823-859)
     QueryDef("scd2_rollback_reopen",
       (s, dir) => {

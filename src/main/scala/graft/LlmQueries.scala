@@ -168,17 +168,20 @@ object LlmQueries {
           round(col("mean_word_len"), 4).as("mean_word_len"),
           round(col("punct_ratio"), 4).as("punct_ratio"),
           round(col("digit_ratio"), 4).as("digit_ratio"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"),
           col("quality_score"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
              |  round(mean_word_len, 4) AS mean_word_len,
              |  round(punct_ratio, 4) AS punct_ratio,
              |  round(digit_ratio, 4) AS digit_ratio,
+             |  round(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|a)\b')) AS DOUBLE)
+             |    / greatest(CAST(n_words AS DOUBLE), 1.0), 4) AS stopword_ratio,
              |  round(CASE WHEN n_words < 2 THEN 0.0 ELSE
              |    greatest(0.0, 1.0 - least(punct_ratio * 2, 0.5) - least(digit_ratio, 0.3)
              |      - CASE WHEN n_chars_m < 20 THEN 0.2 ELSE 0.0 END) END, 4) AS quality_score
              |FROM (
-             |  SELECT doc_id, length(text) AS n_chars_m,
+             |  SELECT doc_id, text, length(text) AS n_chars_m,
              |    len(string_split_regex(trim(text), '\s+')) AS n_words,
              |    CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
              |      THEN (CAST(length(text) AS DOUBLE) - (len(string_split_regex(trim(text), '\s+')) - 1))

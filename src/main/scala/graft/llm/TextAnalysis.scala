@@ -34,6 +34,9 @@ object TextAnalysis {
       .withColumn("punct_ratio", regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double") / greatest(chars, lit(1.0)))
       .withColumn("digit_ratio", regexp_count(t, lit("[0-9]")).cast("double") / greatest(chars, lit(1.0)))
       .withColumn("upper_ratio", regexp_count(t, lit("[A-Z]")).cast("double") / greatest(chars, lit(1.0)))
+      .withColumn("stopword_ratio",
+        regexp_count(lower(t), lit("\\b(the|and|of|to|in|is|that|for|with|a)\\b")).cast("double")
+          / greatest(col("n_words").cast("double"), lit(1.0)))
   }
 
   /** Composite quality score in [0,1]: penalize extreme length, high
