@@ -573,6 +573,59 @@ object AggQueries {
              |  8, false, false
              |ORDER BY asset_id""".stripMargin)),
 
+    // Conversion engine through the gate: synthesize typed blocks from
+    // events, run the real 18-way TxConvert, scan the txs union-all parent
+    // view, count per type with deterministic uid bounds (convert.rs:74-729)
+    QueryDef("convert_txs_union",
+      (s, dir) => {
+        import graft.convert._
+        val rows = Tables.events(s, dir)
+          .filter(col("event_id") < 500)
+          .select("event_id", "user_id")
+          .orderBy("event_id")
+          .collect()
+        val txs = rows.map { r =>
+          val (id, user) = (r.getLong(0), r.getLong(1))
+          (user.toInt, RawTx(
+            id = s"tx$id".getBytes("UTF-8"),
+            txType = (id % 18 + 1).toShort,
+            senderPublicKey = s"pk$user".getBytes("UTF-8"),
+            timeStampMs = 1704067200000L + id * 1000,
+            fee = id,
+            order1 = Some(RawOrder("{}")), order2 = Some(RawOrder("{}")),
+            amount = Some(id), price = Some(id), quantity = Some(id),
+            decimals = Some(2), reissuable = Some(true),
+            amountAssetId = Some(Array.emptyByteArray),
+            priceAssetId = Some(Array.emptyByteArray),
+            feeAssetId = Some(Array.emptyByteArray),
+            buyMatcherFee = Some(0L), sellMatcherFee = Some(0L),
+            recipient = Some("r".getBytes("UTF-8")),
+            assetId = Some(Array.emptyByteArray),
+            assetName = Some("n"), description = Some(""), alias = Some("a"),
+            dappAddress = Some("d".getBytes("UTF-8")),
+            ethereumBytes = Some(Array[Byte](1))))
+        }
+        val blocks = txs.groupBy(_._1).toSeq.sortBy(_._1).map { case (height, members) =>
+          RawBlock(s"b$height", height, Some(1704067200000L), None, members.map(_._2).toSeq)
+        }
+        val blockUids = blocks.zipWithIndex.map { case (b, i) => (i.toLong + 1, b.id) }
+        import s.implicits._
+        val flat = TxConvert.withBlockUids(TxConvert.flatten(s, blocks), blockUids.toDF("uid", "id"))
+        TxConvert.txsUnionView(TxConvert.convert(flat))
+          .groupBy(col("tx_type").cast("int").as("tx_type"))
+          .agg(count(lit(1)).as("n"), min("uid").as("min_uid"), max("uid").as("max_uid"))
+          .orderBy("tx_type")
+      },
+      Some("""WITH t AS (
+             |  SELECT event_id % 18 + 1 AS tx_type,
+             |    CAST(user_id AS INT) AS height,
+             |    CAST(user_id AS BIGINT) * 100000
+             |      + (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) AS uid
+             |  FROM events WHERE event_id < 500)
+             |SELECT CAST(tx_type AS INT) AS tx_type, count(*) AS n,
+             |  min(uid) AS min_uid, max(uid) AS max_uid
+             |FROM t GROUP BY 1 ORDER BY tx_type""".stripMargin)),
+
     // SCD-2 close/insert batch application (pg.rs:229-242, mod.rs:660-668):
     // applying the tail batch to the head dimension must equal linking the
     // whole history at once
