@@ -2,12 +2,12 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{Candles, Merge, Pipeline, Scd2, Views}
+import graft.operators.{Candles, Pipeline, Scd2, Views}
 import graft.schema.ReferenceSchemas.MaxUid
 import graft.sources.Tables
 import graft.sources.Tables.epochSecs

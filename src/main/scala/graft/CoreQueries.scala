@@ -1,12 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Merge, Pipeline}
 import graft.sources.Tables
-import graft.sources.Tables.epochSecs
 
 /** Reference-parity queries: sources/sinks (S2-S10), projections/predicates
   * (O1-O8), joins (J1-J5). IDs follow SURVEY.md §2 / VERDICT.md. */
