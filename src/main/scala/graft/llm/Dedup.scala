@@ -113,7 +113,8 @@ object Dedup {
       textCol: String = "text",
       perms: Int = 32,
       bands: Int = 4,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rows = perms / bands
     val withSig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), perms, shingleK).as("sig"))
     val banded = withSig.select(
@@ -124,18 +125,57 @@ object Dedup {
     // Single shuffle: bucket members per (band, hash), then expand ordered
     // pairs inside each bucket. A self-join here would re-execute the whole
     // signature scan per side; collect_set keeps it to one pass, and pair
-    // expansion stays bounded by bucket size.
-    banded
-      .groupBy("band", "band_hash")
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("band"), explode(
+    // expansion stays bounded by the `maxBucket` cap below.
+    expandBuckets(
+      banded
+        .groupBy("band", "band_hash")
+        .agg(sort_array(collect_set(col("id"))).as("ids")),
+      maxBucket)
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("band"))
+      .distinct()
+  }
+
+  /** Degenerate-bucket guard: buckets above this size are mass duplication
+    * (boilerplate), which exact dedup already collapses — quadratic pair
+    * expansion there is pure memory risk, not recall. */
+  val DefaultMaxBucket: Int = 1024
+
+  /** Ordered in-bucket pair expansion with the degenerate-bucket cap: a
+    * bucket with more than `maxBucket` members would expand quadratically
+    * (a 1M-member boilerplate bucket → 5·10¹¹ pairs → executor OOM), so
+    * oversized buckets are skipped here and surfaced via [[oversizedBuckets]]
+    * — run [[exact]] first to collapse mass duplication. Expects `ids`
+    * sorted; emits `p.id_a < p.id_b` structs. */
+  private def expandBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
+    buckets
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(col("*"), explode(
         flatten(transform(col("ids"), (x, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))),
             y => struct(x.as("id_a"), y.as("id_b"))))))
         .as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("band"))
-      .distinct()
+
+  /** Audit view of buckets dropped by the `maxBucket` cap: (band, band_hash,
+    * members). Feed its count to pipeline logging so capped coverage is
+    * surfaced, never silent. */
+  def oversizedBuckets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      perms: Int = 32,
+      bands: Int = 4,
+      shingleK: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val rows = perms / bands
+    val withSig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), perms, shingleK).as("sig"))
+    withSig.select(
+      col("id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+      .groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("members"))
+      .filter(col("members") > maxBucket)
   }
 
   /** n-gram Jaccard similarity verification of candidate pairs: join texts
@@ -212,17 +252,20 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val withFp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val banded = withFp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(b => shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "band_bits")))
     // One pass + one shuffle (see minhashLshCandidates): bucket members per
     // 16-bit band value, expand ordered pairs in-bucket, verify Hamming.
+    // Oversized buckets (mass duplication) are skipped, same cap rationale
+    // as expandBuckets — exact dedup owns that case.
     banded
       .groupBy("band", "band_bits")
       .agg(sort_array(collect_set(struct(col("id"), col("fp")))).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .filter(size(col("ms")).between(2, maxBucket))
       .select(explode(
         flatten(transform(col("ms"), (x, i) =>
           transform(slice(col("ms"), i + 2, size(col("ms"))),

@@ -50,19 +50,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic pseudo-centroids: pick every ⌈n/C⌉-th corpus vector by id
-    * order. (k-means would iterate; for the engine the *plumbing* — assign,
-    * bucket, probe — is the contract, and deterministic seeds keep tests
-    * stable.) */
+  /** Deterministic pseudo-centroids: the `numCells` corpus vectors with the
+    * smallest 64-bit hash of their id — a deterministic pseudo-random sample.
+    * (k-means would iterate; for the engine the *plumbing* — assign, bucket,
+    * probe — is the contract, and deterministic seeds keep tests stable.)
+    *
+    * Scale shape: `orderBy(hash).limit(C)` executes as a per-partition top-C
+    * merge (TakeOrderedAndProject) — never a global sort or single-partition
+    * window. The C winners are collected to the driver for cell-id
+    * assignment; that is the same bounded collection the downstream
+    * `broadcast(centroids)` performs anyway. */
   def seedCentroids(corpus: DataFrame, numCells: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val n = corpus.count()
-    val step = math.max(1L, n / numCells)
-    val w = Window.orderBy(col(idCol))
-    corpus
-      .withColumn("__rn", row_number().over(w) - 1)
-      .filter(col("__rn") % step === 0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = corpus.sparkSession
+    val picked = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(numCells)
-      .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("cell_id"), col(vecCol).as("centroid"))
+      .collect()
+    val vecType = corpus.schema(vecCol).dataType
+    val schema = StructType(Seq(
+      StructField("cell_id", IntegerType, nullable = false),
+      StructField("centroid", vecType, nullable = false)))
+    val rows = picked.zipWithIndex.map { case (r, i) => Row(i, r.get(1)) }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Assign each vector to its nearest centroid (broadcast argmax — the

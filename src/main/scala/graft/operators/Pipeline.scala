@@ -89,17 +89,34 @@ object Pipeline {
   def globalRowNumber(events: DataFrame, orderCol: Column, partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions
             else events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Range partitions come out in key order, so partition id IS the range
+    // rank; within a sorted partition monotonically_increasing_id ascends in
+    // row order. Global rn = cumulative prior-partition counts + local rank.
+    // The frame is persisted BEFORE the stats pass so AQE's partition
+    // coalescing is decided exactly once — the stats job and the final
+    // projection read the same cached partitions, so the pid ↔ offset map
+    // cannot drift between jobs (the failure mode that previously forced an
+    // RDD zipWithIndex here). Everything stays in Tungsten/codegen.
     val sorted = events.repartitionByRange(n, orderCol).sortWithinPartitions(orderCol)
-    // zipWithIndex numbers one shared lineage (a count job + a map), so the
-    // partition ↔ offset mapping cannot drift between jobs the way a
-    // separate counts query can under AQE partition coalescing.
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "__global_rn", org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
-    }
-    sorted.sparkSession.createDataFrame(rdd, schema)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist()
+    val stats = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__mid0"))
+      .collect()
+      .sortBy(_.getInt(0))
+    var acc = 0L
+    val offsets = stats.map { r =>
+      val row = (r.getInt(0), acc, r.getLong(2)); acc += r.getLong(1); row
+    }.toSeq
+    val spark = events.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__pid", "__offset", "__mid0")
+    val numbered = sorted
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__global_rn", col("__offset") + (col("__mid") - col("__mid0")) + 1)
+      .drop("__pid", "__mid", "__offset", "__mid0")
+    numbered
   }
 
   /** Batch-close folding (S2/ST1) ≙ `updates.rs:89-152`: assign each row a

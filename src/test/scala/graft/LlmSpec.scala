@@ -56,6 +56,27 @@ class LlmSpec extends SparkSpec {
     assert(!kept.exists(_ >= 100))
   }
 
+  test("degenerate bucket (mass-duplicated boilerplate) is capped, surfaced, and does not explode") {
+    // 5k exact copies of one doc: a single LSH bucket of 5k members would
+    // expand to ~12.5M pairs per band; the cap must route it to the audit
+    // view instead while normal-sized near-dup buckets keep their recall.
+    val boiler = (0 until 5000).map(i => (10000L + i, doc(baseWords.map(w => s"$w-boiler"))))
+    val degenerate = corpus.union(boiler.toDF("doc_id", "text"))
+    val cands = Dedup.minhashLshCandidates(degenerate, bands = 8, maxBucket = 100)
+    val ids = cands.select("id_a", "id_b").as[(Long, Long)].collect()
+    // no pair from the oversized boilerplate bucket survives the cap
+    assert(!ids.exists { case (a, b) => a >= 10000L && b >= 10000L })
+    // planted near-dups of doc 0 still produce candidates
+    assert((0 until 3).forall(i => ids.contains((0L, 100L + i))))
+    // the dropped bucket is surfaced, not silent
+    val dropped = Dedup.oversizedBuckets(degenerate, bands = 8, maxBucket = 100).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getAs[Long]("members") === 5000L))
+    // SimHash path honors the same cap
+    val sim = Dedup.simhashCandidates(degenerate, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!sim.exists { case (a, b) => a >= 10000L && b >= 10000L })
+  }
+
   test("SimHash candidates catch near-dups within Hamming 3") {
     val pairs = Dedup.simhashCandidates(corpus)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

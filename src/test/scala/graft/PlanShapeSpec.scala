@@ -59,4 +59,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in LSH path:\n$plan")
   }
+
+  test("IVF ANN path contains no single-partition exchange") {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = graft.llm.Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    val plan = executed(q)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition funnel in IVF path:\n$plan")
+  }
+
+  test("s3 typed decode parses JSON exactly once and pushes the presence filter to the scan") {
+    val q = SparkEntry.queries("s3_decode_typed")(spark, dir)
+    val plan = executed(q)
+    assert(plan.linesIterator.count(_.contains("from_json")) == 1,
+      s"JSON parse duplicated (filter pushed below projection?):\n$plan")
+    assert(plan.contains("StringContains(props"), s"presence filter not pushed to scan:\n$plan")
+  }
+
+  test("globalRowNumber stays off RDDs: no DeserializeToObject / RDD scan in the plan") {
+    val ev = Tables.events(spark, dir).select(col("event_id"))
+    val plan = executed(graft.operators.Pipeline.globalRowNumber(ev, col("event_id")))
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("Scan ExistingRDD"),
+      s"globalRowNumber dropped out of Tungsten:\n$plan")
+  }
 }
