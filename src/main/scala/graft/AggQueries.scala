@@ -592,7 +592,8 @@ object AggQueries {
             senderPublicKey = s"pk$user".getBytes("UTF-8"),
             timeStampMs = 1704067200000L + id * 1000,
             fee = id,
-            order1 = Some(RawOrder("{}")), order2 = Some(RawOrder("{}")),
+            order1 = Some(RawOrder(id = s"o$id".getBytes("UTF-8"), version = 1)),
+            order2 = Some(RawOrder(id = s"p$id".getBytes("UTF-8"), version = 1, orderSide = 1)),
             amount = Some(id), price = Some(id), quantity = Some(id),
             decimals = Some(2), reissuable = Some(true),
             amountAssetId = Some(Array.emptyByteArray),

@@ -111,15 +111,78 @@ object FuncQueries {
              |  json_extract_string(props, '$.missing') AS missing
              |FROM events ORDER BY event_id""".stripMargin)),
 
-    // F19 — version-dependent JSON serialization (models.rs:101-192)
+    // F19 — version-dependent Order JSON serialization (models.rs:101-192):
+    // synthesize a typed order per event spanning versions 1-4 and run the
+    // REAL serializer (graft.convert.OrderJson.serialize) over it; the
+    // oracle rebuilds the same version-dependent field matrix with DuckDB's
+    // to_json (compact, insertion-ordered, explicit nulls — byte-identical
+    // format to Spark's). Covers: 14/15/17 field sets, WAVES→null asset
+    // pair, null matcherFeeAssetId, eip712Signature nullability, priceMode
+    // name mapping. The bytes→strings half (base58, 0x-hex, buy/sell,
+    // signature=proofs[0]) is vector-tested in ConvertSpec.
     QueryDef("f19_order_json",
-      (s, dir) => Tables.events(s, dir)
-        .select(col("event_id"),
-          to_json(struct(col("event_id").as("id"), col("event_type").as("type"))).as("order_json"))
-        .orderBy("event_id"),
-      Some("""SELECT event_id,
-             |  '{"id":' || CAST(event_id AS VARCHAR) || ',"type":"' || event_type || '"}' AS order_json
-             |FROM events ORDER BY event_id""".stripMargin)),
+      (s, dir) => {
+        val id = col("event_id")
+        val ver = (lit(1) + id % 4).cast("int")
+        val typed = struct(
+          concat(lit("ord"), id.cast("string")).as("id"),
+          ver.as("version"),
+          concat(lit("addr"), col("user_id").cast("string")).as("sender"),
+          concat(lit("pk"), col("user_id").cast("string")).as("senderPublicKey"),
+          lit("MATCHER").as("matcherPublicKey"),
+          struct(
+            when(id % 3 =!= 0, concat(lit("ASSET"), (id % 5).cast("string"))).as("amountAsset"),
+            when(id % 7 =!= 0, lit("USDT")).as("priceAsset")).as("assetPair"),
+          when(id % 2 === 0, "buy").otherwise("sell").as("orderType"),
+          (id * 17).as("amount"),
+          (id * 13).as("price"),
+          (id * 1000).as("timestamp"),
+          (id * 1000 + 86400000L).as("expiration"),
+          lit(300000L).as("matcherFee"),
+          when(id % 11 =!= 0, lit("FEEASSET")).as("matcherFeeAssetId"),
+          array(concat(lit("pf"), id.cast("string")), concat(lit("pg"), id.cast("string"))).as("proofs"),
+          concat(lit("pf"), id.cast("string")).as("signature"),
+          when(ver >= 4 && id % 2 === 0, concat(lit("0x"), id.cast("string"))).as("eip712Signature"),
+          when(id % 3 === 1, "fixedDecimals").when(id % 3 === 2, "assetDecimals").as("priceMode"))
+        Tables.events(s, dir)
+          .select(id.as("event_id"), graft.convert.OrderJson.serialize(typed).as("order_json"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT event_id, 1 + event_id % 4 AS version,
+             |    'ord' || event_id AS oid, 'addr' || user_id AS sender, 'pk' || user_id AS spk,
+             |    CASE WHEN event_id % 3 <> 0 THEN 'ASSET' || (event_id % 5) END AS aa,
+             |    CASE WHEN event_id % 7 <> 0 THEN 'USDT' END AS pa,
+             |    CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS otype,
+             |    event_id * 17 AS amount, event_id * 13 AS price,
+             |    event_id * 1000 AS ots, event_id * 1000 + 86400000 AS oexp,
+             |    CASE WHEN event_id % 11 <> 0 THEN 'FEEASSET' END AS mfai,
+             |    'pf' || event_id AS p1, 'pg' || event_id AS p2,
+             |    CASE WHEN 1 + event_id % 4 >= 4 AND event_id % 2 = 0 THEN '0x' || event_id END AS eip,
+             |    CASE WHEN event_id % 3 = 1 THEN 'fixedDecimals'
+             |         WHEN event_id % 3 = 2 THEN 'assetDecimals' END AS pm
+             |  FROM events)
+             |SELECT event_id,
+             |  CASE
+             |    WHEN version <= 2 THEN CAST(to_json({'id': oid, 'version': version,
+             |      'sender': sender, 'senderPublicKey': spk, 'matcherPublicKey': 'MATCHER',
+             |      'assetPair': {'amountAsset': aa, 'priceAsset': pa}, 'orderType': otype,
+             |      'amount': amount, 'price': price, 'timestamp': ots, 'expiration': oexp,
+             |      'matcherFee': 300000, 'proofs': [p1, p2], 'signature': p1}) AS VARCHAR)
+             |    WHEN version = 3 THEN CAST(to_json({'id': oid, 'version': version,
+             |      'sender': sender, 'senderPublicKey': spk, 'matcherPublicKey': 'MATCHER',
+             |      'assetPair': {'amountAsset': aa, 'priceAsset': pa}, 'orderType': otype,
+             |      'amount': amount, 'price': price, 'timestamp': ots, 'expiration': oexp,
+             |      'matcherFee': 300000, 'proofs': [p1, p2], 'signature': p1,
+             |      'matcherFeeAssetId': mfai}) AS VARCHAR)
+             |    ELSE CAST(to_json({'id': oid, 'version': version,
+             |      'sender': sender, 'senderPublicKey': spk, 'matcherPublicKey': 'MATCHER',
+             |      'assetPair': {'amountAsset': aa, 'priceAsset': pa}, 'orderType': otype,
+             |      'amount': amount, 'price': price, 'timestamp': ots, 'expiration': oexp,
+             |      'matcherFee': 300000, 'proofs': [p1, p2], 'signature': p1,
+             |      'matcherFeeAssetId': mfai, 'eip712Signature': eip, 'priceMode': pm}) AS VARCHAR)
+             |  END AS order_json
+             |FROM o ORDER BY event_id""".stripMargin)),
 
     // F20 — InvokeScript arg -> tagged union columns (convert.rs:171-198)
     QueryDef("f20_tagged_union",

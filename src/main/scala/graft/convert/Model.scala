@@ -28,7 +28,31 @@ final case class RawPayment(amount: Long, assetId: Array[Byte])
 
 final case class RawTransfer(recipient: Array[Byte], amount: Long)
 
-final case class RawOrder(json: String)
+/** One exchange order as decoded from the stream, meta-zipped
+  * (≙ `OrderMeta`, `models.rs:73-79`: the node-resolved sender address
+  * bytes and order id ride along with the protobuf order fields).
+  * Empty byte arrays mean "absent" (WAVES asset / no fee asset), matching
+  * the protobuf wire convention the reference's `len() > 0` gates test.
+  * [[OrderJson]] turns this into the version-dependent canonical JSON the
+  * reference stores in `order1`/`order2` jsonb (`models.rs:101-192`). */
+final case class RawOrder(
+    id: Array[Byte] = Array.emptyByteArray,
+    version: Int = 1,
+    senderAddress: Array[Byte] = Array.emptyByteArray,
+    senderPublicKey: Array[Byte] = Array.emptyByteArray,
+    matcherPublicKey: Array[Byte] = Array.emptyByteArray,
+    amountAssetId: Array[Byte] = Array.emptyByteArray,
+    priceAssetId: Array[Byte] = Array.emptyByteArray,
+    orderSide: Int = 0, // 0 = buy, 1 = sell (models.rs:207-216)
+    amount: Long = 0L,
+    price: Long = 0L,
+    timestamp: Long = 0L,
+    expiration: Long = 0L,
+    matcherFee: Long = 0L,
+    matcherFeeAssetId: Array[Byte] = Array.emptyByteArray,
+    proofs: Seq[Array[Byte]] = Nil,
+    eip712Signature: Option[Array[Byte]] = None,
+    priceMode: Int = 0) // 0 = default(null), 1 = fixedDecimals, 2 = assetDecimals
 
 /** One transaction as decoded from the stream (`updates.rs:196-218` zips
   * txs with ids/meta; here the zip is already applied). */

@@ -107,8 +107,9 @@ object TxConvert {
         extractAssetId(col("tx.assetId")).as("asset_id"),
         col("tx.amount").as("amount")),
       "txs_7" -> table(7,
-        col("tx.order1.json").as("order1"),
-        col("tx.order2.json").as("order2"),
+        // version-dependent canonical order JSON (models.rs:101-192, F19)
+        OrderJson.orderJson(col("tx.order1")).as("order1"),
+        OrderJson.orderJson(col("tx.order2")).as("order2"),
         col("tx.amount").as("amount"),
         col("tx.price").as("price"),
         extractAssetId(col("tx.amountAssetId")).as("amount_asset_id"),

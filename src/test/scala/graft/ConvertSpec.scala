@@ -26,8 +26,20 @@ class ConvertSpec extends SparkSpec {
       tx("t1", 4).copy(assetId = Some(Array.emptyByteArray), amount = Some(500L),
         recipient = Some(bytes("rcpt")), feeAssetId = Some(Array.emptyByteArray),
         attachment = Some(bytes("hi"))),
-      tx("t2", 7).copy(order1 = Some(RawOrder("""{"id":"o1"}""")),
-        order2 = Some(RawOrder("""{"id":"o2"}""")),
+      tx("t2", 7).copy(
+        order1 = Some(RawOrder(id = bytes("o1"), version = 1,
+          senderAddress = bytes("s1"), senderPublicKey = pk, matcherPublicKey = pk,
+          amountAssetId = bytes("aa"), priceAssetId = Array.emptyByteArray,
+          orderSide = 0, amount = 10L, price = 20L, timestamp = 1704100000000L,
+          expiration = 1704186400000L, matcherFee = 300000L,
+          proofs = Seq(bytes("op1"), bytes("op2")))),
+        order2 = Some(RawOrder(id = bytes("o2"), version = 4,
+          senderAddress = bytes("s2"), senderPublicKey = pk, matcherPublicKey = pk,
+          amountAssetId = bytes("aa"), priceAssetId = Array.emptyByteArray,
+          orderSide = 1, amount = 10L, price = 20L, timestamp = 1704100000000L,
+          expiration = 1704186400000L, matcherFee = 300000L,
+          matcherFeeAssetId = bytes("fa"),
+          eip712Signature = Some(Array[Byte](0x0a, 0x1b.toByte)), priceMode = 2)),
         amount = Some(10L), price = Some(20L),
         amountAssetId = Some(bytes("aa")), priceAssetId = Some(Array.emptyByteArray),
         buyMatcherFee = Some(1L), sellMatcherFee = Some(2L),
@@ -68,6 +80,38 @@ class ConvertSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("time_stamp").getTime == 1704100000000L)
     assert(r.getAs[Long]("block_uid") == 1L)
     assert(r.getAs[String]("status") == "succeeded")
+  }
+
+  test("order JSON: version-dependent field matrix (models.rs:101-192)") {
+    def e(s: String) = Base58.encode(bytes(s))
+    val pkB = Base58.encode(pk)
+    val r = tables("txs_7").collect().head
+    // v1: the 14 base fields, in serialize_field order; WAVES price asset →
+    // null inside assetPair; signature = proofs[0]
+    assert(r.getAs[String]("order1") ==
+      s"""{"id":"${e("o1")}","version":1,"sender":"${e("s1")}","senderPublicKey":"$pkB",""" +
+      s""""matcherPublicKey":"$pkB","assetPair":{"amountAsset":"${e("aa")}","priceAsset":null},""" +
+      s""""orderType":"buy","amount":10,"price":20,"timestamp":1704100000000,""" +
+      s""""expiration":1704186400000,"matcherFee":300000,""" +
+      s""""proofs":["${e("op1")}","${e("op2")}"],"signature":"${e("op1")}"}""")
+    // v4: + matcherFeeAssetId, 0x-hex eip712Signature, priceMode name;
+    // empty proofs → [] and signature ""
+    assert(r.getAs[String]("order2") ==
+      s"""{"id":"${e("o2")}","version":4,"sender":"${e("s2")}","senderPublicKey":"$pkB",""" +
+      s""""matcherPublicKey":"$pkB","assetPair":{"amountAsset":"${e("aa")}","priceAsset":null},""" +
+      s""""orderType":"sell","amount":10,"price":20,"timestamp":1704100000000,""" +
+      s""""expiration":1704186400000,"matcherFee":300000,"proofs":[],"signature":"",""" +
+      s""""matcherFeeAssetId":"${e("fa")}","eip712Signature":"0x0a1b","priceMode":"assetDecimals"}""")
+    // v3: adds ONLY matcherFeeAssetId (null when absent); priceMode/eip712
+    // stay unserialized even if set — the version gates the field set
+    val v3 = Seq(Tuple1(RawOrder(id = bytes("o3"), version = 3, priceMode = 2,
+      eip712Signature = Some(Array[Byte](1))))).toDF("o")
+      .select(OrderJson.orderJson(col("o")).as("j")).as[String].collect().head
+    assert(v3 ==
+      s"""{"id":"${e("o3")}","version":3,"sender":"","senderPublicKey":"",""" +
+      """"matcherPublicKey":"","assetPair":{"amountAsset":null,"priceAsset":null},""" +
+      """"orderType":"buy","amount":0,"price":0,"timestamp":0,"expiration":0,""" +
+      """"matcherFee":0,"proofs":[],"signature":"","matcherFeeAssetId":null}""")
   }
 
   test("WAVES sentinel for empty asset ids (waves.rs:79-85)") {

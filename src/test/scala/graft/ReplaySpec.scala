@@ -20,7 +20,8 @@ class ReplaySpec extends SparkSpec {
   private def exchange(id: String, tsMs: Long, amount: Long, price: Long, pair: (String, String)): RawTx =
     RawTx(id = bytes(id), txType = 7, senderPublicKey = pk, timeStampMs = tsMs,
       fee = 1L, txVersion = Some(2),
-      order1 = Some(RawOrder("{}")), order2 = Some(RawOrder("{}")),
+      order1 = Some(RawOrder(id = bytes(s"o-$id"), version = 1)),
+      order2 = Some(RawOrder(id = bytes(s"p-$id"), version = 1, orderSide = 1)),
       amount = Some(amount), price = Some(price),
       amountAssetId = Some(bytes(pair._1)), priceAssetId = Some(bytes(pair._2)),
       buyMatcherFee = Some(0L), sellMatcherFee = Some(0L),
