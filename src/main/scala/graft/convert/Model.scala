@@ -67,7 +67,11 @@ final case class RawTx(
     feeAssetId: Option[Array[Byte]] = None,
     status: String = "succeeded",
     timeStampMs: Long = 0L,
-    // per-type payload fields (superset)
+    // per-type payload fields (superset).
+    // `recipient` convention mirrors the wire data each type carries: a
+    // 20-byte public-key HASH for types 1/2 (convert.rs:258-285), NODE-
+    // RESOLVED address bytes from tx meta for types 4/8 (convert.rs:337,444)
+    // — TxConvert base58-encodes resolved bytes directly, never re-hashes.
     recipient: Option[Array[Byte]] = None,
     recipientAlias: Option[String] = None,
     amount: Option[Long] = None,

@@ -45,23 +45,32 @@ object TxConvert {
   private def b58(c: Column): Column = graft.plans.GraftExtensions.base58Encode(c)
   private def optB58(c: Column): Column = when(c.isNotNull, b58(c))
 
-  /** The txs common prefix (`up.sql:45-62`): every type shares it. */
-  private def common(flat: DataFrame): DataFrame = flat.select(
-    col("uid"),
-    col("tx.txType").as("tx_type"),
-    wavesAddress(col("tx.senderPublicKey"), lit(ChainId.toInt)).as("sender"),
-    b58(col("tx.senderPublicKey")).as("sender_public_key"),
-    timestamp_millis(col("tx.timeStampMs")).as("time_stamp"),
-    col("height"),
-    b58(col("tx.id")).as("id"),
-    optB58(col("tx.signature")).as("signature"),
-    base58EncodeArray(col("tx.proofs")).as("proofs"),
-    col("tx.txVersion").as("tx_version"),
-    col("tx.fee").as("fee"),
-    col("tx.status").as("status"),
-    col("block_uid"),
-    // per-type payload carried along; pruned away by Catalyst per table
-    col("tx"))
+  /** The txs common prefix (`up.sql:45-62`): every type shares it.
+    * Genesis semantics (`convert.rs:254-277`): an empty sender public key
+    * (genesis txs have none) yields NULL sender/sender_public_key — never a
+    * fabricated hash of empty bytes; tx_version is forced NULL for type 1
+    * and suppressed-when-1 for type 2. */
+  private def common(flat: DataFrame): DataFrame = {
+    val pkPresent = length(col("tx.senderPublicKey")) > 0
+    flat.select(
+      col("uid"),
+      col("tx.txType").as("tx_type"),
+      when(pkPresent, wavesAddress(col("tx.senderPublicKey"), lit(ChainId.toInt))).as("sender"),
+      when(pkPresent, b58(col("tx.senderPublicKey"))).as("sender_public_key"),
+      timestamp_millis(col("tx.timeStampMs")).as("time_stamp"),
+      col("height"),
+      b58(col("tx.id")).as("id"),
+      optB58(col("tx.signature")).as("signature"),
+      base58EncodeArray(col("tx.proofs")).as("proofs"),
+      when(col("tx.txType") === 1, lit(null).cast("short"))
+        .when(col("tx.txType") === 2 && col("tx.txVersion") === 1, lit(null).cast("short"))
+        .otherwise(col("tx.txVersion")).as("tx_version"),
+      col("tx.fee").as("fee"),
+      col("tx.status").as("status"),
+      col("block_uid"),
+      // per-type payload carried along; pruned away by Catalyst per table
+      col("tx"))
+  }
 
   /** Attach block uids (RETURNING-equivalent: blocks frame carries uid). */
   def withBlockUids(flat: DataFrame, blocks: DataFrame): DataFrame =
@@ -77,13 +86,21 @@ object TxConvert {
     def table(t: Int, extra: Column*): DataFrame =
       typed(t).select(prefix ++ extra: _*)
 
-    val recipientCols = Seq(
-      wavesAddress(col("tx.recipient"), lit(ChainId.toInt)).as("recipient_address"),
+    // Two recipient conventions (ADVICE r2): genesis/payment carry a 20-byte
+    // public-key HASH (convert.rs:258-285, Address::from(PublicKeyHash));
+    // every other recipient field carries NODE-RESOLVED address bytes from tx
+    // meta (convert.rs:337,444,514,647) — base58 passthrough, never re-hashed
+    // (alias-only recipients have no recoverable key to hash).
+    val pkhRecipientCols = Seq(
+      wavesAddressFromPkh(col("tx.recipient"), lit(ChainId.toInt)).as("recipient_address"),
+      col("tx.recipientAlias").as("recipient_alias"))
+    val resolvedRecipientCols = Seq(
+      optB58(col("tx.recipient")).as("recipient_address"),
       col("tx.recipientAlias").as("recipient_alias"))
 
     val tables = Map(
-      "txs_1" -> table(1, recipientCols :+ col("tx.amount").as("amount"): _*),
-      "txs_2" -> table(2, recipientCols :+ col("tx.amount").as("amount"): _*),
+      "txs_1" -> table(1, pkhRecipientCols :+ col("tx.amount").as("amount"): _*),
+      "txs_2" -> table(2, pkhRecipientCols :+ col("tx.amount").as("amount"): _*),
       "txs_3" -> table(3,
         extractAssetId(col("tx.assetId")).as("asset_id"),
         escapeUnicodeNull(col("tx.assetName")).as("asset_name"),
@@ -95,7 +112,7 @@ object TxConvert {
       "txs_4" -> table(4,
         extractAssetId(col("tx.assetId")).as("asset_id"),
         col("tx.amount").as("amount"),
-        wavesAddress(col("tx.recipient"), lit(ChainId.toInt)).as("recipient_address"),
+        optB58(col("tx.recipient")).as("recipient_address"), // resolved bytes, convert.rs:337
         col("tx.recipientAlias").as("recipient_alias"),
         extractAssetId(col("tx.feeAssetId")).as("fee_asset_id"),
         when(col("tx.attachment").isNotNull, b58(col("tx.attachment"))).otherwise("").as("attachment")),
@@ -117,7 +134,7 @@ object TxConvert {
         col("tx.buyMatcherFee").as("buy_matcher_fee"),
         col("tx.sellMatcherFee").as("sell_matcher_fee"),
         extractAssetId(col("tx.feeAssetId")).as("fee_asset_id")),
-      "txs_8" -> table(8, recipientCols :+ col("tx.amount").as("amount"): _*),
+      "txs_8" -> table(8, resolvedRecipientCols :+ col("tx.amount").as("amount"): _*),
       "txs_9" -> table(9,
         // lease_tx_uid resolved by the J1 lookup join downstream
         lit(null).cast("long").as("lease_tx_uid"),
@@ -136,7 +153,8 @@ object TxConvert {
         extractAssetId(col("tx.assetId")).as("asset_id"),
         when(col("tx.script").isNotNull, prefixedBase64(col("tx.script"))).as("script")),
       "txs_16" -> table(16,
-        wavesAddress(col("tx.dappAddress"), lit(ChainId.toInt)).as("dapp_address"),
+        optB58(col("tx.dappAddress")).as("dapp_address"), // resolved bytes, convert.rs:646
+
         col("tx.dappAlias").as("dapp_alias"),
         col("tx.functionName").as("function_name"),
         extractAssetId(col("tx.feeAssetId")).as("fee_asset_id")),
@@ -154,7 +172,7 @@ object TxConvert {
         .select(col("uid").as("tx_uid"), col("height"),
           posexplode(col("tx.transfers")).as(Seq("position_in_tx", "t")))
         .select(col("tx_uid"),
-          wavesAddress(col("t.recipient"), lit(ChainId.toInt)).as("recipient_address"),
+          b58(col("t.recipient")).as("recipient_address"), // resolved bytes, convert.rs:514
           lit(null).cast("string").as("recipient_alias"),
           col("t.amount").as("amount"),
           col("position_in_tx").cast("short").as("position_in_tx"),

@@ -26,6 +26,10 @@ object GraftFunctions {
   val keccak256Udf = udf((b: Array[Byte]) => if (b == null) null else Keccak256.hash(b))
   val wavesAddress = udf((pk: Array[Byte], chainId: Int) =>
     if (pk == null) null else Waves.addressFromPublicKey(pk, chainId.toByte))
+  /** Address from a precomputed 20-byte public-key hash (`waves.rs:52-66`) —
+    * the genesis/payment recipient payload (`convert.rs:258-285`). */
+  val wavesAddressFromPkh = udf((pkh: Array[Byte], chainId: Int) =>
+    if (pkh == null) null else Waves.addressFromPublicKeyHash(pkh, chainId.toByte))
 
   /** `extract_asset_id` (`waves.rs:79-85`) as a column expression: the
     * empty-check is a codegen'd builtin; only the base58 leg hits the UDF. */

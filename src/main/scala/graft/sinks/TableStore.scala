@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.StructType
   * clustered indexes (parquet min/max + dictionary pushdown).
   *
   * Conventions:
-  *   - fact tables partition by a height bucket (`height div 100000` — one
-  *     directory per uid epoch, aligning partition pruning with the uid
-  *     windows) and sort within partitions by uid;
+  *   - fact tables partition by a height bucket (`height div 1000` — ~1000
+  *     blocks of facts per directory; a height- or uid-range predicate
+  *     prunes to the few buckets covering it, since uid = height*100000+idx
+  *     is height-monotonic) and sort within partitions by uid;
   *   - candles partition by `interval` (every reference read hits exactly
   *     one: `pg.rs:760`) and sort by (pair, time_start);
   *   - dimensions stay unpartitioned (small) but sorted by entity key.

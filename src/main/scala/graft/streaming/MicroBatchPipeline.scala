@@ -28,9 +28,14 @@ object MicroBatchPipeline {
       maxWaitMs: Long = 5000L): DataStreamWriter[T] =
     w.trigger(Trigger.ProcessingTime(maxWaitMs))
 
-  /** Exactly-once batch application (ST2): `handler` runs once per batchId;
-    * re-delivered batches (restart replay) are skipped via the last-applied
-    * high-water mark, mirroring "resume from max(height)" (`pg.rs:70-78`). */
+  /** At-least-once batch application with in-process dedup (ST2): `handler`
+    * runs once per batchId within this driver's lifetime. The high-water
+    * mark is driver-memory only — after a driver RESTART it resets and the
+    * checkpoint-replayed batch runs again, so end-to-end exactly-once rests
+    * on the handler/sink committing idempotently per batchId (as the
+    * reference's "resume from max(height)" rests on the Postgres txn,
+    * `pg.rs:70-78`). [[graft.sinks.JdbcUpsertSink]]'s keyed upserts and
+    * [[graft.operators.Merge.insertIgnore]] satisfy that contract. */
   final class IdempotentBatchHandler(handler: (DataFrame, Long) => Unit) extends Serializable {
     private val lastApplied = new AtomicLong(-1L)
     def apply(df: DataFrame, batchId: Long): Unit = {

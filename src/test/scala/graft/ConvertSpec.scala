@@ -56,7 +56,10 @@ class ConvertSpec extends SparkSpec {
         args = Seq(
           RawInvokeArg("integer", integerValue = Some(7L)),
           RawInvokeArg("list", listJson = Some("""[{"type":"integer","value":5}]"""))),
-        payments = Seq(RawPayment(5L, Array.emptyByteArray), RawPayment(6L, bytes("aa")))))))
+        payments = Seq(RawPayment(5L, Array.emptyByteArray), RawPayment(6L, bytes("aa")))),
+      // genesis: no sender public key; recipient payload is the 20-byte PKH
+      tx("t7", 1).copy(senderPublicKey = Array.emptyByteArray,
+        recipient = Some(Array.tabulate[Byte](20)(i => (i + 1).toByte)), amount = Some(99L)))))
 
   private lazy val tables: Map[String, org.apache.spark.sql.DataFrame] = {
     val blockFrame = Seq((1L, "b1"), (2L, "b2")).toDF("uid", "id")
@@ -80,6 +83,22 @@ class ConvertSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("time_stamp").getTime == 1704100000000L)
     assert(r.getAs[Long]("block_uid") == 1L)
     assert(r.getAs[String]("status") == "succeeded")
+  }
+
+  test("recipient conventions: PKH derivation for genesis, resolved-bytes passthrough elsewhere") {
+    // type 1: recipient = 20-byte public-key hash → Address::from(PublicKeyHash)
+    val g = tables("txs_1").collect().head
+    val pkh = Array.tabulate[Byte](20)(i => (i + 1).toByte)
+    assert(g.getAs[String]("recipient_address") == Waves.addressFromPublicKeyHash(pkh, 'W'.toByte))
+    // genesis has no sender key: NULL sender/sender_public_key, NULL tx_version
+    // (convert.rs:254-257) — never an address fabricated from empty bytes
+    assert(g.isNullAt(g.fieldIndex("sender")))
+    assert(g.isNullAt(g.fieldIndex("sender_public_key")))
+    assert(g.isNullAt(g.fieldIndex("tx_version")))
+    // types 4/8/16: node-resolved address bytes are base58'd, not re-hashed
+    assert(tables("txs_4").collect().head.getAs[String]("recipient_address") == Base58.encode(bytes("rcpt")))
+    assert(tables("txs_8").collect().head.getAs[String]("recipient_address") == Base58.encode(bytes("rcpt")))
+    assert(tables("txs_16").collect().head.getAs[String]("dapp_address") == Base58.encode(bytes("dapp")))
   }
 
   test("order JSON: version-dependent field matrix (models.rs:101-192)") {
@@ -151,8 +170,8 @@ class ConvertSpec extends SparkSpec {
   test("txs union view exposes the parent-scan prefix over all 18 types") {
     val txs = TxConvert.txsUnionView(tables)
     assert(txs.columns.toSeq == ReferenceSchemas.txsCommon.map(_.name))
-    assert(txs.count() == 6)
-    assert(txs.select("tx_type").distinct().as[Short].collect().toSet == Set(4, 7, 12, 8, 9, 16))
+    assert(txs.count() == 7)
+    assert(txs.select("tx_type").distinct().as[Short].collect().toSet == Set(1, 4, 7, 12, 8, 9, 16))
   }
 
   test("every produced table matches its registry schema's column names") {
