@@ -92,6 +92,42 @@ object AggQueries {
   private def withTrades(body: String): String =
     s"WITH trades AS (${Tables.tradesOracleSql}),\n$body"
 
+  /** Shared fixture for the chain_fold_* queries: 240 events → three key
+    * blocks of exchange txs (every 10th carries an asset state update),
+    * folded by the production orchestrator in one batch, then a rollback
+    * batch to the second block. All asset/matcher identities are collapsed
+    * (empty pair bytes → WAVES, one pk) so the oracle never needs base58. */
+  private def foldedState(s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.ChainSync.ChainState = {
+    import graft.convert._
+    import graft.operators.ChainSync
+    val pk = Array.tabulate[Byte](32)(_.toByte)
+    val ids = Tables.events(s, dir).filter(col("event_id") < 240)
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    val txs = ids.map { id =>
+      val au =
+        if (id % 10 == 0) Seq(RawAssetStateUpdate(
+          assetId = s"AS${id % 5}".getBytes("UTF-8"), issuer = pk,
+          name = s"n$id", description = "", decimals = (id % 9).toShort,
+          reissuable = true, nft = false, volume = id * 100))
+        else Nil
+      (id / 80).toInt -> RawTx(
+        id = s"tx$id".getBytes("UTF-8"), txType = 7, senderPublicKey = pk,
+        timeStampMs = 1704067200000L + id * 30000, txVersion = Some(2),
+        order1 = Some(RawOrder(id = s"o$id".getBytes("UTF-8"), version = 1)),
+        order2 = Some(RawOrder(id = s"p$id".getBytes("UTF-8"), version = 1, orderSide = 1)),
+        amount = Some(id % 50 + 1), price = Some(id % 90 + 10),
+        amountAssetId = Some(Array.emptyByteArray), priceAssetId = Some(Array.emptyByteArray),
+        buyMatcherFee = Some(0L), sellMatcherFee = Some(0L),
+        feeAssetId = Some(Array.emptyByteArray),
+        assetStateUpdates = au)
+    }
+    val blocks = txs.groupBy(_._1).toSeq.sortBy(_._1).map { case (h, m) =>
+      RawBlock(s"b$h", 100 + h, Some(1704067200000L + h * 1000L), None, m.map(_._2).toSeq)
+    }
+    val appended = ChainSync.handleUpdates(s, ChainSync.emptyState(s), blocks)
+    ChainSync.handleUpdates(s, appended, Seq(RawRollback("b1")))
+  }
+
   val all: Vector[QueryDef] = Vector(
 
     // A1 — minute-candle OHLCV aggregation (pg.rs:680-738)
@@ -626,6 +662,102 @@ object AggQueries {
              |SELECT CAST(tx_type AS INT) AS tx_type, count(*) AS n,
              |  min(uid) AS min_uid, max(uid) AS max_uid
              |FROM t GROUP BY 1 ORDER BY tx_type""".stripMargin)),
+
+    // The production orchestrator through the gate (mod.rs:190-251): one
+    // batch of three key blocks (exchange txs + asset state updates) folded
+    // by ChainSync.handleUpdates, then a rollback batch to the second block.
+    // Surviving 1m candle state must equal a clean DuckDB minute-candle
+    // aggregation over only the surviving trades — i.e. squash/append/
+    // candles/rollback compose to the reference's correction semantics.
+    // (matcher_address/asset ids are base58-opaque to DuckDB: single pair +
+    // single matcher by construction, projected out.)
+    QueryDef("chain_fold_candles",
+      (s, dir) => foldedState(s, dir).candles
+        .filter(col("interval") === "1m")
+        .select(
+          epochSecs(col("time_start")).as("time_start_epoch"),
+          col("low").cast("double").as("low"),
+          col("high").cast("double").as("high"),
+          col("volume").cast("double").as("volume"),
+          col("quote_volume").cast("double").as("quote_volume"),
+          col("max_height"),
+          col("txs_count").cast("long").as("txs_count"),
+          col("weighted_average_price").cast("double").as("weighted_average_price"),
+          col("open").cast("double").as("open"),
+          col("close").cast("double").as("close"))
+        .orderBy("time_start_epoch"),
+      Some(s"""WITH trades AS (
+              |  SELECT (100 + event_id // 80) * 100000 + event_id % 80 AS uid,
+              |    make_timestamp((1704067200000 + event_id * 30000) * 1000) AS time_stamp,
+              |    CAST(100 + event_id // 80 AS INT) AS height,
+              |    CAST(event_id % 50 + 1 AS BIGINT) AS amount,
+              |    CAST(event_id % 90 + 10 AS DECIMAL(18,2)) AS price
+              |  FROM events WHERE event_id < 160)
+              |SELECT CAST(epoch(date_trunc('minute', time_stamp)) AS BIGINT) AS time_start_epoch,
+              |  CAST(min(price) AS DOUBLE) AS low, CAST(max(price) AS DOUBLE) AS high,
+              |  CAST(sum(amount) AS DOUBLE) AS volume,
+              |  CAST(sum(amount * price) AS DOUBLE) AS quote_volume,
+              |  max(height) AS max_height, count(price) AS txs_count,
+              |  CAST(floor(sum(amount * price) / sum(amount)) AS DOUBLE) AS weighted_average_price,
+              |  CAST(min_by(price, uid) AS DOUBLE) AS open,
+              |  CAST(max_by(price, uid) AS DOUBLE) AS close
+              |FROM trades GROUP BY 1 ORDER BY time_start_epoch""".stripMargin)),
+
+    // SCD-2 through the same fold: the asset dimension after append+rollback
+    // must equal linking only the surviving updates (rollback∘append
+    // identity, pg.rs:244-256); uids follow the declared tx_uid*1000+pos
+    // numbering so DuckDB reproduces the chain without base58
+    QueryDef("chain_fold_scd2",
+      (s, dir) => foldedState(s, dir).assetUpdates
+        .select(col("uid"), col("superseded_by"), col("decimals"), col("volume"))
+        .orderBy("uid"),
+      Some(s"""WITH au AS (
+              |  SELECT ((100 + event_id // 80) * 100000 + event_id % 80) * 1000 AS uid,
+              |    event_id % 5 AS asset_key,
+              |    CAST(event_id % 9 AS SMALLINT) AS decimals,
+              |    event_id * 100 AS volume
+              |  FROM events WHERE event_id < 160 AND event_id % 10 = 0)
+              |SELECT uid,
+              |  coalesce(lead(uid) OVER (PARTITION BY asset_key ORDER BY uid), ${MaxUid}) AS superseded_by,
+              |  decimals, volume
+              |FROM au ORDER BY uid""".stripMargin)),
+
+    // Ingest-side ticker extraction (mod.rs:548-581): fragstring key parse,
+    // storage-address filter, string-value vs deleted-key (→ "") semantics
+    QueryDef("extract_tickers",
+      (s, dir) => {
+        import graft.convert._
+        val pk = Array.tabulate[Byte](32)(_.toByte)
+        val storage = "STORE".getBytes("UTF-8")
+        val other = "OTHER".getBytes("UTF-8")
+        val rows = Tables.events(s, dir).filter(col("event_id") < 500)
+          .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+        val txs = rows.filter(_ % 7 == 0).map { id =>
+          val entry =
+            if (id % 2 == 0) RawDataEntry(s"%s%s__assetId2ticker__AS${id % 5}", stringValue = Some(s"TK${id % 4}"))
+            else RawDataEntry(s"%s%s__assetId2ticker__AS${id % 5}") // deleted key → ""
+          RawTx(id = s"tx$id".getBytes("UTF-8"), txType = 12, senderPublicKey = pk,
+            timeStampMs = 1704067200000L + id,
+            dataEntryUpdates = Seq(
+              RawDataEntryUpdate(if (id % 5 == 0) other else storage, Some(entry))))
+        }
+        val blocks = Seq(RawBlock("tb1", 300, Some(1704067200000L), None, txs.toSeq))
+        import s.implicits._
+        val flat = TxConvert.withBlockUids(
+          TxConvert.flatten(s, blocks), Seq((7L, "tb1")).toDF("uid", "id"))
+        graft.convert.Extract
+          .assetTickers(flat, graft.functions.Base58.encode(storage))
+          .select("uid", "asset_id", "ticker")
+          .orderBy("uid")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT event_id,
+              |    row_number() OVER (ORDER BY event_id) - 1 AS idx
+              |  FROM events WHERE event_id < 500 AND event_id % 7 = 0)
+              |SELECT (300 * 100000 + idx) * 1000 AS uid,
+              |  'AS' || (event_id % 5) AS asset_id,
+              |  CASE WHEN event_id % 2 = 0 THEN 'TK' || (event_id % 4) ELSE '' END AS ticker
+              |FROM t WHERE event_id % 5 <> 0 ORDER BY uid""".stripMargin)),
 
     // SCD-2 close/insert batch application (pg.rs:229-242, mod.rs:660-668):
     // applying the tail batch to the head dimension must equal linking the

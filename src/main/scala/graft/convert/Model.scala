@@ -28,6 +28,27 @@ final case class RawPayment(amount: Long, assetId: Array[Byte])
 
 final case class RawTransfer(recipient: Array[Byte], amount: Long)
 
+/** Per-tx asset state update (`state_update.assets[].after` ≙
+  * `mod.rs:476-546`): the post-state of an asset touched by the tx. */
+final case class RawAssetStateUpdate(
+    assetId: Array[Byte],
+    issuer: Array[Byte], // issuer public key → Address (mod.rs:515-516)
+    name: String,
+    description: String,
+    decimals: Short,
+    reissuable: Boolean,
+    nft: Boolean,
+    volume: Long,
+    script: Option[Array[Byte]] = None,
+    sponsorship: Long = 0L)
+
+/** Per-tx data-entry state update (`state_update.data_entries[]` ≙
+  * `mod.rs:548-581`): an entry whose value fields are all None is a key
+  * DELETION (the protobuf keeps the key, drops the value — mod.rs:568). */
+final case class RawDataEntryUpdate(
+    address: Array[Byte],
+    entry: Option[RawDataEntry])
+
 /** One exchange order as decoded from the stream, meta-zipped
   * (≙ `OrderMeta`, `models.rs:73-79`: the node-resolved sender address
   * bytes and order id ride along with the protobuf order fields).
@@ -100,7 +121,14 @@ final case class RawTx(
     functionName: Option[String] = None,
     args: Seq[RawInvokeArg] = Nil,
     payments: Seq[RawPayment] = Nil,
-    ethereumBytes: Option[Array[Byte]] = None)
+    ethereumBytes: Option[Array[Byte]] = None,
+    // per-tx state updates (updates.rs:196-218 zips them alongside meta)
+    assetStateUpdates: Seq[RawAssetStateUpdate] = Nil,
+    dataEntryUpdates: Seq[RawDataEntryUpdate] = Nil)
+
+/** One event of the decoded stream (`BlockchainUpdate`, `mod.rs:44-48`):
+  * a block/microblock append or a rollback marker. */
+sealed trait RawUpdate
 
 /** One block/microblock append (`mod.rs:50-65`). `timeStampMs` None ⇒
   * microblock (provisional). */
@@ -109,4 +137,7 @@ final case class RawBlock(
     height: Int,
     timeStampMs: Option[Long],
     updatedWavesAmount: Option[Long],
-    txs: Seq[RawTx])
+    txs: Seq[RawTx]) extends RawUpdate
+
+/** Chain reorg: drop everything after the named block (`mod.rs:47`). */
+final case class RawRollback(toBlockId: String) extends RawUpdate

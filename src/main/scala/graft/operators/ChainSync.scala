@@ -1,0 +1,215 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.convert.{Extract, RawBlock, RawRollback, RawUpdate, TxConvert}
+import graft.schema.ReferenceSchemas
+
+/** The production batch orchestrator ≙ `handle_updates` (`mod.rs:190-251`):
+  * fold a micro-batch of decoded updates into runs of appends and rollbacks,
+  * then per run compose squash → block append → 18-way conversion → asset /
+  * ticker SCD-2 → incremental candles, or the rollback correction.
+  *
+  * State is a set of DataFrames (the engine's tables); every step is a pure
+  * transform so `handleUpdates` is usable identically from a batch driver, a
+  * test replay, or [[graft.streaming.MicroBatchPipeline]]'s foreachBatch.
+  * State frames are re-materialized once per fold step (localCheckpoint) so
+  * lineage does not grow unboundedly across micro-batches — the same role
+  * the reference's per-batch Postgres COMMIT plays (`mod.rs:168-186`).
+  */
+object ChainSync {
+
+  /** Engine tables threaded through the fold. `maxBlockUid` is the
+    * RETURNING-equivalent high-water mark (F22, `pg.rs:143-149`). */
+  final case class ChainState(
+      blocks: DataFrame,
+      facts: Map[String, DataFrame],
+      assetUpdates: DataFrame,
+      assetTickers: DataFrame,
+      candles: DataFrame,
+      maxBlockUid: Long)
+
+  /** Child detail tables → owning parent (SURVEY §1.3): children carry no
+    * block_uid and follow their parent through squash/rollback. */
+  val ChildParent: Map[String, String] = Map(
+    "txs_11_transfers" -> "txs_11", "txs_12_data" -> "txs_12",
+    "txs_16_args" -> "txs_16", "txs_16_payment" -> "txs_16",
+    "txs_18_args" -> "txs_18", "txs_18_payment" -> "txs_18")
+
+  /** Ticker extraction needs the asset-storage account; configurable like
+    * the reference's `asset_storage_address` env (`config/consumer.rs`). */
+  final case class Config(chainId: Byte = TxConvert.ChainId, assetStorageAddress: Option[String] = None)
+
+  def emptyState(spark: SparkSession): ChainState = {
+    def empty(schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    ChainState(
+      blocks = empty(ReferenceSchemas.blocksMicroblocks),
+      facts = ReferenceSchemas.tables.view
+        .filterKeys(k => k.startsWith("txs_")).toMap
+        .map { case (k, v) => k -> empty(v) },
+      assetUpdates = empty(ReferenceSchemas.assetUpdates),
+      assetTickers = empty(ReferenceSchemas.assetTickers),
+      candles = empty(ReferenceSchemas.candles),
+      maxBlockUid = 0L)
+  }
+
+  /** ≙ the two folds of `handle_updates` (`mod.rs:197-251`): group
+    * consecutive key blocks into one run (microblocks and rollbacks close
+    * runs), then apply each run. */
+  def handleUpdates(spark: SparkSession, state: ChainState, updates: Seq[RawUpdate],
+      config: Config = Config()): ChainState = {
+    val runs = updates.foldLeft(Vector.empty[Either[Seq[RawBlock], RawRollback]]) {
+      case (acc, b: RawBlock) if b.timeStampMs.isDefined =>
+        acc.lastOption match {
+          case Some(Left(blocks)) if blocks.forall(_.timeStampMs.isDefined) =>
+            acc.init :+ Left(blocks :+ b)
+          case _ => acc :+ Left(Seq(b))
+        }
+      case (acc, b: RawBlock) => acc :+ Left(Seq(b)) // microblock: own run (mod.rs:220-223)
+      case (acc, r: RawRollback) => acc :+ Right(r)
+    }
+    val folded = runs.foldLeft(state) {
+      case (s, Left(blocks)) =>
+        // key-block runs squash pending microblocks first (mod.rs:233-235)
+        val squashed = if (blocks.head.timeStampMs.isDefined) squash(s) else s
+        appendRun(spark, squashed, blocks, config)
+      case (s, Right(r)) => rollbackTo(s, r.toBlockId)
+    }
+    // one lineage cut per micro-batch ≙ the reference's per-batch COMMIT
+    materialize(folded)
+  }
+
+  /** Microblock squash ≙ `squash_microblocks` (`mod.rs:769-792`): facts that
+    * landed on provisional microblock uids are re-pointed at the LAST KEY
+    * block (the block the microblocks extended), microblock rows are
+    * deleted, and the key block takes over the last microblock's id
+    * (total-block id rename, `pg.rs:151-158`). No-op without microblocks. */
+  def squash(state: ChainState): ChainState = {
+    val micro = state.blocks.filter(col("time_stamp").isNull)
+      .orderBy(col("uid").desc).limit(1).select("id").collect()
+    val keyUidRow = state.blocks.filter(col("time_stamp").isNotNull).agg(max("uid")).first()
+    if (micro.isEmpty || keyUidRow.isNullAt(0)) state
+    else {
+      val lastMicroId = micro.head.getString(0)
+      val keyUid = keyUidRow.getLong(0)
+      val remap = state.blocks.filter(col("time_stamp").isNull)
+        .select(col("uid").as("old_block_uid"), lit(keyUid).as("new_block_uid"))
+      val (kept, _) = Merge.deleteWhere(state.blocks, col("time_stamp").isNull)
+      val renamed = Merge.updateWhere(kept, col("uid") === keyUid, Map("id" -> lit(lastMicroId)))
+      state.copy(
+        blocks = renamed,
+        // child tables carry no block_uid (they cascade from their parent,
+        // up.sql FKs) — only block-referencing frames are re-pointed
+        facts = state.facts.map { case (n, df) =>
+          n -> (if (df.columns.contains("block_uid")) Pipeline.repointBlockUids(df, remap) else df)
+        },
+        assetUpdates = Pipeline.repointBlockUids(state.assetUpdates, remap),
+        assetTickers = Pipeline.repointBlockUids(state.assetTickers, remap))
+    }
+  }
+
+  /** One append run ≙ `handle_appends` (`mod.rs:253-357`): insert blocks
+    * with allocated uids, convert txs 18 ways, extract + SCD-2-apply asset
+    * and ticker updates, then incremental candles from the first exchange
+    * trade of the run (`pg.rs:660-678`). */
+  def appendRun(spark: SparkSession, state: ChainState, blocks: Seq[RawBlock],
+      config: Config): ChainState = {
+    import spark.implicits._
+    val uids = Pipeline.nextUidRange(state.maxBlockUid, blocks.length)
+    val blockRows = blocks.zip(uids).map { case (b, uid) => (uid, b.id, b.height, b.timeStampMs) }
+      .toDF("uid", "id", "height", "ts")
+      .select(col("uid"), col("id"), col("height"),
+        timestamp_millis(col("ts")).as("time_stamp"))
+
+    val flat = TxConvert.withBlockUids(
+      TxConvert.flatten(spark, blocks),
+      blockRows.select(col("id"), col("uid")))
+    val convertedRaw = TxConvert.convert(flat)
+    // lease-cancel uid resolution happens at append time (J1, pg.rs:472-505);
+    // the transient lease_id working column does not persist to the table
+    val leases = state.facts("txs_8").unionByName(convertedRaw("txs_8"))
+    val converted = convertedRaw + ("txs_9" ->
+      TxConvert.resolveLeaseUids(convertedRaw("txs_9"), leases)
+        .select(state.facts("txs_9").columns.map(col).toIndexedSeq: _*))
+    val facts = state.facts.map { case (name, df) =>
+      name -> converted.get(name).map(df.unionByName(_)).getOrElse(df)
+    }
+
+    val assetDim = Scd2.applyBatch(state.assetUpdates, Extract.assetUpdates(flat, config.chainId))
+    val tickerDim = config.assetStorageAddress match {
+      case Some(addr) => Scd2.applyBatch(state.assetTickers, Extract.assetTickers(flat, addr))
+      case None => state.assetTickers
+    }
+
+    // candles recompute only when the run contained exchange txs, from the
+    // run's first trade timestamp truncated to the minute (pg.rs:660-678)
+    val newTrades = converted.get("txs_7")
+    val firstTradeTs = blocks.iterator
+      .flatMap(_.txs).filter(_.txType == 7).map(_.timeStampMs)
+      .minOption
+    val candles = (newTrades, firstTradeTs) match {
+      case (Some(_), Some(ts)) =>
+        Candles.recomputeSince(state.candles, facts("txs_7"), new Timestamp(ts))
+      case _ => state.candles
+    }
+
+    state.copy(
+      blocks = state.blocks.unionByName(blockRows),
+      facts = facts,
+      assetUpdates = assetDim,
+      assetTickers = tickerDim,
+      candles = candles,
+      maxBlockUid = uids.lastOption.getOrElse(state.maxBlockUid))
+  }
+
+  /** Rollback ≙ `rollback` (`mod.rs:794-863`): resolve the cut uid from the
+    * block id, drop facts/blocks past it, re-open the dimensions'
+    * superseded chains, recompute candles from the first dropped trade. */
+  def rollbackTo(state: ChainState, toBlockId: String): ChainState = {
+    val cutRow = state.blocks.filter(col("id") === toBlockId).agg(max("uid")).first()
+    require(!cutRow.isNullAt(0), s"rollback target block not found: $toBlockId")
+    val cut = cutRow.getLong(0)
+    val droppedTrades = state.facts("txs_7").filter(col("block_uid") > cut)
+    val firstDropped = droppedTrades.agg(min("time_stamp")).collect()
+      .headOption.flatMap(r => Option(r.getTimestamp(0)))
+    // parents roll back on block_uid; children cascade on the surviving
+    // parent uids (≙ the FK ON DELETE CASCADE of up.sql:212 etc.)
+    val parents = state.facts.filter(_._2.columns.contains("block_uid"))
+    val rolledParents = Pipeline.rollbackFacts(parents, cut)
+    val rolledChildren = ChildParent.map { case (c, p) =>
+      c -> state.facts(c).join(
+        rolledParents(p).select(col("uid").as("tx_uid")), Seq("tx_uid"), "left_semi")
+    }
+    val facts = rolledParents ++ rolledChildren
+    val candles = firstDropped match {
+      case Some(ts) => Candles.rollback(state.candles, facts("txs_7"), ts)
+      case None => state.candles
+    }
+    state.copy(
+      blocks = Merge.deleteWhere(state.blocks, col("uid") > cut)._1,
+      facts = facts,
+      assetUpdates = Scd2.rollback(state.assetUpdates, cut),
+      assetTickers = Scd2.rollback(state.assetTickers, cut),
+      candles = candles,
+      maxBlockUid = cut)
+  }
+
+  /** Cut lineage once per fold step (≙ the reference's per-batch COMMIT):
+    * localCheckpoint + rebase, as `Candles.materialize` (NOTES.md). */
+  private def materialize(state: ChainState): ChainState = {
+    def m(df: DataFrame): DataFrame = {
+      val chk = df.localCheckpoint(true)
+      chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
+    }
+    state.copy(
+      blocks = m(state.blocks),
+      facts = state.facts.map { case (k, v) => k -> m(v) },
+      assetUpdates = m(state.assetUpdates),
+      assetTickers = m(state.assetTickers),
+      candles = m(state.candles))
+  }
+}

@@ -2,8 +2,11 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, StreamingQueryListener, Trigger}
+
+import graft.convert.{RawBlock, RawRollback, RawUpdate}
+import graft.operators.ChainSync
 
 /** Structured-Streaming wrapper of the reference's consumer loop
   * (SURVEY.md §2.8; `updates.rs:40-152`, `mod.rs:148-187`).
@@ -61,6 +64,48 @@ object MicroBatchPipeline {
         .foreachBatch((df: DataFrame, id: Long) => idempotent(df, id)),
       maxWaitMs)
       .start()
+  }
+
+  /** Decoded-update envelope for streaming transport: exactly one of
+    * `block` / `rollbackTo` is set. (Sealed-trait ADTs have no product
+    * encoder; the envelope is the Dataset-friendly sum type.) */
+  final case class UpdateEvent(block: Option[RawBlock], rollbackTo: Option[String]) {
+    def toUpdate: RawUpdate = block.getOrElse(RawRollback(rollbackTo.get))
+  }
+  object UpdateEvent {
+    def apply(u: RawUpdate): UpdateEvent = u match {
+      case b: RawBlock => UpdateEvent(Some(b), None)
+      case r: RawRollback => UpdateEvent(None, Some(r.toBlockId))
+    }
+  }
+
+  /** The production consumer loop: a stream of decoded updates folded by
+    * [[ChainSync.handleUpdates]] once per micro-batch — the composition the
+    * reference runs per gRPC batch (`mod.rs:148-187`). The raw batch is
+    * collected to the driver exactly as the reference buffers its batch
+    * `Vec` (bounded by the batch-close rule, ≤256 blocks); all heavy work —
+    * conversion, SCD-2, candles — happens in the cluster-side fold.
+    * `onBatch` observes the post-fold state (persist it / publish views). */
+  def startChainSync(
+      spark: SparkSession,
+      events: Dataset[UpdateEvent],
+      initial: ChainSync.ChainState,
+      config: ChainSync.Config = ChainSync.Config(),
+      onBatch: (ChainSync.ChainState, Long) => Unit = (_, _) => (),
+      maxWaitMs: Long = 5000L): StreamingQuery = {
+    import spark.implicits._
+    @volatile var state = initial
+    start[UpdateEvent](
+      events,
+      (df, batchId) => {
+        val updates = df.as[UpdateEvent].collect().toSeq.map(_.toUpdate)
+        if (updates.nonEmpty) {
+          state = ChainSync.handleUpdates(spark, state, updates, config)
+          onBatch(state, batchId)
+        }
+      },
+      maxWaitMs,
+      queryName = "graft-chain-sync")
   }
 }
 

@@ -85,6 +85,30 @@ class ConvertSpec extends SparkSpec {
     assert(r.getAs[String]("status") == "succeeded")
   }
 
+  test("asset-update extraction: WAVES skip, NUL escape, sponsorship gate (mod.rs:476-546)") {
+    val b = Seq(RawBlock("ab1", 50, Some(1704100000000L), None, Seq(
+      tx("x1", 3).copy(assetStateUpdates = Seq(
+        RawAssetStateUpdate(assetId = Array.emptyByteArray, issuer = pk, name = "waves",
+          description = "", decimals = 8, reissuable = false, nft = false, volume = 1L), // WAVES → skipped
+        RawAssetStateUpdate(assetId = bytes("as1"), issuer = pk, name = "a\u0000b",
+          description = "d", decimals = 4, reissuable = true, nft = false, volume = 7L),
+        RawAssetStateUpdate(assetId = bytes("as2"), issuer = pk, name = "n2",
+          description = "", decimals = 2, reissuable = true, nft = true, volume = 9L,
+          sponsorship = 5L))))))
+    val flat = TxConvert.withBlockUids(TxConvert.flatten(spark, b), Seq((9L, "ab1")).toDF("uid", "id"))
+    val out = Extract.assetUpdates(flat).orderBy("uid").collect()
+    assert(out.length == 2) // WAVES update dropped (mod.rs:491-494)
+    val r1 = out(0)
+    assert(r1.getAs[String]("asset_id") == Base58.encode(bytes("as1")))
+    assert(r1.getAs[String]("name") == "a\\0b") // escape_unicode_null
+    assert(r1.isNullAt(r1.fieldIndex("sponsorship"))) // 0 → NULL (mod.rs:527-531)
+    assert(r1.getAs[Long]("uid") == (50L * 100000 + 0) * 1000 + 1) // tx_uid*1000+pos
+    assert(r1.getAs[Long]("block_uid") == 9L)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("sponsorship") == 5L)
+    assert(r2.getAs[Boolean]("nft"))
+  }
+
   test("recipient conventions: PKH derivation for genesis, resolved-bytes passthrough elsewhere") {
     // type 1: recipient = 20-byte public-key hash → Address::from(PublicKeyHash)
     val g = tables("txs_1").collect().head

@@ -4,12 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.convert._
-import graft.operators.{Candles, Pipeline, Scd2}
+import graft.operators.{ChainSync, Scd2}
+import graft.operators.ChainSync.ChainState
 
-/** End-to-end replay (SURVEY §5, §7.2): typed blocks → conversion → candle
-  * state, through microblock squash and a chain rollback; the corrected
-  * state must equal a clean replay of only the surviving blocks — the
-  * reference's whole correctness story (`mod.rs:190-251`) in one test. */
+/** End-to-end replay through the PRODUCTION orchestrator
+  * ([[ChainSync.handleUpdates]] ≙ `mod.rs:190-251`): typed updates →
+  * squash/append/SCD-2/candles/rollback; the corrected state must equal a
+  * clean replay of only the surviving blocks — the reference's whole
+  * correctness story in one fold. */
 class ReplaySpec extends SparkSpec {
 
   import spark.implicits._
@@ -25,7 +27,11 @@ class ReplaySpec extends SparkSpec {
       amount = Some(amount), price = Some(price),
       amountAssetId = Some(bytes(pair._1)), priceAssetId = Some(bytes(pair._2)),
       buyMatcherFee = Some(0L), sellMatcherFee = Some(0L),
-      feeAssetId = Some(Array.emptyByteArray))
+      feeAssetId = Some(Array.emptyByteArray),
+      assetStateUpdates = Seq(RawAssetStateUpdate(
+        assetId = bytes(pair._1), issuer = pk, name = s"asset-${pair._1}",
+        description = "", decimals = 2, reissuable = true, nft = false,
+        volume = amount * 10)))
 
   private val t0 = 1704100000000L // 2024-01-01T08:26:40Z
   private val block1 = RawBlock("b1", 100, Some(t0), None, Seq(
@@ -35,53 +41,68 @@ class ReplaySpec extends SparkSpec {
     exchange("e3", t0 + 60000, 10, 900, ("AA", "PP")),
     exchange("e4", t0 + 61000, 5, 200, ("BB", "PP"))))
 
-  /** blocks → txs_7 trades frame via the real conversion. */
-  private def tradesOf(blocks: Seq[RawBlock], blockUids: Seq[(Long, String)]): DataFrame = {
-    val blockFrame = blockUids.toDF("uid", "id")
-    val flat = TxConvert.withBlockUids(TxConvert.flatten(spark, blocks), blockFrame)
-    TxConvert.convert(flat)("txs_7")
-      .select(col("uid"), col("time_stamp"), col("amount_asset_id"), col("price_asset_id"),
-        col("sender"), col("height"), col("amount"), col("price").cast("decimal(18,2)").as("price"),
-        col("block_uid"))
+  private def fold(state: ChainState, updates: RawUpdate*): ChainState =
+    ChainSync.handleUpdates(spark, state, updates.toSeq)
+
+  private def same(a: DataFrame, b: DataFrame, label: String): Unit =
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      s"$label diverged:\nleft-only:\n${a.exceptAll(b).collect().mkString("\n")}\n" +
+        s"right-only:\n${b.exceptAll(a).collect().mkString("\n")}")
+
+  test("handleUpdates: append + rollback replays to the clean single-block state") {
+    val full = fold(fold(ChainSync.emptyState(spark), block1, block2), RawRollback("b1"))
+    val clean = fold(ChainSync.emptyState(spark), block1)
+    same(full.candles, clean.candles, "candles")
+    same(full.facts("txs_7"), clean.facts("txs_7"), "txs_7")
+    same(full.blocks, clean.blocks, "blocks")
+    same(full.assetUpdates, clean.assetUpdates, "asset_updates")
+    assert(full.maxBlockUid == 1L)
   }
 
-  test("append + rollback replays to the clean single-block state") {
-    val both = tradesOf(Seq(block1, block2), Seq((1L, "b1"), (2L, "b2")))
-    val onlyB1 = tradesOf(Seq(block1), Seq((1L, "b1")))
-
-    // full state after both blocks
-    val fullState = Candles.allIntervals(both)
-    // rollback block2: facts drop block_uid > 1, candles recompute from
-    // block2's first trade timestamp
-    val survivingTrades = Pipeline.rollbackFacts(Map("txs_7" -> both), 1L)("txs_7")
-    val rolled = Candles.rollback(fullState, survivingTrades,
-      new java.sql.Timestamp(t0 + 60000))
-
-    val clean = Candles.allIntervals(onlyB1)
-    assert(rolled.exceptAll(clean).count() == 0 && clean.exceptAll(rolled).count() == 0)
+  test("handleUpdates: SCD-2 chain re-opens on rollback") {
+    val appended = fold(ChainSync.emptyState(spark), block1, block2)
+    // AA is versioned by e1,e2 (block1) then e3 (block2): after the append
+    // e3's version (volume 10*10) is current, e2's (50*10) is closed
+    val before = Scd2.current(appended.assetUpdates)
+    assert(before.filter(col("volume") === 100L).count() == 1)
+    assert(before.filter(col("volume") === 500L).count() == 0)
+    val rolled = fold(appended, RawRollback("b1"))
+    val current = Scd2.current(rolled.assetUpdates)
+    // after rollback only block1's last update per asset is current again
+    assert(current.filter(col("volume") === 500L).count() == 1) // e2: 50*10
+    assert(rolled.assetUpdates.count() == 2) // e1 + e2 versions survive
   }
 
-  test("microblock squash re-points converted facts to the key block") {
-    // b1 key block, m1 provisional microblock, b2 key block arrives
-    val blocks = Seq(
-      (1L, "b1", 100, Some("2024-01-01 08:00:00")),
-      (2L, "m1", 100, None),
-      (3L, "b2", 100, Some("2024-01-01 08:01:00")))
-      .toDF("uid", "id", "height", "ts")
-      .select(col("uid"), col("id"), col("height"), to_timestamp(col("ts")).as("time_stamp"))
-    val facts = tradesOf(Seq(block1), Seq((2L, "b1"))) // facts landed on the microblock uid
-    val (squashed, remap) = Pipeline.squashMicroblocks(blocks, "b2")
-    val repointed = Pipeline.repointBlockUids(facts, remap)
-    assert(repointed.select("block_uid").distinct().as[Long].collect().toSeq == Seq(3L))
-    assert(squashed.filter(col("uid") === 3).select("id").as[String].collect().head == "m1")
+  test("handleUpdates: microblock squash re-points facts to the extended key block") {
+    val micro = RawBlock("m1", 100, None, None, Seq(
+      exchange("e5", t0 + 40000, 7, 300, ("AA", "PP"))))
+    // key b1 (uid 1) → micro m1 (uid 2) → key b2 (uid 3, squashes first)
+    val state = fold(ChainSync.emptyState(spark), block1, micro, block2)
+    // m1's facts were re-pointed at b1's uid before b2 appended
+    val e5 = state.facts("txs_7").filter(col("id") === graft.functions.Base58.encode(bytes("e5")))
+    assert(e5.select("block_uid").as[Long].collect().toSeq == Seq(1L))
+    // the key block took over the microblock's id (total-block rename)
+    assert(state.blocks.orderBy("uid").select("id").as[String].collect().toSeq == Seq("m1", "b2"))
+    assert(state.blocks.filter(col("time_stamp").isNull).count() == 0)
   }
 
-  test("SCD-2 dimension follows the same rollback cut as the facts") {
-    val dim = Scd2.linkBatch(Seq(
-      ("AA", 10L, 1L), ("AA", 20L, 2L), ("BB", 30L, 2L))
-      .toDF("asset_id", "uid", "block_uid"))
-    val rolled = Scd2.rollback(dim, blockUidCut = 1L)
-    val rows = rolled.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
-    assert(rows == Set(("AA", 10L, graft.schema.ReferenceSchemas.MaxUid)))
+  test("startChainSync: the streaming wrapper folds batches to the same state") {
+    import graft.streaming.MicroBatchPipeline
+    import graft.streaming.MicroBatchPipeline.UpdateEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UpdateEvent]
+    @volatile var last: Option[ChainState] = None
+    val query = MicroBatchPipeline.startChainSync(
+      spark, stream.toDS(), ChainSync.emptyState(spark),
+      onBatch = (s, _) => last = Some(s), maxWaitMs = 10L)
+    try {
+      stream.addData(UpdateEvent(block1), UpdateEvent(block2))
+      query.processAllAvailable()
+      stream.addData(UpdateEvent(RawRollback("b1")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val direct = fold(fold(ChainSync.emptyState(spark), block1, block2), RawRollback("b1"))
+    same(last.get.candles, direct.candles, "streamed candles")
+    same(last.get.facts("txs_7"), direct.facts("txs_7"), "streamed txs_7")
   }
 }
