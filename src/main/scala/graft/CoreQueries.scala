@@ -33,6 +33,35 @@ object CoreQueries {
              |  CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 256) AS BIGINT) AS batch_id
              |FROM events WHERE event_id < 1024 ORDER BY event_id""".stripMargin)),
 
+    // S1b — the DSv2 MicroBatchStream source: the 256-row size-close enforced
+    // in latestOffset admission control (updates.rs:89-152); every micro-batch
+    // covers exactly [256k, 256(k+1)) so batch_id == uid div 256
+    QueryDef("s1b_dsv2_size_close",
+      (s, dir) => {
+        import scala.collection.mutable.ArrayBuffer
+        val stream = s.readStream
+          .format(classOf[graft.sources.BlockStreamProvider].getName)
+          .option("total_rows", 1024L)
+          .option("max_rows_per_batch", 256L)
+          .load()
+        val delivered = ArrayBuffer.empty[(Long, Int, Long)]
+        val query = graft.streaming.MicroBatchPipeline.withBatchClose(
+          stream.writeStream.outputMode("append")
+            .foreachBatch { (df: DataFrame, id: Long) =>
+              delivered.synchronized {
+                delivered ++= df.collect().map(r => (r.getLong(0), r.getInt(1), id))
+              }
+              ()
+            },
+          maxWaitMs = 10L).start()
+        try query.processAllAvailable() finally query.stop()
+        import s.implicits._
+        delivered.toSeq.toDF("uid", "height", "batch_id").orderBy("uid")
+      },
+      Some("""SELECT r.range AS uid, CAST(r.range // 4 + 1 AS INT) AS height,
+             |  r.range // 256 AS batch_id
+             |FROM range(1024) r ORDER BY uid""".stripMargin)),
+
     // S2 — batch accumulator: batches close at 256 rows (updates.rs:117-129)
     QueryDef("s2_batch_accumulator",
       (s, dir) => {

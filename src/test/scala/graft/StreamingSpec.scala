@@ -61,6 +61,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(expected).count() == 0 && expected.exceptAll(streamed).count() == 0)
   }
 
+  test("DSv2 source: batch boundaries equal the reference's size-close rule (updates.rs:89-152)") {
+    // 600 available rows, 256-row cap → batches of 256 / 256 / 88, each
+    // covering a contiguous offset range — the UPDATES_PER_REQUEST close
+    val stream = spark.readStream
+      .format(classOf[graft.sources.BlockStreamProvider].getName)
+      .option("total_rows", 600L)
+      .option("max_rows_per_batch", 256L)
+      .load()
+    val perBatch = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val query = MicroBatchPipeline.withBatchClose(
+      stream.writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          perBatch.synchronized {
+            val r = df.agg(count(lit(1)), min("uid"), max("uid")).collect().head
+            perBatch(id) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          }
+          ()
+        },
+      maxWaitMs = 10L).start()
+    try query.processAllAvailable() finally query.stop()
+    assert(perBatch.toMap == Map(
+      0L -> ((256L, 0L, 255L)),
+      1L -> ((256L, 256L, 511L)),
+      2L -> ((88L, 512L, 599L))))
+  }
+
   test("idempotent handler skips re-delivered batches (ST2)") {
     var applied = 0
     val h = new MicroBatchPipeline.IdempotentBatchHandler((_, _) => applied += 1)
