@@ -85,6 +85,21 @@ class ConvertSpec extends SparkSpec {
     assert(r.getAs[String]("status") == "succeeded")
   }
 
+  test("decode zips meta and skips meta-less txs (updates.rs:196-218)") {
+    import Decode._
+    val wires = Seq(
+      RawTxWire(tx("w1", 4), Some(RawTxMeta(recipientAddress = Some(bytes("addr1"))))),
+      RawTxWire(tx("w2", 4), None), // missing metadata → skipped, not failed
+      RawTxWire(tx("w3", 16), Some(RawTxMeta(dappAddress = Some(bytes("dapp1"))))))
+    val (block, skipped) = Decode.decodeBlock("db1", 7, Some(1704100000000L), None, wires)
+    assert(skipped == 1)
+    assert(block.txs.map(t => new String(t.id, "UTF-8")) == Seq("w1", "w3"))
+    // meta's node-resolved addresses are merged into the IR fields the
+    // conversion base58-encodes (the resolved-bytes recipient convention)
+    assert(block.txs.head.recipient.map(new String(_, "UTF-8")) == Some("addr1"))
+    assert(block.txs(1).dappAddress.map(new String(_, "UTF-8")) == Some("dapp1"))
+  }
+
   test("asset-update extraction: WAVES skip, NUL escape, sponsorship gate (mod.rs:476-546)") {
     val b = Seq(RawBlock("ab1", 50, Some(1704100000000L), None, Seq(
       tx("x1", 3).copy(assetStateUpdates = Seq(

@@ -137,6 +137,23 @@ class LlmSpec extends SparkSpec {
     assert(out.getInt(1) == 10)
   }
 
+  test("fingerprint: known vectors, normalization, partition stability") {
+    // pinned 64-bit rolling-hash vectors (base 31, seed 1125899906842597):
+    // any refactor that changes the hash silently breaks dedup pre-bucketing
+    val df = Seq((1L, "Hello World"), (2L, "  hello world "), (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == -8273281614328139329L)
+    assert(out(2L) == -8273281614328139329L) // lower+trim normalization
+    assert(out(3L) == 1125899906842597L)     // empty text = seed
+    // row-local ⇒ identical across any partitioning of the same data
+    val big = (0 until 500).map(i => (i.toLong, s"doc number $i body")).toDF("id", "text")
+    def fps(parts: Int) = big.repartition(parts)
+      .select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1) == fps(17))
+  }
+
   test("multimodal decode plumbing: schema, batching, deterministic features") {
     val docs = Seq((1L, "abcdefgh"), (2L, "zzzzzzzz")).toDF("doc_id", "text")
       .withColumn("payload", col("text").cast("binary"))
