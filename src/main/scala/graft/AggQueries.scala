@@ -96,8 +96,17 @@ object AggQueries {
     * blocks of exchange txs (every 10th carries an asset state update),
     * folded by the production orchestrator in one batch, then a rollback
     * batch to the second block. All asset/matcher identities are collapsed
-    * (empty pair bytes → WAVES, one pk) so the oracle never needs base58. */
-  private def foldedState(s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.ChainSync.ChainState = {
+    * (empty pair bytes → WAVES, one pk) so the oracle never needs base58.
+    * Memoized per (session, dir): the fold is the shared FIXTURE both
+    * queries read — its ~40 per-batch materialization jobs (the per-batch
+    * COMMIT analog) would otherwise be re-paid by every consumer. */
+  private val foldCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.ChainSync.ChainState]()
+
+  private def foldedState(s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.ChainSync.ChainState =
+    foldCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => computeFoldedState(s, dir))
+
+  private def computeFoldedState(s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.ChainSync.ChainState = {
     import graft.convert._
     import graft.operators.ChainSync
     val pk = Array.tabulate[Byte](32)(_.toByte)
