@@ -115,7 +115,7 @@ object AggQueries {
     val txs = ids.map { id =>
       val au =
         if (id % 10 == 0) Seq(RawAssetStateUpdate(
-          assetId = s"AS${id % 5}".getBytes("UTF-8"), issuer = pk,
+          assetId = s"AS${(id / 10) % 5}".getBytes("UTF-8"), issuer = pk,
           name = s"n$id", description = "", decimals = (id % 9).toShort,
           reissuable = true, nft = false, volume = id * 100))
         else Nil
@@ -722,7 +722,7 @@ object AggQueries {
         .orderBy("uid"),
       Some(s"""WITH au AS (
               |  SELECT ((100 + event_id // 80) * 100000 + event_id % 80) * 1000 AS uid,
-              |    event_id % 5 AS asset_key,
+              |    (event_id // 10) % 5 AS asset_key,
               |    CAST(event_id % 9 AS SMALLINT) AS decimals,
               |    event_id * 100 AS volume
               |  FROM events WHERE event_id < 160 AND event_id % 10 = 0)
@@ -730,6 +730,23 @@ object AggQueries {
               |  coalesce(lead(uid) OVER (PARTITION BY asset_key ORDER BY uid), ${MaxUid}) AS superseded_by,
               |  decimals, volume
               |FROM au ORDER BY uid""".stripMargin)),
+
+    // Insert-ignore origins through the same fold (pg.rs:205-214): the
+    // first update per asset wins deterministically (min_by on update uid);
+    // rollback cascades origins with their asset_update row
+    QueryDef("chain_fold_origins",
+      (s, dir) => foldedState(s, dir).assetOrigins
+        .select(col("first_asset_update_uid"), col("issue_height"),
+          unix_millis(col("issue_time_stamp")).as("issue_ts_ms"))
+        .orderBy("first_asset_update_uid"),
+      Some("""WITH au AS (
+             |  SELECT event_id, (event_id // 10) % 5 AS asset_key
+             |  FROM events WHERE event_id < 160 AND event_id % 10 = 0),
+             |firsts AS (SELECT asset_key, min(event_id) AS event_id FROM au GROUP BY asset_key)
+             |SELECT ((100 + event_id // 80) * 100000 + event_id % 80) * 1000 AS first_asset_update_uid,
+             |  CAST(100 + event_id // 80 AS INT) AS issue_height,
+             |  1704067200000 + event_id * 30000 AS issue_ts_ms
+             |FROM firsts ORDER BY first_asset_update_uid""".stripMargin)),
 
     // Ingest-side ticker extraction (mod.rs:548-581): fragstring key parse,
     // storage-address filter, string-value vs deleted-key (→ "") semantics

@@ -52,6 +52,25 @@ object Extract {
         when(col("au.sponsorship") > 0, col("au.sponsorship")).as("sponsorship"),
         col("au.nft").as("nft"))
 
+  /** Asset-origin candidates ≙ `mod.rs:290-311`: one row per asset update
+    * carrying the issue provenance; insert-ignore on asset_id keeps only
+    * the FIRST update's row (`pg.rs:205-214`), which
+    * [[graft.operators.ChainSync]] applies via `Merge.insertIgnore`.
+    * Output matches `asset_origins` (`up.sql:36-43`). */
+  def assetOrigins(flat: DataFrame, chainId: Byte = TxConvert.ChainId): DataFrame =
+    flat
+      .select(col("uid"), col("height"),
+        col("tx.id").as("__tx_id"), col("tx.timeStampMs").as("__ts"),
+        posexplode(col("tx.assetStateUpdates")).as(Seq("position", "au")))
+      .filter(length(col("au.assetId")) > 0)
+      .select(
+        b58(col("au.assetId")).as("asset_id"),
+        updateUid.as("first_asset_update_uid"),
+        b58(col("__tx_id")).as("origin_transaction_id"),
+        graft.plans.GraftExtensions.wavesAddress(col("au.issuer"), lit(chainId.toInt)).as("issuer"),
+        col("height").as("issue_height"),
+        timestamp_millis(col("__ts")).as("issue_time_stamp"))
+
   /** The `%s%s__assetId2ticker__<id>` data-entry key prefix (`mod.rs:554`). */
   val TickerKeyPrefix = "%s%s__assetId2ticker__"
 

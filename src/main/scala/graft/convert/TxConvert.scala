@@ -41,9 +41,13 @@ object TxConvert {
       col("height").cast("long") * ReferenceSchemas.UidsPerHeight + (row_number().over(w) - 1))
   }
 
-  // native Catalyst expression (whole-stage codegen), not the UDF fallback
+  // native Catalyst expressions (whole-stage codegen), not the UDF fallbacks
   private def b58(c: Column): Column = graft.plans.GraftExtensions.base58Encode(c)
   private def optB58(c: Column): Column = when(c.isNotNull, b58(c))
+  private def wavesAddr(pk: Column): Column =
+    graft.plans.GraftExtensions.wavesAddress(pk, lit(ChainId.toInt))
+  private def wavesAddrPkh(pkh: Column): Column =
+    graft.plans.GraftExtensions.wavesAddressFromPkh(pkh, lit(ChainId.toInt))
 
   /** The txs common prefix (`up.sql:45-62`): every type shares it.
     * Genesis semantics (`convert.rs:254-277`): an empty sender public key
@@ -55,7 +59,7 @@ object TxConvert {
     flat.select(
       col("uid"),
       col("tx.txType").as("tx_type"),
-      when(pkPresent, wavesAddress(col("tx.senderPublicKey"), lit(ChainId.toInt))).as("sender"),
+      when(pkPresent, wavesAddr(col("tx.senderPublicKey"))).as("sender"),
       when(pkPresent, b58(col("tx.senderPublicKey"))).as("sender_public_key"),
       timestamp_millis(col("tx.timeStampMs")).as("time_stamp"),
       col("height"),
@@ -92,7 +96,7 @@ object TxConvert {
     // meta (convert.rs:337,444,514,647) — base58 passthrough, never re-hashed
     // (alias-only recipients have no recoverable key to hash).
     val pkhRecipientCols = Seq(
-      wavesAddressFromPkh(col("tx.recipient"), lit(ChainId.toInt)).as("recipient_address"),
+      wavesAddrPkh(col("tx.recipient")).as("recipient_address"),
       col("tx.recipientAlias").as("recipient_alias"))
     val resolvedRecipientCols = Seq(
       optB58(col("tx.recipient")).as("recipient_address"),

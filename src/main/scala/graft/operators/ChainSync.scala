@@ -29,6 +29,8 @@ object ChainSync {
       facts: Map[String, DataFrame],
       assetUpdates: DataFrame,
       assetTickers: DataFrame,
+      assetOrigins: DataFrame,
+      wavesData: DataFrame,
       candles: DataFrame,
       maxBlockUid: Long)
 
@@ -53,6 +55,8 @@ object ChainSync {
         .map { case (k, v) => k -> empty(v) },
       assetUpdates = empty(ReferenceSchemas.assetUpdates),
       assetTickers = empty(ReferenceSchemas.assetTickers),
+      assetOrigins = empty(ReferenceSchemas.assetOrigins),
+      wavesData = empty(ReferenceSchemas.wavesData),
       candles = empty(ReferenceSchemas.candles),
       maxBlockUid = 0L)
   }
@@ -144,6 +148,27 @@ object ChainSync {
       case Some(addr) => Scd2.applyBatch(state.assetTickers, Extract.assetTickers(flat, addr))
       case None => state.assetTickers
     }
+    // insert-ignore tables: origins keep the FIRST update per asset
+    // (pg.rs:205-214). In-batch the winner is picked with min_by on the
+    // update uid — dropDuplicates alone keeps an ARBITRARY row under
+    // parallelism, which would make origins partitioning-dependent.
+    val originCandidates = Extract.assetOrigins(flat, config.chainId)
+    val originCols = originCandidates.columns.filterNot(_ == "asset_id")
+    val firstPerAsset = originCandidates
+      .groupBy("asset_id")
+      .agg(min_by(struct(originCols.map(col).toIndexedSeq: _*), col("first_asset_update_uid")).as("__o"))
+      .select(col("asset_id") +: originCols.map(c => col(s"__o.$c").as(c)).toIndexedSeq: _*)
+      .select(state.assetOrigins.columns.map(col).toIndexedSeq: _*)
+    val origins = Merge.insertIgnore(state.assetOrigins, firstPerAsset, Seq("asset_id"))
+    // waves_data dedups on quantity (pg.rs:176-184); in-batch, block order
+    // decides the winner — resolved here on the driver-side run Seq
+    val wavesRows = blocks.flatMap(b => b.updatedWavesAmount.map(q => (b.height, BigDecimal(q))))
+      .groupBy(_._2).map { case (_, rs) => rs.head }.toSeq.sortBy(_._1)
+    val wavesData = Merge.insertIgnore(
+      state.wavesData,
+      wavesRows.toDF("height", "quantity")
+        .select(col("height"), col("quantity").cast(ReferenceSchemas.wavesData("quantity").dataType)),
+      Seq("quantity"))
 
     // candles recompute only when the run contained exchange txs, from the
     // run's first trade timestamp truncated to the minute (pg.rs:660-678)
@@ -162,6 +187,8 @@ object ChainSync {
       facts = facts,
       assetUpdates = assetDim,
       assetTickers = tickerDim,
+      assetOrigins = origins,
+      wavesData = wavesData,
       candles = candles,
       maxBlockUid = uids.lastOption.getOrElse(state.maxBlockUid))
   }
@@ -189,11 +216,19 @@ object ChainSync {
       case Some(ts) => Candles.rollback(state.candles, facts("txs_7"), ts)
       case None => state.candles
     }
+    val assetDim = Scd2.rollback(state.assetUpdates, cut)
     state.copy(
       blocks = Merge.deleteWhere(state.blocks, col("uid") > cut)._1,
       facts = facts,
-      assetUpdates = Scd2.rollback(state.assetUpdates, cut),
+      assetUpdates = assetDim,
       assetTickers = Scd2.rollback(state.assetTickers, cut),
+      // origins cascade with their asset_update row (FK ON DELETE CASCADE,
+      // up.sql:38); waves_data has no block reference and survives — its
+      // insert-ignore keying makes any re-append idempotent
+      assetOrigins = state.assetOrigins.join(
+        assetDim.select(col("uid").as("first_asset_update_uid")),
+        Seq("first_asset_update_uid"), "left_semi")
+        .select(state.assetOrigins.columns.map(col).toIndexedSeq: _*),
       candles = candles,
       maxBlockUid = cut)
   }
@@ -210,6 +245,8 @@ object ChainSync {
       facts = state.facts.map { case (k, v) => k -> m(v) },
       assetUpdates = m(state.assetUpdates),
       assetTickers = m(state.assetTickers),
+      assetOrigins = m(state.assetOrigins),
+      wavesData = m(state.wavesData),
       candles = m(state.candles))
   }
 }

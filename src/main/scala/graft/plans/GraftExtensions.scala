@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("base58_decode"),
       new ExpressionInfo(classOf[Base58Decode].getName, "base58_decode"),
       (args: Seq[Expression]) => Base58Decode(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("waves_address"),
+      new ExpressionInfo(classOf[WavesAddressFromPk].getName, "waves_address"),
+      (args: Seq[Expression]) => WavesAddressFromPk(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("waves_address_from_pkh"),
+      new ExpressionInfo(classOf[WavesAddressFromPkh].getName, "waves_address_from_pkh"),
+      (args: Seq[Expression]) => WavesAddressFromPkh(args.head, args(1))))
   }
 }
 
@@ -41,8 +49,20 @@ object GraftExtensions {
       new FunctionIdentifier("base58_decode"),
       new ExpressionInfo(classOf[Base58Decode].getName, "base58_decode"),
       (args: Seq[Expression]) => Base58Decode(args.head))
+    registry.registerFunction(
+      new FunctionIdentifier("waves_address"),
+      new ExpressionInfo(classOf[WavesAddressFromPk].getName, "waves_address"),
+      (args: Seq[Expression]) => WavesAddressFromPk(args.head, args(1)))
+    registry.registerFunction(
+      new FunctionIdentifier("waves_address_from_pkh"),
+      new ExpressionInfo(classOf[WavesAddressFromPkh].getName, "waves_address_from_pkh"),
+      (args: Seq[Expression]) => WavesAddressFromPkh(args.head, args(1)))
   }
   /** Column-level access to the native expressions (no registry needed). */
   def base58Encode(c: Column): Column = GraftColumnBridge.column(Base58Encode(GraftColumnBridge.expression(c)))
   def base58Decode(c: Column): Column = GraftColumnBridge.column(Base58Decode(GraftColumnBridge.expression(c)))
+  def wavesAddress(pk: Column, chainId: Column): Column =
+    GraftColumnBridge.column(WavesAddressFromPk(GraftColumnBridge.expression(pk), GraftColumnBridge.expression(chainId)))
+  def wavesAddressFromPkh(pkh: Column, chainId: Column): Column =
+    GraftColumnBridge.column(WavesAddressFromPkh(GraftColumnBridge.expression(pkh), GraftColumnBridge.expression(chainId)))
 }

@@ -58,4 +58,30 @@ class PlansSpec extends SparkSpec {
       graft.functions.GraftFunctions.base58Encode(col("b")).as("viaUdf"))
     assert(both.filter(col("native") =!= col("viaUdf")).count() == 0)
   }
+
+  test("native Waves address expressions match the library and stay in codegen") {
+    val pk = Array.tabulate[Byte](32)(_.toByte)
+    val pkh = Array.tabulate[Byte](20)(i => (i + 3).toByte)
+    val df = Seq((pk, pkh)).toDF("pk", "pkh")
+      .select(
+        GraftExtensions.wavesAddress(col("pk"), lit('W'.toInt)).as("addr"),
+        GraftExtensions.wavesAddressFromPkh(col("pkh"), lit('W'.toInt)).as("addr_pkh"))
+    val r = df.collect().head
+    assert(r.getString(0) == graft.functions.Waves.addressFromPublicKey(pk, 'W'.toByte))
+    assert(r.getString(1) == graft.functions.Waves.addressFromPublicKeyHash(pkh, 'W'.toByte))
+    // codegen check needs a non-foldable input (literals constant-fold away)
+    val ranged = spark.range(100).withColumn("pk", col("id").cast("string").cast("binary"))
+      .select(GraftExtensions.wavesAddress(col("pk"), lit(87)).as("addr"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && !plan.contains("ScalaUDF"), s"address fell out of codegen:\n$plan")
+    assert(ranged.count() == 100)
+    // UDF parity on random keys
+    val rnd = new scala.util.Random(11)
+    val keys = Seq.fill(40)(Array.fill[Byte](32)(rnd.nextInt().toByte))
+    val kdf = keys.map(Tuple1(_)).toDF("pk")
+    val both = kdf.select(
+      GraftExtensions.wavesAddress(col("pk"), lit(87)).as("native"),
+      graft.functions.GraftFunctions.wavesAddress(col("pk"), lit(87)).as("viaUdf"))
+    assert(both.filter(col("native") =!= col("viaUdf")).count() == 0)
+  }
 }

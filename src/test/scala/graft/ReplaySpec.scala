@@ -34,10 +34,10 @@ class ReplaySpec extends SparkSpec {
         volume = amount * 10)))
 
   private val t0 = 1704100000000L // 2024-01-01T08:26:40Z
-  private val block1 = RawBlock("b1", 100, Some(t0), None, Seq(
+  private val block1 = RawBlock("b1", 100, Some(t0), Some(100000000L), Seq(
     exchange("e1", t0, 100, 500, ("AA", "PP")),
     exchange("e2", t0 + 30000, 50, 700, ("AA", "PP"))))
-  private val block2 = RawBlock("b2", 101, Some(t0 + 60000), None, Seq(
+  private val block2 = RawBlock("b2", 101, Some(t0 + 60000), Some(100000500L), Seq(
     exchange("e3", t0 + 60000, 10, 900, ("AA", "PP")),
     exchange("e4", t0 + 61000, 5, 200, ("BB", "PP"))))
 
@@ -56,7 +56,24 @@ class ReplaySpec extends SparkSpec {
     same(full.facts("txs_7"), clean.facts("txs_7"), "txs_7")
     same(full.blocks, clean.blocks, "blocks")
     same(full.assetUpdates, clean.assetUpdates, "asset_updates")
+    // origins cascade with their asset_update rows → identity too
+    same(full.assetOrigins, clean.assetOrigins, "asset_origins")
+    // waves_data has no block reference: rollback keeps b2's quantity row
+    // (faithful to the reference, which never deletes waves_data)
+    assert(full.wavesData.count() == 2 && clean.wavesData.count() == 1)
     assert(full.maxBlockUid == 1L)
+  }
+
+  test("handleUpdates: insert-ignore tables keep first-writer rows") {
+    val state = fold(ChainSync.emptyState(spark), block1, block2)
+    // AA issued by e1 (first update wins), BB by e4
+    val origins = state.assetOrigins.orderBy("first_asset_update_uid").collect()
+    assert(origins.length == 2)
+    assert(origins.head.getAs[String]("origin_transaction_id") ==
+      graft.functions.Base58.encode(bytes("e1")))
+    assert(origins.head.getAs[Int]("issue_height") == 100)
+    assert(state.wavesData.select("quantity").as[BigDecimal].collect().map(_.toLong).sorted.toSeq ==
+      Seq(100000000L, 100000500L))
   }
 
   test("handleUpdates: SCD-2 chain re-opens on rollback") {
