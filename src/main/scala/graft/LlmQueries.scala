@@ -141,6 +141,19 @@ object LlmQueries {
       },
       None),
 
+    // LSH-bucketed embedding near-dup: the unbounded-corpus scale path
+    // (multi-table hyperplane bucketing + in-bucket pairing + exact-cosine
+    // verify; recall vs brute force measured in LlmSpec)
+    QueryDef("llm_lsh_neardup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        Similarity.lshNearDup(emb, dim = 64, threshold = 0.5, bits = 8, tables = 4)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // language-ID heuristic (stopword n-gram scoring)
     QueryDef("llm_langid",
       (s, dir) => Tables.documents(s, dir)

@@ -125,23 +125,72 @@ object Similarity {
 
   /** Random-hyperplane LSH bucketing for cosine (the alternative scale
     * path): `bits` signs of dot(v, rᵢ) with deterministic pseudo-random
-    * hyperplanes form the bucket key. */
-  def lshBuckets(vectors: DataFrame, dim: Int, bits: Int = 12, vecCol: String = "embedding"): DataFrame = {
+    * hyperplanes form the bucket key. `seed` selects an independent
+    * hyperplane family (for multi-table LSH). */
+  def lshBuckets(vectors: DataFrame, dim: Int, bits: Int = 12, vecCol: String = "embedding", seed: Long = 0L): DataFrame = {
+    val key = lshBucketKey(dim, bits, vecCol, seed)
+    vectors.withColumn("bucket", key)
+  }
+
+  private def lshBucketKey(dim: Int, bits: Int, vecCol: String, seed: Long): Column = {
     val planes: Seq[Array[Double]] = (0 until bits).map { b =>
       // xorshift-seeded deterministic pseudo-random hyperplane
-      var s = 0x9e3779b97f4a7c15L + b * 0xbf58476d1ce4e5b9L
+      var s = 0x9e3779b97f4a7c15L + (seed * bits + b) * 0xbf58476d1ce4e5b9L
       Array.fill(dim) {
         s ^= s << 13; s ^= s >>> 7; s ^= s << 17
         (s.toDouble / Long.MaxValue)
       }
     }
-    val key = (0 until bits).map { b =>
+    (0 until bits).map { b =>
       val plane = planes(b)
       val d = aggregate(
         zip_with(col(vecCol), typedLit(plane.toSeq), (x, r) => x * r),
         lit(0.0d), (acc, x) => acc + x)
       when(d >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    vectors.withColumn("bucket", key)
+  }
+
+  /** Embedding near-dup over an UNBOUNDED corpus — the scale path past
+    * [[bruteForceTopK]]'s O(Q·C) (which stays the exactness oracle):
+    * `tables` independent hyperplane families bucket every vector map-only;
+    * candidate pairs form only inside (table, bucket) groups (one shuffle
+    * keyed on bucket hashes, never an all-pairs join); pairs are then
+    * verified by exact cosine. A pair at cosine θ collides in one table
+    * with probability (1 - acos(θ)/π)^bits, in ≥1 of the tables with
+    * 1-(1-p)^tables — recall is tuned by (bits, tables) and measured
+    * against brute force in LlmSpec. Oversized buckets are capped exactly
+    * as [[Dedup]] does (mass-duplicated vectors are exact-dedup's job). */
+  def lshNearDup(
+      vectors: DataFrame,
+      dim: Int,
+      threshold: Double = 0.9,
+      bits: Int = 8,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val banded = (0 until tables).map { t =>
+      vectors.select(col(idCol).as("id"), lit(t).as("table"),
+        lshBucketKey(dim, bits, vecCol, t.toLong).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val cands = banded
+      .groupBy("table", "bucket")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("id_a"), y.as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    // exact-cosine verification of the candidate set only
+    val side = vectors.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__n"))
+    cands
+      .join(side.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na")), Seq("id_a"))
+      .join(side.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
   }
 }

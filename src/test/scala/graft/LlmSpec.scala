@@ -95,6 +95,44 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("LSH near-dup: full recall on planted near-identical vectors, no false accepts") {
+    val base = Array.tabulate(16)(i => 0.3 + 0.05 * i)
+    val nearDup = base.clone(); nearDup(0) += 0.001 // cosine ≈ 1
+    val opposite = base.map(-_)
+    val rnd = new scala.util.Random(3)
+    val noise = (0 until 50).map(i => (100L + i, Array.fill(16)(rnd.nextGaussian())))
+    val vecs = (Seq((1L, base), (2L, nearDup), (3L, opposite)) ++ noise)
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val pairs = graft.llm.Similarity.lshNearDup(vecs, dim = 16, threshold = 0.95, bits = 6, tables = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "planted near-identical pair missed")
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 3L) }, "opposite vector accepted")
+  }
+
+  test("LSH near-dup recall vs brute force on the embeddings fixture") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    // exact high-similarity pair set over a bounded slice
+    val slice = emb.filter(col("vec_id") < 150)
+    val s1 = slice.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val s2 = slice.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = s1.crossJoin(s2).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.llm.Similarity.dot(col("va"), col("vb")) /
+          (graft.llm.Similarity.norm(col("va")) * graft.llm.Similarity.norm(col("vb"))))
+      .filter(col("cosine") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = graft.llm.Similarity.lshNearDup(slice, dim = 64, threshold = 0.5, bits = 6, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision is exact by construction (cosine-verified)
+    assert(approx.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
   test("LSH buckets put identical vectors together") {
     val v = Seq(
       (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),

@@ -60,6 +60,14 @@ class PlanShapeSpec extends SparkSpec {
       s"all-pairs join in LSH path:\n$plan")
   }
 
+  test("LSH near-dup path has no cross join (bucketed candidates only)") {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val plan = executed(graft.llm.Similarity.lshNearDup(emb, dim = 64))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in LSH near-dup path:\n$plan")
+  }
+
   test("IVF ANN path contains no single-partition exchange") {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
