@@ -233,6 +233,50 @@ object ChainSync {
       maxBlockUid = cut)
   }
 
+  /** Durable between-batches form of the fold state: every table written
+    * with [[graft.sinks.TableStore]]'s layout discipline (facts bucketed by
+    * height and uid-sorted, candles partitioned by interval, dims sorted by
+    * entity key) — the production alternative to in-memory state when the
+    * driver restarts. [[load]] resumes, recovering the uid high-water mark
+    * from `max(blocks.uid)` exactly as the reference resumes from
+    * `max(height)` (`pg.rs:70-78`). */
+  def persist(state: ChainState, dir: String): Unit = {
+    import graft.sinks.TableStore
+    TableStore.writeFact(state.blocks, s"$dir/blocks_microblocks")
+    state.facts.foreach { case (name, df) =>
+      val sortCol = if (df.columns.contains("uid")) "uid" else "tx_uid" // children key on tx_uid
+      TableStore.writeFact(df, s"$dir/$name", sortCol = sortCol)
+    }
+    state.candles.write.mode("overwrite").parquet(s"$dir/candles")
+    state.assetUpdates.sort("asset_id", "uid").write.mode("overwrite").parquet(s"$dir/asset_updates")
+    state.assetTickers.sort("asset_id", "uid").write.mode("overwrite").parquet(s"$dir/asset_tickers")
+    state.assetOrigins.sort("asset_id").write.mode("overwrite").parquet(s"$dir/asset_origins")
+    state.wavesData.sort("height").write.mode("overwrite").parquet(s"$dir/waves_data")
+  }
+
+  /** Resume a fold state persisted by [[persist]]. */
+  def load(spark: SparkSession, dir: String): ChainState = {
+    def read(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.read.schema(schema).parquet(s"$dir/$path")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*) // drop the height_bucket partition col
+    val blocks = read("blocks_microblocks", ReferenceSchemas.blocksMicroblocks)
+    val maxUid = blocks.agg(max("uid")).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    ChainState(
+      blocks = blocks,
+      facts = ReferenceSchemas.tables.view
+        .filterKeys(_.startsWith("txs_")).toMap
+        .map { case (k, v) => k -> read(k, v) },
+      assetUpdates = read("asset_updates", ReferenceSchemas.assetUpdates),
+      assetTickers = read("asset_tickers", ReferenceSchemas.assetTickers),
+      assetOrigins = read("asset_origins", ReferenceSchemas.assetOrigins),
+      wavesData = read("waves_data", ReferenceSchemas.wavesData),
+      candles = read("candles", ReferenceSchemas.candles),
+      maxBlockUid = maxUid)
+  }
+
   /** Cut lineage once per fold step (≙ the reference's per-batch COMMIT):
     * localCheckpoint + rebase, as `Candles.materialize` (NOTES.md). */
   private def materialize(state: ChainState): ChainState = {

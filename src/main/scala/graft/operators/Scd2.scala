@@ -37,6 +37,9 @@ object Scd2 {
         when(col("superseded_by") === MaxUid && col("__first_uid").isNotNull, col("__first_uid"))
           .otherwise(col("superseded_by")))
       .drop("__first_uid")
+      // a USING join reorders output keys-first; restore the dim's order so
+      // positional consumers (exceptAll, parquet round-trips) stay stable
+      .select(dim.columns.map(col).toIndexedSeq: _*)
     closed.unionByName(linked.select(dim.columns.map(col).toIndexedSeq: _*))
   }
 

@@ -103,6 +103,22 @@ class ReplaySpec extends SparkSpec {
     assert(state.blocks.filter(col("time_stamp").isNull).count() == 0)
   }
 
+  test("persist/load round-trips the fold state and resumes the uid high-water mark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state-").toString
+    val state = fold(ChainSync.emptyState(spark), block1)
+    ChainSync.persist(state, dir)
+    val loaded = ChainSync.load(spark, dir)
+    assert(loaded.maxBlockUid == 1L)
+    same(loaded.candles, state.candles, "persisted candles")
+    same(loaded.facts("txs_7"), state.facts("txs_7"), "persisted txs_7")
+    same(loaded.assetUpdates, state.assetUpdates, "persisted asset_updates")
+    // resuming the fold from the durable state equals the in-memory fold
+    val resumed = fold(loaded, block2)
+    val direct = fold(state, block2)
+    same(resumed.candles, direct.candles, "resumed candles")
+    same(resumed.blocks, direct.blocks, "resumed blocks")
+  }
+
   test("startChainSync: the streaming wrapper folds batches to the same state") {
     import graft.streaming.MicroBatchPipeline
     import graft.streaming.MicroBatchPipeline.UpdateEvent
