@@ -22,23 +22,35 @@ object TxConvert {
 
   val ChainId: Byte = 'W'.toByte
 
-  /** Flatten blocks → one row per tx with block columns + assigned uids. */
-  def flatten(spark: SparkSession, blocks: Seq[RawBlock]): DataFrame = {
+  /** Flatten blocks → one row per tx with block columns + assigned uids.
+    * `heightOffset` continues the per-height index for the FIRST height of
+    * the batch: the reference's uid generator is a process-global static
+    * (`mod.rs:41`) whose index resets only when the height CHANGES
+    * (`convert.rs:51-58` maybe_update_height) — so a microblock appended
+    * after a key block at the same height continues where it left off
+    * rather than colliding. [[graft.operators.ChainSync]] threads this. */
+  def flatten(spark: SparkSession, blocks: Seq[RawBlock],
+      heightOffset: Option[(Int, Long)] = None): DataFrame = {
     import spark.implicits._
     val rows: Seq[(String, Int, Option[Long], Long, RawTx)] = for {
       (b, bi) <- blocks.zipWithIndex
       (tx, ti) <- b.txs.zipWithIndex
     } yield (b.id, b.height, b.timeStampMs, bi.toLong * 1000000 + ti, tx)
     val ds = rows.toDF("block_id", "height", "block_ts_ms", "arrival_order", "tx")
-    withUids(ds)
+    withUids(ds, heightOffset)
   }
 
   /** uid = height * 100000 + idx-within-height in arrival order
     * (`convert.rs:45-72`; collisions >100000/height preserved verbatim). */
-  private def withUids(flat: DataFrame): DataFrame = {
+  private def withUids(flat: DataFrame, heightOffset: Option[(Int, Long)]): DataFrame = {
     val w = Window.partitionBy(col("height")).orderBy(col("arrival_order"))
+    val continued = heightOffset match {
+      case Some((h, off)) => when(col("height") === h, lit(off)).otherwise(lit(0L))
+      case None => lit(0L)
+    }
     flat.withColumn("uid",
-      col("height").cast("long") * ReferenceSchemas.UidsPerHeight + (row_number().over(w) - 1))
+      col("height").cast("long") * ReferenceSchemas.UidsPerHeight
+        + (row_number().over(w) - 1) + continued)
   }
 
   // native Catalyst expressions (whole-stage codegen), not the UDF fallbacks

@@ -32,7 +32,12 @@ object ChainSync {
       assetOrigins: DataFrame,
       wavesData: DataFrame,
       candles: DataFrame,
-      maxBlockUid: Long)
+      maxBlockUid: Long,
+      // the tx-uid generator's persistent state (≙ the global static
+      // TxUidGenerator, mod.rs:41): index continues across batches while
+      // the height stays the same, resets when it changes
+      uidLastHeight: Int = -1,
+      uidNextIdx: Long = 0L)
 
   /** Child detail tables → owning parent (SURVEY §1.3): children carry no
     * block_uid and follow their parent through squash/rollback. */
@@ -129,8 +134,13 @@ object ChainSync {
       .select(col("uid"), col("id"), col("height"),
         timestamp_millis(col("ts")).as("time_stamp"))
 
+    // continue the per-height tx index if this run starts at the height the
+    // previous append ended on (microblocks extending a key block)
+    val heightOffset =
+      if (blocks.head.height == state.uidLastHeight) Some(state.uidLastHeight -> state.uidNextIdx)
+      else None
     val flat = TxConvert.withBlockUids(
-      TxConvert.flatten(spark, blocks),
+      TxConvert.flatten(spark, blocks, heightOffset),
       blockRows.select(col("id"), col("uid")))
     val convertedRaw = TxConvert.convert(flat)
     // lease-cancel uid resolution happens at append time (J1, pg.rs:472-505);
@@ -182,6 +192,11 @@ object ChainSync {
       case _ => state.candles
     }
 
+    val lastHeight = blocks.last.height
+    val txsAtLastHeight = blocks.filter(_.height == lastHeight).map(_.txs.size.toLong).sum
+    val nextIdx =
+      (if (lastHeight == blocks.head.height) heightOffset.map(_._2).getOrElse(0L) else 0L) +
+        txsAtLastHeight
     state.copy(
       blocks = state.blocks.unionByName(blockRows),
       facts = facts,
@@ -190,7 +205,9 @@ object ChainSync {
       assetOrigins = origins,
       wavesData = wavesData,
       candles = candles,
-      maxBlockUid = uids.lastOption.getOrElse(state.maxBlockUid))
+      maxBlockUid = uids.lastOption.getOrElse(state.maxBlockUid),
+      uidLastHeight = lastHeight,
+      uidNextIdx = nextIdx)
   }
 
   /** Rollback ≙ `rollback` (`mod.rs:794-863`): resolve the cut uid from the
@@ -254,7 +271,10 @@ object ChainSync {
     state.wavesData.sort("height").write.mode("overwrite").parquet(s"$dir/waves_data")
   }
 
-  /** Resume a fold state persisted by [[persist]]. */
+  /** Resume a fold state persisted by [[persist]]. The uid-generator state
+    * deliberately resets (≙ the reference's in-process static resetting on
+    * restart; the post-restart startup rollback lands on a fresh height, so
+    * the reset is unobservable). */
   def load(spark: SparkSession, dir: String): ChainState = {
     def read(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
       spark.read.schema(schema).parquet(s"$dir/$path")

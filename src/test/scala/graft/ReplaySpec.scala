@@ -98,6 +98,9 @@ class ReplaySpec extends SparkSpec {
     // m1's facts were re-pointed at b1's uid before b2 appended
     val e5 = state.facts("txs_7").filter(col("id") === graft.functions.Base58.encode(bytes("e5")))
     assert(e5.select("block_uid").as[Long].collect().toSeq == Seq(1L))
+    // the uid generator is global (mod.rs:41): the microblock tx CONTINUES
+    // height 100's index after b1's two txs instead of colliding at idx 0
+    assert(e5.select("uid").as[Long].collect().toSeq == Seq(100L * 100000 + 2))
     // the key block took over the microblock's id (total-block rename)
     assert(state.blocks.orderBy("uid").select("id").as[String].collect().toSeq == Seq("m1", "b2"))
     assert(state.blocks.filter(col("time_stamp").isNull).count() == 0)
