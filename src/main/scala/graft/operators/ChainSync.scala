@@ -297,6 +297,13 @@ object ChainSync {
       maxBlockUid = maxUid)
   }
 
+  /** The reference's three SQL views over the fold state
+    * (`up.sql:420-485`): (decimals, tickers, assets). */
+  def views(spark: SparkSession, state: ChainState): (DataFrame, DataFrame, DataFrame) = (
+    Views.decimals(spark, state.assetUpdates),
+    Views.tickers(state.assetTickers),
+    Views.assets(spark, state.assetUpdates, state.assetTickers, state.assetOrigins, state.wavesData))
+
   /** Cut lineage once per fold step (≙ the reference's per-batch COMMIT):
     * localCheckpoint + rebase, as `Candles.materialize` (NOTES.md). */
   private def materialize(state: ChainState): ChainState = {

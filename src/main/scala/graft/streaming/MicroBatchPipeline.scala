@@ -92,7 +92,8 @@ object MicroBatchPipeline {
       initial: ChainSync.ChainState,
       config: ChainSync.Config = ChainSync.Config(),
       onBatch: (ChainSync.ChainState, Long) => Unit = (_, _) => (),
-      maxWaitMs: Long = 5000L): StreamingQuery = {
+      maxWaitMs: Long = 5000L,
+      liveness: Option[LivenessListener] = None): StreamingQuery = {
     import spark.implicits._
     @volatile var state = initial
     start[UpdateEvent](
@@ -101,6 +102,11 @@ object MicroBatchPipeline {
         val updates = df.as[UpdateEvent].collect().toSeq.map(_.toUpdate)
         if (updates.nonEmpty) {
           state = ChainSync.handleUpdates(spark, state, updates, config)
+          // ST6: newest key-block time observed per batch (consumer.rs:9-46)
+          for {
+            l <- liveness
+            ts <- updates.collect { case b: RawBlock => b.timeStampMs }.flatten.maxOption
+          } l.observe(ts)
           onBatch(state, batchId)
         }
       },

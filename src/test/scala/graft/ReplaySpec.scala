@@ -122,15 +122,30 @@ class ReplaySpec extends SparkSpec {
     same(resumed.blocks, direct.blocks, "resumed blocks")
   }
 
+  test("views compose over the fold state (decimals/tickers/assets)") {
+    val state = fold(ChainSync.emptyState(spark), block1, block2)
+    val (decimals, tickers, assets) = ChainSync.views(spark, state)
+    // decimals: current AA + BB versions plus the static WAVES row
+    val decs = decimals.collect().map(r => r.getString(0) -> r.getShort(1)).toMap
+    assert(decs("WAVES") == 8.toShort)
+    assert(decs.size == 3) // AA, BB, WAVES
+    assert(tickers.count() == 0) // no ticker extraction configured
+    // assets: one row per current asset + synthetic WAVES with latest quantity
+    val a = assets.collect().map(r => r.getString(0) -> r).toMap
+    assert(a.contains("WAVES") && a.size == 3)
+    assert(a("WAVES").getDecimal(a("WAVES").fieldIndex("total_quantity")).longValue == 100000500L)
+  }
+
   test("startChainSync: the streaming wrapper folds batches to the same state") {
     import graft.streaming.MicroBatchPipeline
     import graft.streaming.MicroBatchPipeline.UpdateEvent
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UpdateEvent]
     @volatile var last: Option[ChainState] = None
+    val liveness = new graft.streaming.LivenessListener(maxAgeMs = 300000)
     val query = MicroBatchPipeline.startChainSync(
       spark, stream.toDS(), ChainSync.emptyState(spark),
-      onBatch = (s, _) => last = Some(s), maxWaitMs = 10L)
+      onBatch = (s, _) => last = Some(s), maxWaitMs = 10L, liveness = Some(liveness))
     try {
       stream.addData(UpdateEvent(block1), UpdateEvent(block2))
       query.processAllAvailable()
@@ -140,5 +155,9 @@ class ReplaySpec extends SparkSpec {
     val direct = fold(fold(ChainSync.emptyState(spark), block1, block2), RawRollback("b1"))
     same(last.get.candles, direct.candles, "streamed candles")
     same(last.get.facts("txs_7"), direct.facts("txs_7"), "streamed txs_7")
+    // ST6: liveness observed the newest key-block time from the stream
+    assert(liveness.lastEventTime == t0 + 60000)
+    assert(liveness.isHealthy(t0 + 60000 + 100000))
+    assert(!liveness.isHealthy(t0 + 60000 + 400000))
   }
 }
