@@ -3,7 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CandleIntervals, GraftFunctions}
@@ -90,6 +90,22 @@ object Candles {
       .select(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Exact decimal 10^n / 10^-n for n in [0, 18] as a literal when-chain —
+    * Postgres computes `10^dec` in numeric (`pg.rs:708-712`); a DOUBLE
+    * `pow` is exact only to dec ≤ 15. The chain is codegen'd constant
+    * selection; out-of-range decimals yield NULL (surfaced by the
+    * fail-on-miss check upstream, never a silently wrong price). */
+  private def pow10(dec: Column): Column =
+    (0 to 18).foldLeft(lit(null).cast(money)) { case (acc, i) =>
+      when(dec === i, lit(BigDecimal(10).pow(i).bigDecimal).cast(money)).otherwise(acc)
+    }
+
+  private def pow10Neg(dec: Column): Column =
+    (0 to 18).foldLeft(lit(null).cast(money)) { case (acc, i) =>
+      when(dec === i,
+        lit((BigDecimal(1) / BigDecimal(10).pow(i)).setScale(18).bigDecimal).cast(money)).otherwise(acc)
+    }
+
   /** The `__price` column: raw price, or the tx_version > 2 decimal rescale
     * against a broadcast decimals dim with fail-on-miss (J3, pg.rs:708-713). */
   private def pricedTrades(filtered: DataFrame, decimals: Option[DataFrame]): DataFrame =
@@ -103,8 +119,7 @@ object Candles {
         requireAllMatched(joined)
           .withColumn("__price",
             when(col("tx_version") > 2,
-              col("price").cast(money) * pow(lit(10.0), col("__p_dec")).cast(money)
-                * pow(lit(10.0), -col("__a_dec")).cast(money))
+              col("price").cast(money) * pow10(col("__p_dec")) * pow10Neg(col("__a_dec")))
               .otherwise(col("price").cast(money)))
           .drop("__a_dec", "__p_dec")
       case None =>

@@ -102,6 +102,17 @@ class CandlesSpec extends SparkSpec {
     val ex = intercept[Exception](Candles.minuteCandles(t, Some(badDim)).collect())
     assert(ex.getMessage.contains("decimals not found") ||
       Option(ex.getCause).exists(_.getMessage.contains("decimals not found")))
+
+    // decimal-exact powers: 10^17 is not representable in DOUBLE-pow land
+    // without error at the last digits (Postgres computes in numeric)
+    val bigDim = Seq(("A", 0.toShort), ("B", 0.toShort), ("P", 17.toShort)).toDF("asset_id", "decimals")
+    val scaled = Candles.minuteCandles(t, Some(bigDim))
+      .filter(col("amount_asset_id") === "A" &&
+        col("time_start") === lit(Timestamp.valueOf("2024-01-01 10:00:00")))
+      .collect().head
+    // uid 2 price 7.00 × 10^17 exactly
+    assert(scaled.getAs[java.math.BigDecimal]("high").toBigInteger
+      .equals(new java.math.BigInteger("700000000000000000")))
   }
 
   test("incremental recompute from cutoff equals full recompute (A3)") {

@@ -85,6 +85,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("StringContains(props"), s"presence filter not pushed to scan:\n$plan")
   }
 
+  test("ingest extraction is map-only: no exchange in the asset/ticker explode paths") {
+    import graft.convert._
+    val pk = Array.tabulate[Byte](32)(_.toByte)
+    val blocks = Seq(RawBlock("pb1", 10, Some(1704067200000L), None, Seq(
+      graft.convert.RawTx(id = "t".getBytes, txType = 3, senderPublicKey = pk,
+        timeStampMs = 1L,
+        assetStateUpdates = Seq(RawAssetStateUpdate(assetId = "a".getBytes, issuer = pk,
+          name = "n", description = "", decimals = 1, reissuable = true, nft = false, volume = 1L)),
+        dataEntryUpdates = Seq(RawDataEntryUpdate("s".getBytes,
+          Some(RawDataEntry("%s%s__assetId2ticker__X", stringValue = Some("T")))))))))
+    import spark.implicits._
+    val flat = TxConvert.withBlockUids(TxConvert.flatten(spark, blocks), Seq((1L, "pb1")).toDF("uid", "id"))
+    // the flatten itself windows per height (one exchange); the extraction
+    // on top must add NONE — it is a pure explode+filter+project
+    val base = exchanges(flat)
+    assert(exchanges(Extract.assetUpdates(flat)) == base,
+      s"asset extraction added a shuffle:\n${executed(Extract.assetUpdates(flat))}")
+    assert(exchanges(Extract.assetTickers(flat, "addr")) == base,
+      s"ticker extraction added a shuffle:\n${executed(Extract.assetTickers(flat, "addr"))}")
+  }
+
   test("globalRowNumber stays off RDDs: no DeserializeToObject / RDD scan in the plan") {
     val ev = Tables.events(spark, dir).select(col("event_id"))
     val plan = executed(graft.operators.Pipeline.globalRowNumber(ev, col("event_id")))
