@@ -134,7 +134,11 @@ object AggQueries {
       RawBlock(s"b$h", 100 + h, Some(1704067200000L + h * 1000L), None, m.map(_._2).toSeq)
     }
     val appended = ChainSync.handleUpdates(s, ChainSync.emptyState(s), blocks)
-    ChainSync.handleUpdates(s, appended, Seq(RawRollback("b1")))
+    // round-trip through the durable table-store form between the two
+    // batches: the gate then also proves persist/load resume correctness
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-fold-state-").toString
+    ChainSync.persist(appended, stateDir)
+    ChainSync.handleUpdates(s, ChainSync.load(s, stateDir), Seq(RawRollback("b1")))
   }
 
   val all: Vector[QueryDef] = Vector(

@@ -45,11 +45,13 @@ object FuncQueries {
         .orderBy("doc_id"),
       Some("SELECT doc_id, text AS escaped FROM documents ORDER BY doc_id")),
 
-    // F12 — blake2b/keccak Waves address UDF (waves.rs:15-73); Spark-only
+    // F12 — blake2b/keccak Waves address (waves.rs:15-73); Spark-only.
+    // Runs the NATIVE codegen expression (the conversion's production path);
+    // UDF parity is asserted in PlansSpec.
     QueryDef("f12_waves_address",
       (s, dir) => Tables.customer(s, dir)
         .select(col("c_custkey"),
-          GraftFunctions.wavesAddress(unhex(md5(col("c_name"))), lit(87)).as("address"))
+          graft.plans.GraftExtensions.wavesAddress(unhex(md5(col("c_name"))), lit(87)).as("address"))
         .orderBy("c_custkey"),
       None),
 
