@@ -238,6 +238,31 @@ object LlmQueries {
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
              |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    // multimodal: stub resize — exact target metadata, area-scaled payload
+    // decimation (integer math, so DuckDB can reproduce the byte counts)
+    QueryDef("llm_media_resize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("payload", col("text").cast("binary"))
+        val media = docs.select(
+          col("doc_id").cast("long").as("asset_id"),
+          lit("image").as("media_type"),
+          col("payload"),
+          (col("doc_id") % 1920 + 1).cast("int").as("width"),
+          (col("doc_id") % 1080 + 1).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("long").as("duration_ms"))
+        Multimodal.resize(s, media, targetWidth = 64, targetHeight = 64)
+          .select(col("asset_id"), col("width"), col("height"),
+            length(col("payload")).cast("long").as("n_bytes"))
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id, 64 AS width, 64 AS height,
+             |  greatest(1, least(octet_length(encode(text)),
+             |    (CAST(octet_length(encode(text)) AS BIGINT) * 4096)
+             |      // ((doc_id % 1920 + 1) * (doc_id % 1080 + 1)))) AS n_bytes
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
     // multimodal: frame sampling (every 4th 256-byte frame)
     QueryDef("llm_media_frames",
       (s, dir) => {

@@ -77,6 +77,44 @@ object Multimodal {
     hist
   }
 
+  /** STUB resize (image): target metadata is exact; the payload is
+    * decimated to `len · (tw·th) / (w·h)` bytes (integer math, clamped to
+    * [1, len]) by nearest-index sampling — a deterministic byte-level
+    * stand-in for the codec's nearest-neighbor resize, batched per
+    * partition exactly like [[decodeToFeatures]]. Non-image rows pass
+    * through untouched. */
+  def resize(spark: SparkSession, media: DataFrame, targetWidth: Int, targetHeight: Int,
+      batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val out: Dataset[Row] = media.select(mediaSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val mt = r.getString(1)
+            if (mt != "image" || r.isNullAt(3) || r.isNullAt(4)) r
+            else {
+              val payload = r.getAs[Array[Byte]](2)
+              val (w, h) = (r.getInt(3), r.getInt(4))
+              val resized = fakeResize(payload, w, h, targetWidth, targetHeight)
+              Row(r.getLong(0), mt, resized, targetWidth, targetHeight,
+                if (r.isNullAt(5)) null else r.getInt(5),
+                if (r.isNullAt(6)) null else r.getLong(6))
+            }
+          }
+        }
+      }(enc)
+    out.toDF()
+  }
+
+  /** Deterministic stand-in for codec resize: nearest-index byte sampling
+    * to the area-scaled length (integer math — reproducible anywhere). */
+  private[llm] def fakeResize(payload: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty || w <= 0 || h <= 0) return payload
+    val len = payload.length.toLong
+    val newLen = math.max(1L, math.min(len, len * tw * th / (w.toLong * h))).toInt
+    Array.tabulate(newLen)(i => payload(((i.toLong * payload.length) / newLen).toInt))
+  }
+
   /** Frame sampling: pick every `stride`-th chunk of a video payload —
     * row-local explode, no shuffle. */
   def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame =

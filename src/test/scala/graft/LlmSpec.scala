@@ -208,6 +208,30 @@ class LlmSpec extends SparkSpec {
     assert(again(1L) == rows(1L))
   }
 
+  test("resize: exact target metadata, area-scaled payload, passthrough for non-images") {
+    val docs = Seq((1L, "x" * 1000), (2L, "y" * 10)).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val media = Multimodal.asMedia(docs, "doc_id", "payload", "image")
+      .withColumn("width", lit(100)).withColumn("height", lit(100))
+    val out = Multimodal.resize(spark, media, 10, 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 1000 bytes × (10·10)/(100·100) = 10 bytes; metadata exact
+    assert(out(1L).getAs[Array[Byte]]("payload").length == 10)
+    assert(out(1L).getInt(3) == 10 && out(1L).getInt(4) == 10)
+    // clamp at 1 byte minimum
+    assert(out(2L).getAs[Array[Byte]]("payload").length == 1)
+    // audio passes through untouched
+    val audio = Multimodal.asMedia(docs, "doc_id", "payload", "audio")
+    val a = Multimodal.resize(spark, audio, 10, 10).collect().map(r => r.getLong(0) -> r).toMap
+    assert(a(1L).getAs[Array[Byte]]("payload").length == 1000)
+    // deterministic across batch sizes
+    val r1 = Multimodal.resize(spark, media, 10, 10, batchSize = 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+    val r64 = Multimodal.resize(spark, media, 10, 10, batchSize = 64).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+    assert(r1 == r64)
+  }
+
   test("frame sampling picks every 4th frame") {
     val docs = Seq((1L, "x" * 2560)).toDF("doc_id", "text") // 10 frames of 256
       .withColumn("payload", col("text").cast("binary"))
