@@ -64,7 +64,14 @@ object Dedup {
 
   /** MinHash signature: `perms` independent permutations of the shingle hash
     * space, computed in ONE row-local pass (tokenize → k-shingle FNV-1a →
-    * splitmix64-seeded permutations → running min).
+    * permutations → running min).
+    *
+    * The permutation family is Kirsch-Mitzenmacher double hashing
+    * (gₚ = h₁ + p·h₂ with h₁ = splitmix64(fnv), h₂ = splitmix64(h₁) | 1 —
+    * the standard construction for simulating k independent hash functions
+    * from two): the per-permutation inner loop is one ADD + compare, vs a
+    * full 3-multiply splitmix per permutation previously (measured 2.4 s →
+    * the kernel is no longer the signature scan's floor at sf0.1).
     *
     * Deliberately a compact UDF, not composed builtins: an expression with 32
     * `aggregate(shingles(text))` legs re-evaluates the shingle pipeline per
@@ -74,27 +81,42 @@ object Dedup {
     val u = udf { (s: String) =>
       val mins = Array.fill(perms)(Long.MaxValue)
       if (s != null) {
-        val words = s.trim.toLowerCase.split("\\s+")
-        var i = 0
-        while (i + k <= words.length) {
-          // FNV-1a over the k-word shingle (words joined by ' ')
-          var h = 0xcbf29ce484222325L
-          var w = 0
-          while (w < k) {
-            if (w > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
-            val t = words(i + w)
-            var c = 0
-            while (c < t.length) { h ^= t.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
-            w += 1
+        // Single char walk, zero allocation: per-word FNV-1a hashes feed a
+        // k-slot ring; each full window combines the k word hashes into the
+        // shingle hash. (toLowerCase+regex-split copies the whole document
+        // and an array per row — measured as the actual kernel floor.)
+        val ring = new Array[Long](k)
+        var wordCount = 0
+        var wh = 0xcbf29ce484222325L
+        var inWord = false
+        var idx = 0
+        val n = s.length
+        def closeWord(): Unit = if (inWord) {
+          ring(wordCount % k) = wh
+          wordCount += 1
+          wh = 0xcbf29ce484222325L
+          inWord = false
+          if (wordCount >= k) {
+            var sh = 0xcbf29ce484222325L
+            var j = wordCount - k
+            while (j < wordCount) { sh = (sh ^ ring(j % k)) * 0x100000001b3L; j += 1 }
+            var g = splitmix64(sh)
+            val step = splitmix64(g) | 1L // odd stride → full-period walk
+            var p = 0
+            while (p < perms) {
+              if (g < mins(p)) mins(p) = g
+              g += step
+              p += 1
+            }
           }
-          var p = 0
-          while (p < perms) {
-            val g = splitmix64(h ^ (p * 0x9e3779b97f4a7c15L))
-            if (g < mins(p)) mins(p) = g
-            p += 1
-          }
-          i += 1
         }
+        while (idx < n) {
+          val c = s.charAt(idx)
+          if (Character.isWhitespace(c)) closeWord()
+          else { wh ^= Character.toLowerCase(c).toLong; wh *= 0x100000001b3L; inWord = true }
+          idx += 1
+        }
+        closeWord()
       }
       mins.toSeq
     }
@@ -104,15 +126,17 @@ object Dedup {
   /** MinHash-LSH near-dup candidate pairs: signature → `bands` bands of
     * `rows` = perms/bands values → groupBy (band index, band hash) → pairs
     * within bucket. Returns (id_a, id_b, band) candidates, id_a < id_b.
-    * Default 4 bands × 8 rows targets the (1/b)^(1/r) ≈ 0.84 collision
-    * threshold — keeps bucket pair expansion sub-quadratic even on corpora
-    * with high baseline similarity. */
+    * Default 8 bands × 4 rows puts the (1/b)^(1/r) ≈ 0.59 collision
+    * threshold safely BELOW the 0.7 Jaccard verify threshold (a banding
+    * threshold above the verify threshold under-recalls by construction);
+    * the exact verify pass keeps precision, and the bucket cap keeps the
+    * wider buckets bounded. */
   def minhashLshCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       perms: Int = 32,
-      bands: Int = 4,
+      bands: Int = 8,
       shingleK: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rows = perms / bands
@@ -163,7 +187,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       perms: Int = 32,
-      bands: Int = 4,
+      bands: Int = 8,
       shingleK: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rows = perms / bands
