@@ -202,8 +202,49 @@ object Dedup {
       .filter(col("members") > maxBucket)
   }
 
+  /** Distinct 64-bit shingle hashes via the same zero-allocation char walk
+    * as [[minhashSignature]]: Jaccard over hashed shingles equals Jaccard
+    * over the shingles themselves up to negligible 64-bit collisions, and
+    * set operations on longs beat per-position string building by a wide
+    * margin. */
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    val u = udf { (s: String) =>
+      val set = scala.collection.mutable.HashSet.empty[Long]
+      if (s != null) {
+        val ring = new Array[Long](k)
+        var wordCount = 0
+        var wh = 0xcbf29ce484222325L
+        var inWord = false
+        var idx = 0
+        val n = s.length
+        def closeWord(): Unit = if (inWord) {
+          ring(wordCount % k) = wh
+          wordCount += 1
+          wh = 0xcbf29ce484222325L
+          inWord = false
+          if (wordCount >= k) {
+            var sh = 0xcbf29ce484222325L
+            var j = wordCount - k
+            while (j < wordCount) { sh = (sh ^ ring(j % k)) * 0x100000001b3L; j += 1 }
+            set += sh
+          }
+        }
+        while (idx < n) {
+          val c = s.charAt(idx)
+          if (Character.isWhitespace(c)) closeWord()
+          else { wh ^= Character.toLowerCase(c).toLong; wh *= 0x100000001b3L; inWord = true }
+          idx += 1
+        }
+        closeWord()
+      }
+      set.toSeq
+    }
+    u(text)
+  }
+
   /** n-gram Jaccard similarity verification of candidate pairs: join texts
-    * back, compute |A∩B| / |A∪B| over word shingles with builtin array ops. */
+    * back, compute |A∩B| / |A∪B| over hashed word shingles with builtin
+    * array ops (values equal string-shingle Jaccard, see [[shingleHashes]]). */
   def jaccardVerify(
       candidates: DataFrame,
       docs: DataFrame,
@@ -216,7 +257,7 @@ object Dedup {
     val ids = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol))).distinct()
     val sh = docs.join(ids, Seq(idCol), "left_semi")
-      .select(col(idCol), array_distinct(shingles(col(textCol), k)).as("sh"))
+      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
     val withA = candidates.join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
     val withB = withA.join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     withB
