@@ -24,8 +24,16 @@ object Extract {
     * (`get_next_assets_uid`, `pg.rs:190-194`); any numbering that is
     * monotone in (tx arrival, position-in-tx) is semantically equivalent for
     * the SCD-2 chain (only relative order within an entity matters) and this
-    * one needs no sequence round-trip. Declared deviation. */
-  private def updateUid: Column = col("uid") * 1000 + col("position")
+    * one needs no sequence round-trip. Declared deviation.
+    *
+    * A tx carrying ≥1000 state updates would collide with the next tx's uid
+    * space and silently corrupt SCD-2 ordering — fail fast instead (the
+    * reference's global sequence cannot collide, so neither may we). */
+  private def updateUid: Column =
+    when(col("position") < 1000, col("uid") * 1000 + col("position"))
+      .otherwise(raise_error(concat(
+        lit("state-update position exceeds uid headroom (999): "),
+        col("position").cast("string"))))
 
   /** Asset updates from per-tx asset state updates (`mod.rs:476-546`):
     * skip WAVES (`mod.rs:491-494`), derive the issuer address from the

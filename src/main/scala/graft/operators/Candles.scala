@@ -169,7 +169,9 @@ object Candles {
         sumOf(col("__amount"), "__vol_raw"),
         sumOf(col("__amount") * col("__price"), "__qvol_raw"),
         maxOf(col("height"), "max_height"),
-        countRows("__txs_raw"),
+        // count over __price, not count(*), keeping the salted plan
+        // definitionally identical to minuteCandles' count(__price)
+        countOf(col("__price"), "__txs_raw"),
         minByOf(col("__price"), col("uid"), "open"),
         maxByOf(col("__price"), col("uid"), "close")),
       saltBuckets,

@@ -220,7 +220,42 @@ object ChainSync {
   def rollbackTo(state: ChainState, toBlockId: String): ChainState = {
     val cutRow = state.blocks.filter(col("id") === toBlockId).agg(max("uid")).first()
     require(!cutRow.isNullAt(0), s"rollback target block not found: $toBlockId")
-    val cut = cutRow.getLong(0)
+    rollbackToCut(state, cutRow.getLong(0))
+  }
+
+  /** Startup safety rollback (ST5) ≙ `mod.rs:103-137`: on resume, rewind
+    * `depth` key blocks from the tip before consuming the stream, so a
+    * reorg that happened while the consumer was down (or a partially
+    * re-served stream) lands on a clean prefix. No-op on an empty state. */
+  def startupRollback(state: ChainState, depth: Int): ChainState =
+    Pipeline.startupRollbackCut(state.blocks, depth) match {
+      case Some(cut) if cut < state.maxBlockUid => rollbackToCut(state, cut)
+      case _ => state
+    }
+
+  /** Resume-batch dedup: drop RawBlocks whose id is already present in
+    * `state.blocks` — the at-least-once guard for a source that re-serves
+    * already-applied blocks after a restart (ADVICE r3). One bounded probe
+    * (the batch is ≤256 ids, pushed down as an IN-list scan filter).
+    * Note a squashed key block no longer carries its original id (the
+    * total-block rename gives it the last microblock's id) — replays that
+    * straddle an unsquashed microblock run are the [[startupRollback]]
+    * path's job, not this filter's. */
+  def dropAppliedBlocks(state: ChainState, updates: Seq[RawUpdate]): Seq[RawUpdate] = {
+    val ids = updates.collect { case b: RawBlock => b.id }
+    if (ids.isEmpty) updates
+    else {
+      val applied = state.blocks.filter(col("id").isin(ids: _*))
+        .select("id").collect().map(_.getString(0)).toSet
+      if (applied.isEmpty) updates
+      else updates.filter {
+        case b: RawBlock => !applied.contains(b.id)
+        case _ => true
+      }
+    }
+  }
+
+  private def rollbackToCut(state: ChainState, cut: Long): ChainState = {
     val droppedTrades = state.facts("txs_7").filter(col("block_uid") > cut)
     val firstDropped = droppedTrades.agg(min("time_stamp")).collect()
       .headOption.flatMap(r => Option(r.getTimestamp(0)))
@@ -261,8 +296,18 @@ object ChainSync {
     * driver restarts. [[load]] resumes, recovering the uid high-water mark
     * from `max(blocks.uid)` exactly as the reference resumes from
     * `max(height)` (`pg.rs:70-78`). */
-  def persist(state: ChainState, dir: String): Unit = {
+  def persist(state: ChainState, dir: String, lastBatchId: Long = -1L): Unit = {
     import graft.sinks.TableStore
+    // one-row sync_meta carries everything not recoverable from the tables:
+    // the uid-generator cursor (so a resume at the same height CONTINUES the
+    // per-height index instead of re-issuing colliding tx uids) and the last
+    // applied streaming batch id (so a checkpoint-replayed batch is
+    // recognized and skipped — ADVICE r3)
+    val spark = state.blocks.sparkSession
+    import spark.implicits._
+    Seq((state.uidLastHeight, state.uidNextIdx, lastBatchId))
+      .toDF("uid_last_height", "uid_next_idx", "last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/sync_meta")
     TableStore.writeFact(state.blocks, s"$dir/blocks_microblocks")
     state.facts.foreach { case (name, df) =>
       val sortCol = if (df.columns.contains("uid")) "uid" else "tx_uid" // children key on tx_uid
@@ -275,11 +320,13 @@ object ChainSync {
     state.wavesData.sort("height").write.mode("overwrite").parquet(s"$dir/waves_data")
   }
 
-  /** Resume a fold state persisted by [[persist]]. The uid-generator state
-    * deliberately resets (≙ the reference's in-process static resetting on
-    * restart; the post-restart startup rollback lands on a fresh height, so
-    * the reset is unobservable). */
+  /** Resume a fold state persisted by [[persist]]: block/fact/dim tables
+    * plus the `sync_meta` uid-generator cursor, so txs appended at the
+    * resumed tip height continue the per-height index rather than
+    * re-issuing uids that collide with persisted rows (ADVICE r3). States
+    * persisted before `sync_meta` existed load with a reset cursor. */
   def load(spark: SparkSession, dir: String): ChainState = {
+    val (lastHeight, nextIdx, _) = readMeta(spark, dir)
     def read(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
       spark.read.schema(schema).parquet(s"$dir/$path")
         .select(schema.fieldNames.map(col).toIndexedSeq: _*) // drop the height_bucket partition col
@@ -298,8 +345,23 @@ object ChainSync {
       assetOrigins = read("asset_origins", ReferenceSchemas.assetOrigins),
       wavesData = read("waves_data", ReferenceSchemas.wavesData),
       candles = read("candles", ReferenceSchemas.candles),
-      maxBlockUid = maxUid)
+      maxBlockUid = maxUid,
+      uidLastHeight = lastHeight,
+      uidNextIdx = nextIdx)
   }
+
+  /** The last streaming batch id recorded by [[persist]] (-1 if none):
+    * seed [[graft.streaming.MicroBatchPipeline.startChainSync]] with it so
+    * the checkpoint-replayed batch after a driver restart is skipped. */
+  def lastAppliedBatch(spark: SparkSession, dir: String): Long =
+    readMeta(spark, dir)._3
+
+  private def readMeta(spark: SparkSession, dir: String): (Int, Long, Long) =
+    try {
+      spark.read.parquet(s"$dir/sync_meta").collect().headOption
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .getOrElse((-1, 0L, -1L))
+    } catch { case _: org.apache.spark.sql.AnalysisException => (-1, 0L, -1L) }
 
   /** The reference's three SQL views over the fold state
     * (`up.sql:420-485`): (decimals, tickers, assets). */

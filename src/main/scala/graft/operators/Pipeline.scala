@@ -92,15 +92,18 @@ object Pipeline {
     // Range partitions come out in key order, so partition id IS the range
     // rank; within a sorted partition monotonically_increasing_id ascends in
     // row order. Global rn = cumulative prior-partition counts + local rank.
-    // The frame is persisted BEFORE the stats pass so AQE's partition
-    // coalescing is decided exactly once — the stats job and the final
-    // projection read the same cached partitions, so the pid ↔ offset map
-    // cannot drift between jobs (the failure mode that previously forced an
-    // RDD zipWithIndex here). Everything stays in Tungsten/codegen.
-    val sorted = events.repartitionByRange(n, orderCol).sortWithinPartitions(orderCol)
+    // The frame is materialized (eager localCheckpoint) BEFORE the stats pass
+    // so AQE's partition coalescing is decided exactly once — the stats job
+    // and the final projection read the same checkpointed partitions, so the
+    // pid ↔ offset map cannot drift between jobs (the failure mode that
+    // previously forced an RDD zipWithIndex here). Unlike persist(), the
+    // checkpoint blocks are released by the ContextCleaner once the frame is
+    // unreachable — repeated per-micro-batch calls don't pin storage memory.
+    val chk = events.repartitionByRange(n, orderCol).sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .persist()
+      .localCheckpoint(true)
+    val sorted = chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
     val stats = sorted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__mid0"))
       .collect()

@@ -31,16 +31,21 @@ object MicroBatchPipeline {
       maxWaitMs: Long = 5000L): DataStreamWriter[T] =
     w.trigger(Trigger.ProcessingTime(maxWaitMs))
 
-  /** At-least-once batch application with in-process dedup (ST2): `handler`
-    * runs once per batchId within this driver's lifetime. The high-water
-    * mark is driver-memory only — after a driver RESTART it resets and the
-    * checkpoint-replayed batch runs again, so end-to-end exactly-once rests
-    * on the handler/sink committing idempotently per batchId (as the
-    * reference's "resume from max(height)" rests on the Postgres txn,
-    * `pg.rs:70-78`). [[graft.sinks.JdbcUpsertSink]]'s keyed upserts and
-    * [[graft.operators.Merge.insertIgnore]] satisfy that contract. */
-  final class IdempotentBatchHandler(handler: (DataFrame, Long) => Unit) extends Serializable {
-    private val lastApplied = new AtomicLong(-1L)
+  /** At-least-once batch application with batchId dedup (ST2): `handler`
+    * runs once per batchId. Seed `initialLastApplied` from durable state
+    * ([[graft.operators.ChainSync.lastAppliedBatch]]) so the
+    * checkpoint-replayed batch after a driver RESTART is recognized and
+    * skipped — Spark re-serves the in-flight batch with the SAME id, so a
+    * persisted high-water mark closes the replay window the way the
+    * reference's "resume from max(height)" does (`pg.rs:70-78`). Without a
+    * seed the mark is driver-memory only and exactly-once rests on the
+    * handler/sink committing idempotently per batchId
+    * ([[graft.sinks.JdbcUpsertSink]]'s keyed upserts,
+    * [[graft.operators.Merge.insertIgnore]]). */
+  final class IdempotentBatchHandler(
+      handler: (DataFrame, Long) => Unit,
+      initialLastApplied: Long = -1L) extends Serializable {
+    private val lastApplied = new AtomicLong(initialLastApplied)
     def apply(df: DataFrame, batchId: Long): Unit = {
       if (batchId > lastApplied.get()) {
         handler(df, batchId)
@@ -55,8 +60,9 @@ object MicroBatchPipeline {
       events: Dataset[T],
       handler: (DataFrame, Long) => Unit,
       maxWaitMs: Long = 5000L,
-      queryName: String = "graft-consumer"): StreamingQuery = {
-    val idempotent = new IdempotentBatchHandler(handler)
+      queryName: String = "graft-consumer",
+      lastAppliedBatch: Long = -1L): StreamingQuery = {
+    val idempotent = new IdempotentBatchHandler(handler, lastAppliedBatch)
     withBatchClose(
       events.toDF().writeStream
         .queryName(queryName)
@@ -85,7 +91,16 @@ object MicroBatchPipeline {
     * collected to the driver exactly as the reference buffers its batch
     * `Vec` (bounded by the batch-close rule, ≤256 blocks); all heavy work —
     * conversion, SCD-2, candles — happens in the cluster-side fold.
-    * `onBatch` observes the post-fold state (persist it / publish views). */
+    * `onBatch` observes the post-fold state (persist it / publish views —
+    * pass the batchId through to [[ChainSync.persist]]).
+    *
+    * Restart contract (ADVICE r3): when resuming from durable state, pass
+    * `lastAppliedBatch = ChainSync.lastAppliedBatch(dir)` so the
+    * checkpoint-replayed batch (same batchId) is skipped, and optionally
+    * `startupRollbackDepth` to rewind the reference's safety margin before
+    * consuming (`mod.rs:103-137`). Independently, the first non-empty batch
+    * against a non-empty state drops blocks whose ids are already applied —
+    * the guard for a source that re-serves from below the tip. */
   def startChainSync(
       spark: SparkSession,
       events: Dataset[UpdateEvent],
@@ -93,13 +108,22 @@ object MicroBatchPipeline {
       config: ChainSync.Config = ChainSync.Config(),
       onBatch: (ChainSync.ChainState, Long) => Unit = (_, _) => (),
       maxWaitMs: Long = 5000L,
-      liveness: Option[LivenessListener] = None): StreamingQuery = {
+      liveness: Option[LivenessListener] = None,
+      lastAppliedBatch: Long = -1L,
+      startupRollbackDepth: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
-    @volatile var state = initial
+    @volatile var state = startupRollbackDepth match {
+      case Some(depth) if initial.maxBlockUid > 0 => ChainSync.startupRollback(initial, depth)
+      case _ => initial
+    }
+    @volatile var resumeCheck = state.maxBlockUid > 0
     start[UpdateEvent](
       events,
       (df, batchId) => {
-        val updates = df.as[UpdateEvent].collect().toSeq.map(_.toUpdate)
+        val raw = df.as[UpdateEvent].collect().toSeq.map(_.toUpdate)
+        val updates =
+          if (resumeCheck) ChainSync.dropAppliedBlocks(state, raw) else raw
+        if (raw.nonEmpty) resumeCheck = false
         if (updates.nonEmpty) {
           state = ChainSync.handleUpdates(spark, state, updates, config)
           // ST6: newest key-block time observed per batch (consumer.rs:9-46)
@@ -111,7 +135,8 @@ object MicroBatchPipeline {
         }
       },
       maxWaitMs,
-      queryName = "graft-chain-sync")
+      queryName = "graft-chain-sync",
+      lastAppliedBatch = lastAppliedBatch)
   }
 }
 

@@ -122,6 +122,92 @@ class ReplaySpec extends SparkSpec {
     same(resumed.blocks, direct.blocks, "resumed blocks")
   }
 
+  test("persist/load resumes the uid generator — no tx-uid collisions at the tip height") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state-").toString
+    val state = fold(ChainSync.emptyState(spark), block1)
+    ChainSync.persist(state, dir, lastBatchId = 7L)
+    assert(ChainSync.lastAppliedBatch(spark, dir) == 7L)
+    val loaded = ChainSync.load(spark, dir)
+    assert(loaded.uidLastHeight == 100 && loaded.uidNextIdx == 2L)
+    // a microblock extending the persisted tip must CONTINUE height 100's
+    // index (e1=idx0, e2=idx1 persisted → e5 gets idx2), not restart at 0
+    val micro = RawBlock("m1", 100, None, None, Seq(
+      exchange("e5", t0 + 40000, 7, 300, ("AA", "PP"))))
+    val resumed = fold(loaded, micro)
+    val uids = resumed.facts("txs_7").select("uid").as[Long].collect().toSet
+    assert(uids.size == 3, s"uid collision after resume: $uids")
+    assert(uids.contains(100L * 100000 + 2))
+  }
+
+  test("dropAppliedBlocks skips re-served blocks; overlap replay folds to the clean state") {
+    val state = fold(ChainSync.emptyState(spark), block1, block2)
+    val block3 = RawBlock("b3", 102, Some(t0 + 120000), None, Seq(
+      exchange("e6", t0 + 120000, 20, 400, ("AA", "PP"))))
+    // a source resuming from below the tip re-serves block2
+    val replayed = ChainSync.dropAppliedBlocks(state, Seq(block2, block3))
+    assert(replayed.map { case b: RawBlock => b.id; case _ => "" } == Seq("b3"))
+    // rollbacks pass through untouched
+    assert(ChainSync.dropAppliedBlocks(state, Seq(RawRollback("b1"))).length == 1)
+    val resumed = fold(state, replayed: _*)
+    val direct = fold(ChainSync.emptyState(spark), block1, block2, block3)
+    same(resumed.candles, direct.candles, "overlap-replay candles")
+    same(resumed.facts("txs_7"), direct.facts("txs_7"), "overlap-replay txs_7")
+    same(resumed.blocks, direct.blocks, "overlap-replay blocks")
+  }
+
+  test("startupRollback rewinds the safety margin to the clean prefix") {
+    val state = fold(ChainSync.emptyState(spark), block1, block2)
+    val rolled = ChainSync.startupRollback(state, depth = 1)
+    val clean = fold(ChainSync.emptyState(spark), block1)
+    same(rolled.candles, clean.candles, "startup-rollback candles")
+    same(rolled.blocks, clean.blocks, "startup-rollback blocks")
+    same(rolled.assetUpdates, clean.assetUpdates, "startup-rollback asset_updates")
+    // depth past the chain start is a no-op at the first block
+    assert(ChainSync.startupRollback(rolled, depth = 5).maxBlockUid == rolled.maxBlockUid)
+  }
+
+  test("restart replay: seeded batch high-water mark + resume dedup produce no duplicates") {
+    import graft.streaming.MicroBatchPipeline
+    import graft.streaming.MicroBatchPipeline.UpdateEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart-").toString
+    val block3 = RawBlock("b3", 102, Some(t0 + 120000), None, Seq(
+      exchange("e6", t0 + 120000, 20, 400, ("AA", "PP"))))
+
+    // first run: fold batch 0, persist state + batch id, then "crash"
+    val s1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UpdateEvent]
+    val q1 = MicroBatchPipeline.startChainSync(
+      spark, s1.toDS(), ChainSync.emptyState(spark),
+      onBatch = (st, id) => ChainSync.persist(st, dir, id), maxWaitMs = 10L)
+    try {
+      s1.addData(UpdateEvent(block1), UpdateEvent(block2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart: the streaming engine re-serves the in-flight batch with the
+    // SAME id (simulated by a fresh MemoryStream whose ids restart at 0);
+    // the seeded high-water mark must skip it, then batch 1 applies
+    val loaded = ChainSync.load(spark, dir)
+    val lastBatch = ChainSync.lastAppliedBatch(spark, dir)
+    assert(lastBatch == 0L)
+    @volatile var last: Option[ChainState] = None
+    val s2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UpdateEvent]
+    val q2 = MicroBatchPipeline.startChainSync(
+      spark, s2.toDS(), loaded,
+      onBatch = (st, _) => last = Some(st), maxWaitMs = 10L,
+      lastAppliedBatch = lastBatch)
+    try {
+      s2.addData(UpdateEvent(block1), UpdateEvent(block2)) // checkpoint replay
+      q2.processAllAvailable()
+      s2.addData(UpdateEvent(block3))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val direct = fold(ChainSync.emptyState(spark), block1, block2, block3)
+    same(last.get.facts("txs_7"), direct.facts("txs_7"), "restarted txs_7")
+    same(last.get.blocks, direct.blocks, "restarted blocks")
+    same(last.get.candles, direct.candles, "restarted candles")
+  }
+
   test("views compose over the fold state (decimals/tickers/assets)") {
     val state = fold(ChainSync.emptyState(spark), block1, block2)
     val (decimals, tickers, assets) = ChainSync.views(spark, state)
