@@ -550,6 +550,56 @@ object AggQueries {
       Some("""SELECT epoch_ms(ts) AS latest_ms FROM events
              |WHERE event_type <> 'click' ORDER BY event_id DESC LIMIT 1""".stripMargin)),
 
+    // ST7 — streaming-NATIVE minute candles: watermark + 1-minute windowed
+    // aggregation driven by a real MemoryStream query in micro-batches; the
+    // oracle is the SAME c1m transliteration the batch a1 uses — streaming
+    // and batch are definitionally identical (Candles.minuteAggs is shared)
+    QueryDef("st7_stream_candles",
+      (s, dir) => {
+        import graft.streaming.StreamingCandles
+        val rows = Tables.trades(s, dir).filter(col("uid") < 4000)
+          .collect().map(r => StreamingCandles.TradeEvent(
+            r.getAs[Long]("uid"),
+            r.getAs[java.sql.Timestamp]("time_stamp").getTime,
+            r.getAs[String]("amount_asset_id"), r.getAs[String]("price_asset_id"),
+            r.getAs[String]("sender"), r.getAs[Int]("height"),
+            r.getAs[Long]("amount"), BigDecimal(r.getAs[java.math.BigDecimal]("price"))))
+        candleOut(StreamingCandles.replayMinute(s, rows.toSeq, chunk = 1024))
+      },
+      Some(withTrades(c1mCte("WHERE uid < 4000")) +
+        "\n" + candleSelect("ts_1m") + "\nFROM c1m " + orderTail)),
+
+    // ST8 — stateful candles via mapGroupsWithState (custom streaming state,
+    // update mode): per-key last-write-wins over emitted updates must equal
+    // the same batch oracle
+    QueryDef("st8_stateful_candles",
+      (s, dir) => {
+        import graft.streaming.StreamingCandles
+        val rows = Tables.trades(s, dir).filter(col("uid") < 4000)
+          .collect().map(r => StreamingCandles.TradeEvent(
+            r.getAs[Long]("uid"),
+            r.getAs[java.sql.Timestamp]("time_stamp").getTime,
+            r.getAs[String]("amount_asset_id"), r.getAs[String]("price_asset_id"),
+            r.getAs[String]("sender"), r.getAs[Int]("height"),
+            r.getAs[Long]("amount"), BigDecimal(r.getAs[java.math.BigDecimal]("price"))))
+        StreamingCandles.replayStateful(s, rows.toSeq, chunk = 1024)
+          .select(
+            (col("time_start_ms") / 1000).cast("long").as("time_start_epoch"),
+            col("amount_asset_id"), col("price_asset_id"), col("matcher_address"),
+            col("low").cast("double").as("low"),
+            col("high").cast("double").as("high"),
+            col("volume").cast("double").as("volume"),
+            col("quote_volume").cast("double").as("quote_volume"),
+            col("max_height"),
+            col("txs_count").cast("long").as("txs_count"),
+            col("weighted_average_price").cast("double").as("weighted_average_price"),
+            col("open").cast("double").as("open"),
+            col("close").cast("double").as("close"))
+          .orderBy("time_start_epoch", "amount_asset_id", "price_asset_id", "matcher_address")
+      },
+      Some(withTrades(c1mCte("WHERE uid < 4000")) +
+        "\n" + candleSelect("ts_1m") + "\nFROM c1m " + orderTail)),
+
     // Views — tickers (O20 over asset_tickers, up.sql:432-435)
     QueryDef("view_tickers",
       (s, dir) => {

@@ -49,22 +49,29 @@ object Candles {
         col("amount").cast(money).as("__amount"),
         col("__price"))
       .groupBy("time_start", "amount_asset_id", "price_asset_id", "matcher_address")
-      .agg(
-        min(col("__price")).as("low"),
-        max(col("__price")).as("high"),
-        sum(col("__amount")).cast(money).as("volume"),
-        sum(col("__amount") * col("__price")).cast(money).as("quote_volume"),
-        max(col("height")).as("max_height"),
-        count(col("__price")).cast("int").as("txs_count"),
-        floor(sum(col("__amount") * col("__price")) / sum(col("__amount")))
-          .cast(money).as("weighted_average_price"),
-        // (array_agg(price ORDER BY uid))[1] / DESC — deterministic under
-        // parallelism via min_by/max_by on uid (SURVEY §7.4.2)
-        min_by(col("__price"), col("uid")).as("open"),
-        max_by(col("__price"), col("uid")).as("close"))
+      .agg(minuteAggs.head, minuteAggs.tail: _*)
       .withColumn("interval", lit("1m"))
       .select(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  /** The minute-candle measures over the prepared (__amount/__price/uid/
+    * height) frame — shared by the batch aggregation above and the
+    * streaming-native windowed aggregation
+    * ([[graft.streaming.StreamingCandles]]); keeping one list guarantees
+    * the two paths stay definitionally identical. open/close =
+    * (array_agg(price ORDER BY uid))[1]/DESC, deterministic under
+    * parallelism via min_by/max_by on uid (SURVEY §7.4.2). */
+  private[graft] val minuteAggs: Seq[Column] = Seq(
+    min(col("__price")).as("low"),
+    max(col("__price")).as("high"),
+    sum(col("__amount")).cast(money).as("volume"),
+    sum(col("__amount") * col("__price")).cast(money).as("quote_volume"),
+    max(col("height")).as("max_height"),
+    count(col("__price")).cast("int").as("txs_count"),
+    floor(sum(col("__amount") * col("__price")) / sum(col("__amount")))
+      .cast(money).as("weighted_average_price"),
+    min_by(col("__price"), col("uid")).as("open"),
+    max_by(col("__price"), col("uid")).as("close"))
 
   /** One ladder edge (A2) ≙ `calculate_non_minute_candles` `pg.rs:740-815`:
     * re-aggregate `src`-interval candles (time_start >= since) into `dst`. */
@@ -107,8 +114,9 @@ object Candles {
     }
 
   /** The `__price` column: raw price, or the tx_version > 2 decimal rescale
-    * against a broadcast decimals dim with fail-on-miss (J3, pg.rs:708-713). */
-  private def pricedTrades(filtered: DataFrame, decimals: Option[DataFrame]): DataFrame =
+    * against a broadcast decimals dim with fail-on-miss (J3, pg.rs:708-713).
+    * Works unchanged on a streaming frame (stream-static broadcast join). */
+  private[graft] def pricedTrades(filtered: DataFrame, decimals: Option[DataFrame]): DataFrame =
     decimals match {
       case Some(dim) =>
         val aDec = broadcast(dim.select(col("asset_id"), col("decimals").as("__a_dec")))

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+
+import graft.operators.Candles
+import graft.schema.ReferenceSchemas
+
+/** Streaming-NATIVE minute-candle maintenance — the reference recomputes
+  * candles per ingest batch from the first affected minute (`pg.rs:660-678`);
+  * these are the two idiomatic Structured-Streaming expressions of the same
+  * aggregation, for deployments where candles should be maintained by the
+  * streaming engine's state store instead of the fold's MERGE
+  * ([[graft.operators.Candles.recomputeSince]]):
+  *
+  *  1. [[minuteCandles]] — declarative: event-time watermark + 1-minute
+  *     windowed aggregation over exactly [[Candles.minuteAggs]]. Late trades
+  *     within the watermark update their candle; state for closed minutes is
+  *     evicted by the watermark, so executor state is bounded by
+  *     (watermark horizon × live pairs) regardless of stream length — the
+  *     100 TB-safe shape. Run in `update` mode (emit refreshed candles per
+  *     trigger) or `append` (emit each candle once, finalized).
+  *  2. [[statefulMinuteCandles]] — imperative custom state via
+  *     `KeyValueGroupedDataset.mapGroupsWithState`, for semantics a windowed
+  *     agg cannot express (e.g. conditional resets). Carries (value, uid)
+  *     argmin/argmax state for open/close exactly like the salted batch path.
+  *
+  * Both produce rows definitionally identical to the batch
+  * [[Candles.minuteCandles]] — pinned by StreamingSpec parity tests and the
+  * st7/st8 oracle queries.
+  */
+object StreamingCandles {
+
+  private val money = ReferenceSchemas.money
+
+  /** Watermark + windowed aggregation (shape 1). `trades` must carry the
+    * candle input contract columns (time_stamp, uid, height, sender,
+    * amount_asset_id, price_asset_id, amount, price[, tx_version]). */
+  def minuteCandles(
+      trades: DataFrame,
+      decimals: Option[DataFrame] = None,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    Candles.pricedTrades(trades.withWatermark("time_stamp", watermarkDelay), decimals)
+      .select(col("time_stamp"),
+        col("amount_asset_id"), col("price_asset_id"),
+        col("sender").as("matcher_address"),
+        col("uid"), col("height"),
+        col("amount").cast(money).as("__amount"),
+        col("__price"))
+      .groupBy(window(col("time_stamp"), "1 minute"),
+        col("amount_asset_id"), col("price_asset_id"), col("matcher_address"))
+      .agg(Candles.minuteAggs.head, Candles.minuteAggs.tail: _*)
+      .withColumn("time_start", col("window.start"))
+      .withColumn("interval", lit("1m"))
+      .select(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Typed trade event for the stateful path and the replay harness. */
+  final case class TradeEvent(
+      uid: Long, timeStampMs: Long,
+      amountAssetId: String, priceAssetId: String, sender: String,
+      height: Int, amount: Long, price: BigDecimal)
+
+  /** Running per-candle state: argmin/argmax carry their uid so open/close
+    * stay deterministic across arrival order, as in the batch/salted paths. */
+  final case class CandleAgg(
+      openUid: Long, open: BigDecimal, closeUid: Long, close: BigDecimal,
+      low: BigDecimal, high: BigDecimal,
+      volume: BigDecimal, quoteVolume: BigDecimal,
+      maxHeight: Int, txsCount: Int)
+
+  final case class CandleRow(
+      time_start_ms: Long, amount_asset_id: String, price_asset_id: String,
+      matcher_address: String,
+      low: BigDecimal, high: BigDecimal, volume: BigDecimal,
+      quote_volume: BigDecimal, max_height: Int, txs_count: Int,
+      weighted_average_price: BigDecimal,
+      open: BigDecimal, close: BigDecimal)
+
+  private def step(a: CandleAgg, t: TradeEvent): CandleAgg = {
+    val amt = BigDecimal(t.amount)
+    val qv = amt * t.price
+    if (a == null)
+      CandleAgg(t.uid, t.price, t.uid, t.price, t.price, t.price, amt, qv, t.height, 1)
+    else {
+      val (ou, o) = if (t.uid < a.openUid) (t.uid, t.price) else (a.openUid, a.open)
+      val (cu, c) = if (t.uid > a.closeUid) (t.uid, t.price) else (a.closeUid, a.close)
+      CandleAgg(ou, o, cu, c,
+        a.low.min(t.price), a.high.max(t.price),
+        a.volume + amt, a.quoteVolume + qv,
+        math.max(a.maxHeight, t.height), a.txsCount + 1)
+    }
+  }
+
+  /** mapGroupsWithState candle maintenance (shape 2): one state entry per
+    * (minute, pair, matcher), updated incrementally, re-emitted on every
+    * trigger that touches the group (run the query in `update` mode).
+    * weighted_average_price = floor(Σ amount·price / Σ amount), re-derived
+    * from the combined sums exactly as the salted batch phase 2 does. */
+  def statefulMinuteCandles(trades: Dataset[TradeEvent]): Dataset[CandleRow] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .groupByKey(t => (t.timeStampMs / 60000 * 60000, t.amountAssetId, t.priceAssetId, t.sender))
+      .mapGroupsWithState[CandleAgg, CandleRow](GroupStateTimeout.NoTimeout) {
+        case ((minuteMs, a, p, m), rows, state) =>
+          val agg = rows.foldLeft(state.getOption.orNull)(step)
+          state.update(agg)
+          CandleRow(minuteMs, a, p, m,
+            agg.low, agg.high, agg.volume, agg.quoteVolume,
+            agg.maxHeight, agg.txsCount,
+            (agg.quoteVolume / agg.volume).setScale(0, BigDecimal.RoundingMode.FLOOR),
+            agg.open, agg.close)
+      }
+  }
+
+  // ---------------------------------------------------------------- replay
+  // Bounded deterministic harnesses (≙ StreamReplay): drive the streaming
+  // aggregations with a real MemoryStream query and return the final candle
+  // set as a batch frame — how the st7/st8 gate queries run them.
+
+  private val seq = new AtomicInteger()
+
+  private def tradeFrame(stream: MemoryStream[TradeEvent]): DataFrame =
+    stream.toDS().select(
+      col("uid"),
+      timestamp_millis(col("timeStampMs")).as("time_stamp"),
+      col("amountAssetId").as("amount_asset_id"),
+      col("priceAssetId").as("price_asset_id"),
+      col("sender"), col("height"), col("amount"), col("price"))
+
+  /** Replay `trades` through the windowed aggregation in `chunk`-sized
+    * micro-batches; complete-mode memory sink so the final table IS the
+    * final candle set (the bounded-replay analog of update mode — a
+    * watermark cannot finalize the tail of a finite stream). */
+  def replayMinute(spark: SparkSession, trades: Seq[TradeEvent], chunk: Int): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[TradeEvent]
+    val name = s"graft_stream_candles_${seq.incrementAndGet()}"
+    val query = minuteCandles(tradeFrame(stream)).writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    try {
+      trades.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+    } finally query.stop()
+    spark.table(name)
+  }
+
+  /** Replay through [[statefulMinuteCandles]] (update mode): per-key
+    * last-write-wins over the emitted updates is the final candle set. */
+  def replayStateful(spark: SparkSession, trades: Seq[TradeEvent], chunk: Int): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[TradeEvent]
+    val latest = new java.util.concurrent.ConcurrentHashMap[(Long, String, String, String), CandleRow]()
+    val query = statefulMinuteCandles(stream.toDS()).writeStream
+      .outputMode("update")
+      .foreachBatch { (df: Dataset[CandleRow], _: Long) =>
+        df.collect().foreach { r =>
+          latest.put((r.time_start_ms, r.amount_asset_id, r.price_asset_id, r.matcher_address), r)
+        }; ()
+      }
+      .trigger(Trigger.ProcessingTime(10L))
+      .start()
+    try {
+      trades.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+    } finally query.stop()
+    import scala.jdk.CollectionConverters._
+    latest.values.asScala.toSeq.toDS().toDF()
+  }
+}

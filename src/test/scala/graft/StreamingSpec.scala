@@ -87,6 +87,62 @@ class StreamingSpec extends SparkSpec {
       2L -> ((88L, 512L, 599L))))
   }
 
+  test("streaming windowed candles equal the batch aggregation (ST7)") {
+    import graft.streaming.StreamingCandles
+    // 200 trades over ~13 minutes, 2 pairs × 2 matchers, out-of-minute
+    // arrival inside chunks (chunk=64 straddles minute boundaries)
+    val events = (0 until 200).map { i =>
+      StreamingCandles.TradeEvent(
+        uid = i.toLong, timeStampMs = 1704103200000L + (i % 40) * 20000L + (i / 40) * 240000L,
+        amountAssetId = s"A${i % 2}", priceAssetId = "P", sender = s"m${(i / 3) % 2}",
+        height = 10 + i / 50, amount = i % 30 + 1, price = BigDecimal((i % 17 + 1) * 25, 2))
+    }
+    val batchInput = asTrades(events.map(e =>
+      Trade(e.uid, new Timestamp(e.timeStampMs).toString, e.amountAssetId,
+        e.priceAssetId, e.sender, e.height, e.amount, e.price.toDouble)).toDF())
+    val expected = Candles.minuteCandles(batchInput)
+    val streamed = StreamingCandles.replayMinute(spark, events, chunk = 64)
+    assert(streamed.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(streamed).count() == 0,
+      s"windowed-stream candles diverged from batch:\n" +
+        s"stream-only: ${streamed.exceptAll(expected).collect().mkString("\n")}\n" +
+        s"batch-only: ${expected.exceptAll(streamed).collect().mkString("\n")}")
+  }
+
+  test("stateful mapGroupsWithState candles equal the batch aggregation (ST8)") {
+    import graft.streaming.StreamingCandles
+    val events = (0 until 150).map { i =>
+      StreamingCandles.TradeEvent(
+        uid = i.toLong, timeStampMs = 1704103200000L + (i % 25) * 15000L + (i / 25) * 180000L,
+        amountAssetId = "A", priceAssetId = s"P${i % 3}", sender = "m",
+        height = 7 + i / 40, amount = i % 20 + 1, price = BigDecimal((i % 11 + 2) * 50, 2))
+    }
+    val batchInput = asTrades(events.map(e =>
+      Trade(e.uid, new Timestamp(e.timeStampMs).toString, e.amountAssetId,
+        e.priceAssetId, e.sender, e.height, e.amount, e.price.toDouble)).toDF())
+    val expected = Candles.minuteCandles(batchInput).select(
+      graft.sources.Tables.epochSecs(col("time_start")).as("t"),
+      col("amount_asset_id"), col("price_asset_id"), col("matcher_address"),
+      col("low").cast("double"), col("high").cast("double"),
+      col("volume").cast("double"), col("quote_volume").cast("double"),
+      col("max_height"), col("txs_count").cast("long"),
+      col("weighted_average_price").cast("double"),
+      col("open").cast("double"), col("close").cast("double"))
+    val streamed = StreamingCandles.replayStateful(spark, events, chunk = 50).select(
+      (col("time_start_ms") / 1000).cast("long").as("t"),
+      col("amount_asset_id"), col("price_asset_id"), col("matcher_address"),
+      col("low").cast("double"), col("high").cast("double"),
+      col("volume").cast("double"), col("quote_volume").cast("double"),
+      col("max_height"), col("txs_count").cast("long"),
+      col("weighted_average_price").cast("double"),
+      col("open").cast("double"), col("close").cast("double"))
+    assert(streamed.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(streamed).count() == 0,
+      s"stateful candles diverged from batch:\n" +
+        s"stream-only: ${streamed.exceptAll(expected).collect().mkString("\n")}\n" +
+        s"batch-only: ${expected.exceptAll(streamed).collect().mkString("\n")}")
+  }
+
   test("idempotent handler skips re-delivered batches (ST2)") {
     var applied = 0
     val h = new MicroBatchPipeline.IdempotentBatchHandler((_, _) => applied += 1)
