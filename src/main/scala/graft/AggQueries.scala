@@ -564,7 +564,7 @@ object AggQueries {
             r.getAs[String]("amount_asset_id"), r.getAs[String]("price_asset_id"),
             r.getAs[String]("sender"), r.getAs[Int]("height"),
             r.getAs[Long]("amount"), BigDecimal(r.getAs[java.math.BigDecimal]("price"))))
-        candleOut(StreamingCandles.replayMinute(s, rows.toSeq, chunk = 1024))
+        candleOut(StreamingCandles.replayMinute(s, rows.toSeq, chunk = 2000))
       },
       Some(withTrades(c1mCte("WHERE uid < 4000")) +
         "\n" + candleSelect("ts_1m") + "\nFROM c1m " + orderTail)),
@@ -582,7 +582,7 @@ object AggQueries {
             r.getAs[String]("amount_asset_id"), r.getAs[String]("price_asset_id"),
             r.getAs[String]("sender"), r.getAs[Int]("height"),
             r.getAs[Long]("amount"), BigDecimal(r.getAs[java.math.BigDecimal]("price"))))
-        StreamingCandles.replayStateful(s, rows.toSeq, chunk = 1024)
+        StreamingCandles.replayStateful(s, rows.toSeq, chunk = 2000)
           .select(
             (col("time_start_ms") / 1000).cast("long").as("time_start_epoch"),
             col("amount_asset_id"), col("price_asset_id"), col("matcher_address"),

@@ -18,14 +18,20 @@ object Bench {
     // container (BASELINE.md), which round 2 showed is enough to turn a
     // sub-second query into a phantom outlier
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // dev knobs: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set;
+    // SPARK_GRAFT_BENCH_VERBOSE=1 prints per-rep times to stderr
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val verbose = sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")
     val results = scala.collection.immutable.ListMap(
-      SparkEntry.queries.toSeq.sortBy(_._1): _*).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => only.forall(_.contains(q._1))): _*).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+      }
+      if (verbose) System.err.println(s"BENCHREP $name ${times.map(t => f"$t%.2f").mkString(" ")}")
+      name -> times.sorted.apply(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

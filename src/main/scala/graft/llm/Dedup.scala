@@ -242,6 +242,15 @@ object Dedup {
     u(text)
   }
 
+  /** Eager materialization with fresh attribute ids (localCheckpoint +
+    * rebase, as Candles/ChainSync.materialize): the checkpointed blocks are
+    * GC-released once the frame is unreachable, unlike a never-unpersisted
+    * `persist()` (ADVICE r2 pattern). */
+  private def materialize(df: DataFrame): DataFrame = {
+    val chk = df.localCheckpoint(true)
+    chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
+  }
+
   /** n-gram Jaccard similarity verification of candidate pairs: join texts
     * back, compute |A∩B| / |A∪B| over hashed word shingles with builtin
     * array ops (values equal string-shingle Jaccard, see [[shingleHashes]]). */
@@ -253,11 +262,14 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.7): DataFrame = {
     // Shingle only the docs that appear in a candidate pair — the candidate
-    // set is tiny relative to the corpus once LSH has done its job.
+    // set is tiny relative to the corpus once LSH has done its job. The
+    // shingled frame feeds BOTH pair-join sides: materialize it once, or the
+    // whole subtree (corpus scan + semi-join + shingle kernel) runs twice
+    // (measured 2× the verify stage at sf0.1).
     val ids = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol))).distinct()
-    val sh = docs.join(ids, Seq(idCol), "left_semi")
-      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+    val sh = materialize(docs.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), shingleHashes(col(textCol), k).as("sh")))
     val withA = candidates.join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
     val withB = withA.join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     withB
@@ -278,8 +290,9 @@ object Dedup {
       textCol: String = "text",
       threshold: Double = 0.7): DataFrame = {
     // The candidate frame feeds three consumers (two semi-join sides and the
-    // verify join) — persist so the signature scan runs once, not per branch.
-    val cands = minhashLshCandidates(docs, idCol, textCol).persist()
+    // verify join) — materialize so the signature scan runs once, not per
+    // branch (and is GC-released, unlike a leaked persist).
+    val cands = materialize(minhashLshCandidates(docs, idCol, textCol))
     val dups = jaccardVerify(cands, docs, idCol, textCol, threshold = threshold)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(dups, Seq(idCol), "left_anti")

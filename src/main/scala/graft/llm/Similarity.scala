@@ -12,16 +12,19 @@ import org.apache.spark.sql.functions._
   * assignment is a broadcast join + row-local argmax; the candidate join is
   * keyed on cell id, so the shuffle is 1/C of brute force.
   *
-  * Dot products use builtin `zip_with`/`aggregate` (codegen'd) — no UDF in
-  * the hot path.
+  * Dot products run the native [[graft.plans.VectorDot]] Catalyst
+  * expression — one fused codegen'd loop per pair. The builtin
+  * `aggregate(zip_with(...))` composition it replaced materializes an
+  * intermediate products array per PAIR, which dominates at |Q|·|C| scale;
+  * the fold order is identical, so results are bit-equal (oracle hashes
+  * unchanged).
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ via zip_with + aggregate builtins. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ — native fused loop, no intermediate array. */
+  def dot(a: Column, b: Column): Column = graft.plans.GraftExtensions.vectorDot(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -142,10 +145,7 @@ object Similarity {
       }
     }
     (0 until bits).map { b =>
-      val plane = planes(b)
-      val d = aggregate(
-        zip_with(col(vecCol), typedLit(plane.toSeq), (x, r) => x * r),
-        lit(0.0d), (acc, x) => acc + x)
+      val d = dot(col(vecCol), typedLit(planes(b).toSeq))
       when(d >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }

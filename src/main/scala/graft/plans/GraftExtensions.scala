@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("waves_address_from_pkh"),
       new ExpressionInfo(classOf[WavesAddressFromPkh].getName, "waves_address_from_pkh"),
       (args: Seq[Expression]) => WavesAddressFromPkh(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (args: Seq[Expression]) => VectorDot(args.head, args(1))))
   }
 }
 
@@ -57,6 +61,10 @@ object GraftExtensions {
       new FunctionIdentifier("waves_address_from_pkh"),
       new ExpressionInfo(classOf[WavesAddressFromPkh].getName, "waves_address_from_pkh"),
       (args: Seq[Expression]) => WavesAddressFromPkh(args.head, args(1)))
+    registry.registerFunction(
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (args: Seq[Expression]) => VectorDot(args.head, args(1)))
   }
   /** Column-level access to the native expressions (no registry needed). */
   def base58Encode(c: Column): Column = GraftColumnBridge.column(Base58Encode(GraftColumnBridge.expression(c)))
@@ -65,4 +73,6 @@ object GraftExtensions {
     GraftColumnBridge.column(WavesAddressFromPk(GraftColumnBridge.expression(pk), GraftColumnBridge.expression(chainId)))
   def wavesAddressFromPkh(pkh: Column, chainId: Column): Column =
     GraftColumnBridge.column(WavesAddressFromPkh(GraftColumnBridge.expression(pkh), GraftColumnBridge.expression(chainId)))
+  def vectorDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VectorDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

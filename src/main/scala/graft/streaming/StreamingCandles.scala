@@ -124,6 +124,17 @@ object StreamingCandles {
 
   private val seq = new AtomicInteger()
 
+  /** Run `body` with a reduced shuffle-partition count: a streaming query
+    * snapshots the conf at start, and each micro-batch writes one state
+    * file per state partition — 32 partitions for a bounded replay is pure
+    * fixed cost (the production query keeps the session default). */
+  private def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def tradeFrame(stream: MemoryStream[TradeEvent]): DataFrame =
     stream.toDS().select(
       col("uid"),
@@ -141,13 +152,15 @@ object StreamingCandles {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[TradeEvent]
     val name = s"graft_stream_candles_${seq.incrementAndGet()}"
-    val query = minuteCandles(tradeFrame(stream)).writeStream
-      .outputMode("complete").format("memory").queryName(name)
-      .trigger(Trigger.ProcessingTime(10L))
-      .start()
-    try {
-      trades.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
-    } finally query.stop()
+    withReplayPartitions(spark) {
+      val query = minuteCandles(tradeFrame(stream)).writeStream
+        .outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(10L))
+        .start()
+      try {
+        trades.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+      } finally query.stop()
+    }
     spark.table(name)
   }
 
@@ -158,18 +171,20 @@ object StreamingCandles {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[TradeEvent]
     val latest = new java.util.concurrent.ConcurrentHashMap[(Long, String, String, String), CandleRow]()
-    val query = statefulMinuteCandles(stream.toDS()).writeStream
-      .outputMode("update")
-      .foreachBatch { (df: Dataset[CandleRow], _: Long) =>
-        df.collect().foreach { r =>
-          latest.put((r.time_start_ms, r.amount_asset_id, r.price_asset_id, r.matcher_address), r)
-        }; ()
-      }
-      .trigger(Trigger.ProcessingTime(10L))
-      .start()
-    try {
-      trades.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
-    } finally query.stop()
+    withReplayPartitions(spark) {
+      val query = statefulMinuteCandles(stream.toDS()).writeStream
+        .outputMode("update")
+        .foreachBatch { (df: Dataset[CandleRow], _: Long) =>
+          df.collect().foreach { r =>
+            latest.put((r.time_start_ms, r.amount_asset_id, r.price_asset_id, r.matcher_address), r)
+          }; ()
+        }
+        .trigger(Trigger.ProcessingTime(10L))
+        .start()
+      try {
+        trades.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+      } finally query.stop()
+    }
     import scala.jdk.CollectionConverters._
     latest.values.asScala.toSeq.toDS().toDF()
   }

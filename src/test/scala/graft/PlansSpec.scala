@@ -49,6 +49,45 @@ class PlansSpec extends SparkSpec {
     assert(r.getString(1) == "hello")
   }
 
+  test("VectorDot matches the builtin fold bit-for-bit and stays in codegen") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1), Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    // the builtin composition VectorDot replaces — must be BIT-identical
+    // (same left-to-right fold order), or oracle hashes would shift
+    val builtin = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val diverged = df.select(
+      GraftExtensions.vectorDot(col("a"), col("b")).as("native"), builtin.as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diverged == 0, "native dot diverged from the builtin fold")
+    // a local relation constant-folds away; range keeps a real codegen stage
+    val ranged = spark.range(100)
+      .withColumn("a", transform(sequence(lit(0), lit(63)), i => (col("id") + i).cast("double")))
+    val plan = ranged.select(GraftExtensions.vectorDot(col("a"), col("a")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[vector_dot""".r.findFirstIn(plan).isDefined,
+      s"VectorDot fell out of codegen:\n$plan")
+  }
+
+  test("VectorDot: float widening, null arrays, mismatched lengths, SQL registration") {
+    val f = Seq(
+      (1L, Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(4.0f, 5.0f, 6.0f))),
+      (2L, None, Some(Array(1.0f))),
+      (3L, Some(Array(2.0f, 2.0f)), Some(Array(3.0f)))).toDF("id", "a", "b")
+    val out = f.select(col("id"), GraftExtensions.vectorDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(32.0)) // 4 + 10 + 18, widened before multiply
+    assert(out(2L).isEmpty) // null array → null
+    assert(out(3L).contains(6.0)) // zips to the shorter length
+    GraftExtensions.install(spark)
+    val sql = spark.sql("SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(sql == 11.0)
+  }
+
   test("native expression agrees with the UDF on random inputs") {
     val rnd = new scala.util.Random(7)
     val inputs = Seq.fill(50)(rnd.nextString(rnd.nextInt(40)))
