@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Merge, Pipeline}
@@ -320,12 +319,14 @@ object CoreQueries {
     QueryDef("j4_zip_join",
       (s, dir) => {
         val ev = Tables.events(s, dir)
-        def ranked(tpe: String, out: String): DataFrame = {
-          val w = Window.orderBy(col("event_id"))
-          ev.filter(col("event_type") === tpe)
-            .withColumn("rn", row_number().over(w))
-            .select(col("rn"), col("event_id").as(out))
-        }
+        // global positional rank WITHOUT a single-partition window: the
+        // real operator (per-tx array zip, mod.rs:274) is row-local; this
+        // whole-stream demo ranks via the distributed globalRowNumber
+        def ranked(tpe: String, out: String): DataFrame =
+          Pipeline.globalRowNumber(
+            ev.filter(col("event_type") === tpe).select(col("event_id")),
+            col("event_id"))
+            .select(col("__global_rn").cast("int").as("rn"), col("event_id").as(out))
         ranked("error", "error_id").join(ranked("signup", "signup_id"), Seq("rn"), "inner")
           .orderBy("rn")
       },
