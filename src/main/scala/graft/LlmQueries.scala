@@ -154,6 +154,74 @@ object LlmQueries {
       },
       None),
 
+    // connected components: pairwise near-dup verdicts → duplicate CLUSTERS
+    // (iterative min-label propagation; the closed-form oracle proves ~6
+    // rounds of real transitive propagation, not just direct neighbors)
+    QueryDef("llm_components",
+      (s, dir) => {
+        import graft.llm.Components
+        val ev = Tables.events(s, dir).filter(col("event_id") < 300)
+        // runs of 3 chained by (i, i+1), runs linked into blocks of 9 by
+        // (i, i+3) — components are exactly the blocks, comp = floor(id/9)*9
+        val chain = ev.filter(col("event_id") % 3 =!= 2)
+          .select(col("event_id").as("id_a"), (col("event_id") + 1).as("id_b"))
+        val links = ev
+          .filter((col("event_id") % 9 === 0 || col("event_id") % 9 === 3)
+            && col("event_id") + 3 < 300)
+          .select(col("event_id").as("id_a"), (col("event_id") + 3).as("id_b"))
+        Components.connectedComponents(
+          chain.unionByName(links), Some(ev.select("event_id")))
+          .orderBy("id")
+      },
+      Some("""SELECT event_id AS id, CAST(event_id // 9 * 9 AS BIGINT) AS comp
+             |FROM events WHERE event_id < 300 ORDER BY id""".stripMargin)),
+
+    // Gopher-style repetition quality signals (dup-word / top-word /
+    // top-bigram fractions) — row-local builtins, map-only
+    QueryDef("llm_repetition",
+      (s, dir) => TextAnalysis.repetitionSignals(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          round(col("dup_word_frac"), 6).as("dup_word_frac"),
+          round(col("top_word_frac"), 6).as("top_word_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, words, len(words) AS n,
+             |    list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) AS bigrams
+             |  FROM w)
+             |SELECT doc_id,
+             |  round(CASE WHEN n > 0 THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / n ELSE 0.0 END, 6) AS dup_word_frac,
+             |  round(CASE WHEN n > 0 THEN CAST(list_max(list_transform(list_distinct(words), w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE) / n ELSE 0.0 END, 6) AS top_word_frac,
+             |  round(CASE WHEN n >= 2 THEN CAST(list_max(list_transform(list_distinct(bigrams), b2 -> len(list_filter(bigrams, x -> x = b2)))) AS DOUBLE) / (n - 1) ELSE 0.0 END, 6) AS top_bigram_frac
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction (emails → IPv4 → phone-like runs), RE2-safe patterns so
+    // DuckDB applies the identical regexes; synthetic PII injected so the
+    // redaction has real work at every row
+    QueryDef("llm_pii_redact",
+      (s, dir) => {
+        val injected = concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex.org or 10.0.0."), (col("doc_id") % 200).cast("string"),
+          lit(" tel +1 (555) 010-"), col("doc_id").cast("string"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.redactPii(injected).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.org or 10.0.0.'
+             |          || CAST(doc_id % 200 AS VARCHAR) || ' tel +1 (555) 010-' || CAST(doc_id AS VARCHAR),
+             |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // language-ID heuristic (stopword n-gram scoring)
     QueryDef("llm_langid",
       (s, dir) => Tables.documents(s, dir)

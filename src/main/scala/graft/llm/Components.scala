@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering step
+  * that turns pairwise near-dup verdicts (MinHash/SimHash/embedding pairs)
+  * into duplicate GROUPS. Pair lists alone under-merge: A~B and B~C with no
+  * A~C pair must still collapse to one cluster with one survivor.
+  *
+  * Algorithm: iterative min-label propagation. Each round every node takes
+  * the minimum component label among itself and its neighbors; rounds repeat
+  * until a fixpoint (no label changed), with a `maxIter` guard. Per round:
+  * one join + one aggregation, both keyed on node id — no global sort, no
+  * driver-side graph. State is materialized per round (localCheckpoint) so
+  * lineage stays flat across iterations.
+  *
+  * Scale shape: rounds needed = graph diameter. Near-dup graphs are
+  * clique-ish (LSH emits most in-bucket pairs), so diameter is small —
+  * typically 2-4 rounds. For adversarial long-chain graphs the
+  * large-star/small-star pointer-jumping variant (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond") halves chains per round; the
+  * propagation loop below is the same join pattern, so swapping the step is
+  * local to this file if diameter ever dominates.
+  */
+object Components {
+
+  private def materialize(df: DataFrame): DataFrame = {
+    val chk = df.localCheckpoint(true)
+    chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
+  }
+
+  /** Component label per node: (id, comp) with comp = min node id of the
+    * component. `edges` needs columns (id_a, id_b); isolated nodes can be
+    * supplied via `nodes` (one id column) and come out as singletons. */
+  def connectedComponents(
+      edges: DataFrame,
+      nodes: Option[DataFrame] = None,
+      maxIter: Int = 20): DataFrame = {
+    val edgeNodes = edges.select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id")))
+    val allNodes = nodes.map(n => edgeNodes.unionByName(n.toDF("id")))
+      .getOrElse(edgeNodes).distinct()
+    // symmetric neighbor list; self-loops drop out (they never lower a label)
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src") =!= col("dst"))
+
+    var labels = materialize(allNodes.withColumn("comp", col("id")))
+    // labels only ever DECREASE, so Σcomp strictly decreases until the
+    // fixpoint — convergence is one aggregate per round, no self-join
+    // (decimal sum: Σ of 64-bit ids can overflow a long at scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // one round = ONE join + ONE aggregation: own label and every
+      // neighbor-carried label union together, min per node
+      val next = materialize(
+        labels.unionByName(
+          sym.join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
+            .select(col("dst").as("id"), col("comp")))
+          .groupBy("id").agg(min(col("comp")).as("comp")))
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "(graph diameter exceeds the guard — raise maxIter or switch the step " +
+      "to large-star/small-star pointer jumping)")
+    labels
+  }
+
+  /** Duplicate clusters from verified near-dup pairs: every doc id labeled
+    * with its cluster id (min doc id of the cluster); docs in no pair are
+    * their own cluster. The dedup survivor set is `comp = id`. */
+  def dupClusters(pairs: DataFrame, allDocs: DataFrame): DataFrame =
+    connectedComponents(
+      pairs.select("id_a", "id_b"),
+      Some(allDocs))
+}

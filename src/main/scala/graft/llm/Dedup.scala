@@ -298,6 +298,26 @@ object Dedup {
     docs.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** MinHash near-dedup with TRUE transitive clustering: verified pairs →
+    * connected components ([[Components.dupClusters]]) → keep the minimum
+    * id per cluster. [[nearDedupMinhash]]'s pairwise removal (drop every
+    * id_b) over-keeps when pairs under-connect — with pairs (A,C) and (B,C)
+    * but no (A,B), it keeps both A and B; clustering collapses the
+    * component to one survivor, the dedup semantics a training pipeline
+    * actually wants. */
+  def nearDedupMinhashClustered(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7): DataFrame = {
+    val cands = materialize(minhashLshCandidates(docs, idCol, textCol))
+    val pairs = jaccardVerify(cands, docs, idCol, textCol, threshold = threshold)
+    val survivors = Components.dupClusters(pairs.select("id_a", "id_b"), docs.select(col(idCol)))
+      .filter(col("comp") === col("id"))
+      .select(col("id").as(idCol))
+    docs.join(survivors, Seq(idCol), "left_semi")
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over word tokens: per-token 64-bit hash votes on each bit;

@@ -53,6 +53,42 @@ object TextAnalysis {
                 - when(col("n_chars_measured") < 20, lit(0.2)).otherwise(lit(0.0)))),
           4))
 
+  /** Repetition signals (Gopher-style quality rules): duplicate-word
+    * fraction, most-frequent-word fraction, most-frequent-bigram fraction.
+    * All row-local builtins (array_distinct / filter / transform) — the
+    * per-row cost is O(distinct·n) on short token lists, zero shuffle. */
+  def repetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val n = size(words)
+    // 0-based get() (null OOB) — ANSI element_at throws; sequence() guarded
+    // because sequence(1, 0) counts DOWN rather than returning empty
+    val bigrams = transform(sequence(lit(0), n - 2),
+      i => concat_ws(" ", get(words, i), get(words, i + 1)))
+    def topFrac(arr: Column, denom: Column): Column =
+      array_max(transform(array_distinct(arr), w => size(filter(arr, x => x === w))))
+        .cast("double") / denom
+    df
+      .withColumn("dup_word_frac",
+        when(n > 0, lit(1.0) - size(array_distinct(words)).cast("double") / n).otherwise(lit(0.0)))
+      .withColumn("top_word_frac",
+        when(n > 0, topFrac(words, n.cast("double"))).otherwise(lit(0.0)))
+      .withColumn("top_bigram_frac",
+        when(n >= 2, topFrac(bigrams, (n - 1).cast("double"))).otherwise(lit(0.0)))
+  }
+
+  /** PII redaction: emails, IPv4 addresses, then phone-like digit runs —
+    * chained codegen'd regexp_replace, map-only. Patterns are RE2-safe so
+    * the DuckDB oracle applies the identical regexes. Order matters: emails
+    * before phones (an email's digits must not be half-eaten), IPs before
+    * phones (dotted quads are not phone numbers). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+    val ip = regexp_replace(email,
+      lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit("<IP>"))
+    regexp_replace(ip, lit("\\+?\\d[\\d() -]{7,}\\d"), lit("<PHONE>"))
+  }
+
   /** Stopword lists per language for the n-gram/stopword language-ID
     * heuristic. Tiny, broadcast as literals into the plan. */
   private val stopwords: Map[String, Seq[String]] = Map(

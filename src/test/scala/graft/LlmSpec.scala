@@ -56,6 +56,69 @@ class LlmSpec extends SparkSpec {
     assert(!kept.exists(_ >= 100))
   }
 
+  test("connected components: chains, cliques, singletons") {
+    import graft.llm.Components
+    // chain 1-2-3-4, clique 10-11-12, singleton 20 (via nodes)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val comps = Components.connectedComponents(edges, Some(nodes))
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(comps(20L) == 20L)
+    assert(comps.size == 8)
+  }
+
+  test("clustered dedup collapses under-connected pairs that pairwise removal over-keeps") {
+    import graft.llm.Components
+    // pairs (A,C) and (B,C) with no (A,B): one component, one survivor
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val clusters = Components.dupClusters(pairs, docs).as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(9L) == 9L)
+    // end-to-end: clustered survivors are a subset of the pairwise ones and
+    // still cover every distinct doc
+    val clusteredKept = Dedup.nearDedupMinhashClustered(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    val pairwiseKept = Dedup.nearDedupMinhash(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clusteredKept.subsetOf(pairwiseKept))
+    assert((0 until 20).forall(i => clusteredKept.contains(i.toLong)))
+    assert(!clusteredKept.exists(_ >= 100))
+  }
+
+  test("repetition signals: known vectors") {
+    val df = Seq(
+      (1L, "a a a b"),       // dup 0.5, top word 3/4, bigrams [a a, a a, a b] top 2/3
+      (2L, "x y z"),         // no repetition
+      (3L, "solo"))          // single word: bigram frac 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df)
+      .select(col("doc_id"), col("dup_word_frac"), col("top_word_frac"), col("top_bigram_frac"))
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0.5, 0.75, 2.0 / 3.0)))
+    assert(out(2L) == ((0.0, 1.0 / 3.0, 0.5)))
+    assert(out(3L) == ((0.0, 1.0, 0.0)))
+  }
+
+  test("PII redaction: emails, IPs, phones; order-safe") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.co now"),
+      (2L, "server 192.168.1.10 up"),
+      (3L, "call +1 (555) 010-7788 today"),
+      (4L, "all: a@b.io 10.0.0.1 +44 20 7946 0958 end"),
+      (5L, "clean text only")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail <EMAIL> now")
+    assert(out(2L) == "server <IP> up")
+    assert(out(3L) == "call <PHONE> today")
+    assert(out(4L) == "all: <EMAIL> <IP> <PHONE> end")
+    assert(out(5L) == "clean text only")
+  }
+
   test("degenerate bucket (mass-duplicated boilerplate) is capped, surfaced, and does not explode") {
     // 5k exact copies of one doc: a single LSH bucket of 5k members would
     // expand to ~12.5M pairs per band; the cap must route it to the audit
