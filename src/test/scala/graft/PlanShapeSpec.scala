@@ -112,4 +112,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("DeserializeToObject") && !plan.contains("Scan ExistingRDD"),
       s"globalRowNumber dropped out of Tungsten:\n$plan")
   }
+
+  test("similarity kernels run the native vector_dot (no zip_with intermediates)") {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val plan = executed(
+      graft.llm.Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5))
+    assert(plan.contains("vector_dot"), s"native dot product missing:\n$plan")
+    assert(!plan.contains("zip_with"),
+      s"builtin fold (per-pair intermediate array) back in the hot path:\n$plan")
+  }
+
+  test("text analysis stages are map-only: no exchange in repetition/PII/quality paths") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    assert(exchanges(graft.llm.TextAnalysis.repetitionSignals(docs)) == 0,
+      "repetition signals added a shuffle")
+    assert(exchanges(docs.select(graft.llm.TextAnalysis.redactPii(col("text")))) == 0,
+      "PII redaction added a shuffle")
+    assert(exchanges(graft.llm.TextAnalysis.qualityScore(docs)) == 0,
+      "quality scoring added a shuffle")
+  }
+
+  test("single-partition windows are banned from query plans") {
+    // a global window/sort demands Exchange SinglePartition via
+    // ENSURE_REQUIREMENTS — the representative paths that historically
+    // carried one (j4's ranked zip) must stay free of it
+    Seq("j4_zip_join", "o22_uid_window", "llm_ann_bruteforce").foreach { name =>
+      val plan = executed(SparkEntry.queries(name)(spark, dir))
+      assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+        s"$name funnels through a single partition:\n$plan")
+    }
+  }
 }
