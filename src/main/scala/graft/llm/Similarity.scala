@@ -92,9 +92,49 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell_id"))
   }
 
+  /** Lloyd (k-means) centroid refinement over the seeded cells: each
+    * iteration assigns every vector to its nearest centroid, then replaces
+    * each centroid with the element-wise MEAN of its cell.
+    *
+    * Scale shape: the mean is computed by posexploding vectors to
+    * (cell_id, pos, value) and averaging per (cell_id, pos) — one shuffle
+    * keyed on (cell, position), uniform by construction (dim × numCells
+    * groups), then the per-cell arrays are rebuilt with
+    * sort_array(collect_list) over at most `dim` elements per group. No
+    * driver-side math beyond the (numCells × dim) collect that the
+    * downstream broadcast performs anyway. Empty cells keep their previous
+    * centroid (the standard Lloyd degenerate-cell rule). */
+  def refineCentroids(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    (1 to iterations).foldLeft(centroids) { (cur, _) =>
+      val assigned = assignCells(corpus, cur, idCol, vecCol)
+      val means = assigned
+        .select(col("cell_id"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("cell_id", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("cell_id")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      // degenerate (empty) cells fall back to their previous centroid so the
+      // cell count never shrinks
+      val vecType = centroids.schema("centroid").dataType
+      cur.select(col("cell_id"), col("centroid").as("__prev"))
+        .join(means, Seq("cell_id"), "left")
+        .select(col("cell_id"),
+          coalesce(col("centroid").cast(vecType), col("__prev")).as("centroid"))
+    }
+
   /** IVF-bucketed ANN top-k with `nprobe` cells per query: join query cells
     * to corpus cells (shuffle keyed on cell_id), rank within candidates.
-    * Approximate — recall measured against [[bruteForceTopK]] in tests. */
+    * Approximate — recall measured against [[bruteForceTopK]] in tests.
+    * `kmeansIterations` > 0 runs Lloyd refinement over the deterministic
+    * seeds before bucketing (tighter cells → higher recall at the same
+    * nprobe, at the cost of `iterations` extra passes at index-build time —
+    * the classic IVF build/probe trade). */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -102,8 +142,12 @@ object Similarity {
       numCells: Int = 16,
       nprobe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val centroids = seedCentroids(corpus, numCells, idCol, vecCol)
+      vecCol: String = "embedding",
+      kmeansIterations: Int = 0): DataFrame = {
+    val seeded = seedCentroids(corpus, numCells, idCol, vecCol)
+    val centroids =
+      if (kmeansIterations > 0) refineCentroids(corpus, seeded, kmeansIterations, idCol, vecCol)
+      else seeded
     val corpusCells = assignCells(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"), col("cell_id"))
 

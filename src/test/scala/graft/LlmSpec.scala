@@ -156,6 +156,30 @@ class LlmSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall")
+    // Lloyd refinement holds the recall gate too (and the index build stays
+    // well-formed: numCells cells, full-dim mean vectors)
+    val refined = Similarity.ivfTopK(queries, emb, k = 5, numCells = 16, nprobe = 8,
+      kmeansIterations = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val refinedRecall = (exact intersect refined).size.toDouble / exact.size
+    assert(refinedRecall >= 0.6, s"refined recall $refinedRecall (seeded was $recall)")
+  }
+
+  test("refineCentroids: Lloyd step keeps cell count, dimension, and empty-cell fallback") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val seeds = Similarity.seedCentroids(emb, numCells = 8)
+    val refined = Similarity.refineCentroids(emb, seeds, iterations = 2)
+    val rows = refined.collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getSeq[Double](1).length == 64))
+    // an unreachable centroid (orthogonal corner far from all data) must
+    // survive refinement via the previous-centroid fallback
+    val far = Seq((99, Array.fill(64)(-1000.0).toSeq)).toDF("cell_id", "centroid")
+    val withFar = seeds.select(col("cell_id"), col("centroid").cast("array<double>"))
+      .unionByName(far)
+    val kept = Similarity.refineCentroids(emb, withFar, iterations = 1)
+    assert(kept.count() == 9)
   }
 
   test("LSH near-dup: full recall on planted near-identical vectors, no false accepts") {
