@@ -58,6 +58,53 @@ object StreamingCandles {
       .withColumn("interval", lit("1m"))
       .select(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
 
+  /** [[minuteCandles]] with the time-window struct kept (column `window`) —
+    * the chainable form that [[ladderStream]] re-aggregates. */
+  def minuteCandlesWindowed(
+      trades: DataFrame,
+      decimals: Option[DataFrame] = None,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    Candles.pricedTrades(trades.withWatermark("time_stamp", watermarkDelay), decimals)
+      .select(col("time_stamp"),
+        col("amount_asset_id"), col("price_asset_id"),
+        col("sender").as("matcher_address"),
+        col("uid"), col("height"),
+        col("amount").cast(money).as("__amount"),
+        col("__price"))
+      .groupBy(window(col("time_stamp"), "1 minute"),
+        col("amount_asset_id"), col("price_asset_id"), col("matcher_address"))
+      .agg(Candles.minuteAggs.head, Candles.minuteAggs.tail: _*)
+
+  /** Chained stateful ladder edge — the streaming analog of
+    * [[graft.operators.Candles.ladderStep]]: re-aggregate the (append-mode)
+    * windowed candles into a coarser fixed-width interval, grouping on
+    * `window(window_time(window), dst)`. Spark ≥3.4 runs multiple stateful
+    * aggregations in one append-mode query exactly for this shape; each
+    * level's state evicts by the same watermark. Calendar intervals (1w/1M)
+    * stay batch-side — `window()` cannot express them; the fold's
+    * incremental MERGE remains their path. */
+  def ladderStream(windowedCandles: DataFrame, dst: String): DataFrame = {
+    val secs = graft.functions.CandleIntervals.seconds.getOrElse(dst,
+      throw new IllegalArgumentException(s"ladderStream supports fixed-width intervals only, got $dst"))
+    windowedCandles
+      .groupBy(window(window_time(col("window")), s"$secs seconds"),
+        col("amount_asset_id"), col("price_asset_id"), col("matcher_address"))
+      .agg(
+        min(col("low")).as("low"),
+        max(col("high")).as("high"),
+        sum(col("volume")).cast(money).as("volume"),
+        sum(col("quote_volume")).cast(money).as("quote_volume"),
+        max(col("max_height")).as("max_height"),
+        sum(col("txs_count")).cast("int").as("txs_count"),
+        floor(sum(col("weighted_average_price") * col("volume")) / sum(col("volume")))
+          .cast(money).as("weighted_average_price"),
+        min_by(col("open"), col("window.start")).as("open"),
+        max_by(col("close"), col("window.start")).as("close"))
+      .withColumn("time_start", col("window.start"))
+      .withColumn("interval", lit(dst))
+      .select(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Typed trade event for the stateful path and the replay harness. */
   final case class TradeEvent(
       uid: Long, timeStampMs: Long,
@@ -135,7 +182,7 @@ object StreamingCandles {
     try body finally spark.conf.set(key, prev)
   }
 
-  private def tradeFrame(stream: MemoryStream[TradeEvent]): DataFrame =
+  private[graft] def tradeFrame(stream: MemoryStream[TradeEvent]): DataFrame =
     stream.toDS().select(
       col("uid"),
       timestamp_millis(col("timeStampMs")).as("time_stamp"),

@@ -143,6 +143,42 @@ class StreamingSpec extends SparkSpec {
         s"batch-only: ${expected.exceptAll(streamed).collect().mkString("\n")}")
   }
 
+  test("chained stateful ladder: streamed 1m→5m candles equal the batch ladder (append mode)") {
+    import graft.streaming.StreamingCandles
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704103200000L
+    val events = (0 until 120).map { i =>
+      StreamingCandles.TradeEvent(
+        uid = i.toLong, timeStampMs = t0 + i * 5000L, // 10 minutes of trades
+        amountAssetId = s"A${i % 2}", priceAssetId = "P", sender = "m",
+        height = 5 + i / 60, amount = i % 15 + 1, price = BigDecimal((i % 9 + 1) * 75, 2))
+    }
+    // sentinel far in the future advances the watermark so every real
+    // window finalizes; its own never does (append emits only closed ones)
+    val sentinel = StreamingCandles.TradeEvent(9999L, t0 + 7200000L, "A0", "P", "m", 9, 1, BigDecimal(100, 2))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingCandles.TradeEvent]
+    val ladder = StreamingCandles.ladderStream(
+      StreamingCandles.minuteCandlesWindowed(
+        StreamingCandles.tradeFrame(stream), watermarkDelay = "0 seconds"), "5m")
+    val query = ladder.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ladder_append").start()
+    try {
+      stream.addData(events.take(60))
+      query.processAllAvailable()
+      stream.addData(events.drop(60) :+ sentinel)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("graft_ladder_append")
+    val batchInput = asTrades(events.map(e =>
+      Trade(e.uid, new Timestamp(e.timeStampMs).toString, e.amountAssetId,
+        e.priceAssetId, e.sender, e.height, e.amount, e.price.toDouble)).toDF())
+    val expected = Candles.ladderStep(Candles.minuteCandles(batchInput), "1m", "5m")
+    assert(streamed.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(streamed).count() == 0,
+      s"streamed ladder diverged:\nstream-only: ${streamed.exceptAll(expected).collect().mkString("\n")}\n" +
+        s"batch-only: ${expected.exceptAll(streamed).collect().mkString("\n")}")
+  }
+
   test("idempotent handler skips re-delivered batches (ST2)") {
     var applied = 0
     val h = new MicroBatchPipeline.IdempotentBatchHandler((_, _) => applied += 1)
