@@ -27,7 +27,11 @@ object Bench {
         .filter(q => only.forall(_.contains(q._1))): _*).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // toRdd.count() evaluates the FULL result rows; a DataFrame
+        // .count() would let column pruning skip every projected column a
+        // map-only query exists to compute (a 38 s/row-pass operator once
+        // benched as 0.2 s this way — NOTES.md round 4)
+        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       if (verbose) System.err.println(s"BENCHREP $name ${times.map(t => f"$t%.2f").mkString(" ")}")

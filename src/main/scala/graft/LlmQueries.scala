@@ -19,6 +19,30 @@ object LlmQueries {
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** Shared CTEs for the curation queries: `q` = quality signals (mirrors
+    * the llm_quality oracle), `r` = repetition fractions (mirrors
+    * llm_repetition). */
+  private val curationCtes =
+    """q AS (
+      |  SELECT doc_id, text, n_chars_m, n_words,
+      |    round(CASE WHEN n_words < 2 THEN 0.0 ELSE
+      |      greatest(0.0, 1.0 - least(punct_ratio * 2, 0.5) - least(digit_ratio, 0.3)
+      |        - CASE WHEN n_chars_m < 20 THEN 0.2 ELSE 0.0 END) END, 4) AS quality_score
+      |  FROM (
+      |    SELECT doc_id, text, length(text) AS n_chars_m,
+      |      len(string_split_regex(trim(text), '\s+')) AS n_words,
+      |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+      |      CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio
+      |    FROM documents)),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n > 0 THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / n ELSE 0.0 END AS dup_word_frac,
+      |    CASE WHEN n >= 2 THEN CAST(list_max(list_transform(list_distinct(bigrams), b2 -> len(list_filter(bigrams, x -> x = b2)))) AS DOUBLE) / (n - 1) ELSE 0.0 END AS top_bigram_frac
+      |  FROM (
+      |    SELECT doc_id, words, len(words) AS n,
+      |      list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) AS bigrams
+      |    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)))""".stripMargin
+
   private val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -221,6 +245,46 @@ object LlmQueries {
              |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              |    '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS clean
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // end-to-end curation pipeline: annotate → length/quality/repetition
+    // filters → exact dedup, every stage a verified operator; the oracle
+    // replays the identical funnel in SQL
+    QueryDef("llm_curation",
+      (s, dir) => {
+        import graft.llm.Curation
+        Curation.curate(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("n_words").cast("long").as("n_words"), col("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $curationCtes,
+              |f AS (
+              |  SELECT q.doc_id, q.text, q.n_words, q.quality_score
+              |  FROM q JOIN r USING (doc_id)
+              |  WHERE q.n_words BETWEEN 5 AND 100000 AND q.quality_score >= 0.3
+              |    AND r.dup_word_frac <= 0.9 AND r.top_bigram_frac <= 0.5)
+              |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, quality_score
+              |FROM f
+              |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+              |ORDER BY doc_id""".stripMargin)),
+
+    // the curation attrition funnel: per-stage survivor counts in one
+    // aggregation pass — dropped volume is surfaced, never silent
+    QueryDef("llm_curation_report",
+      (s, dir) => {
+        import graft.llm.Curation
+        Curation.report(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      },
+      Some(s"""WITH $curationCtes
+              |SELECT count(*) AS total,
+              |  count(CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1 END) AS after_length,
+              |  count(CASE WHEN n_words BETWEEN 5 AND 100000 AND quality_score >= 0.3 THEN 1 END) AS after_quality,
+              |  count(CASE WHEN n_words BETWEEN 5 AND 100000 AND quality_score >= 0.3
+              |    AND dup_word_frac <= 0.9 AND top_bigram_frac <= 0.5 THEN 1 END) AS after_repetition,
+              |  count(CASE WHEN n_words BETWEEN 5 AND 100000 AND quality_score >= 0.3
+              |    AND dup_word_frac <= 0.9 AND top_bigram_frac <= 0.5 THEN 1 END) AS after_language,
+              |  count(DISTINCT CASE WHEN n_words BETWEEN 5 AND 100000 AND quality_score >= 0.3
+              |    AND dup_word_frac <= 0.9 AND top_bigram_frac <= 0.5 THEN md5(text) END) AS after_dedup_exact
+              |FROM q JOIN r USING (doc_id)""".stripMargin)),
 
     // language-ID heuristic (stopword n-gram scoring)
     QueryDef("llm_langid",

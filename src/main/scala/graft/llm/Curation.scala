@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data pipeline
+  * actually runs — annotate (one map-only pass: quality + repetition +
+  * language signals), filter (length → quality → repetition → language),
+  * then dedup. Every stage is one of the engine's already-verified
+  * operators; this module only fixes the composition and makes the
+  * per-stage attrition observable ([[report]]) so a capped/filtered corpus
+  * is never a silent surprise.
+  *
+  * Scale shape: annotation and filtering are a single map-only projection
+  * over the corpus scan (no shuffle until dedup); the dedup stage inherits
+  * its operator's shape (exact: one md5 shuffle; minhash: banded LSH).
+  */
+object Curation {
+
+  /** Filter thresholds; `keepLangs = None` disables the language stage,
+    * `dedup` ∈ none | exact | minhash | minhash-clustered. */
+  final case class Config(
+      minWords: Int = 5,
+      maxWords: Int = 100000,
+      minQuality: Double = 0.3,
+      maxDupWordFrac: Double = 0.9,
+      maxTopBigramFrac: Double = 0.5,
+      keepLangs: Option[Seq[String]] = None,
+      dedup: String = "exact")
+
+  /** All signals in one row-local pass: quality score, repetition
+    * fractions, predicted language.
+    *
+    * WARNING (plan trap, NOTES.md): filtering directly on these computed
+    * columns lets PushPredicateThroughNonJoin substitute the full signal
+    * expressions into the predicate; the combined tree falls out of
+    * whole-stage codegen and the higher-order-function chains evaluate
+    * interpreted, per row (measured 80× on the filter stage). [[curate]] /
+    * [[report]] therefore materialize the annotated frame first — which is
+    * also the natural persistence point of a real pipeline (annotations are
+    * written once, consumed by many downstream passes). */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
+    TextAnalysis.repetitionSignals(TextAnalysis.qualityScore(docs, textCol), textCol)
+      .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
+
+  private def materialize(df: DataFrame): DataFrame = {
+    val chk = df.localCheckpoint(true)
+    chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
+  }
+
+  /** Cumulative stage predicates over an [[annotate]]d frame, in pipeline
+    * order — each entry includes all previous stages' conditions, so the
+    * funnel counts in [[report]] read directly off them. */
+  def stageConditions(config: Config): Seq[(String, Column)] = {
+    val length = col("n_words") >= config.minWords && col("n_words") <= config.maxWords
+    val quality = col("quality_score") >= config.minQuality
+    val repetition = col("dup_word_frac") <= config.maxDupWordFrac &&
+      col("top_bigram_frac") <= config.maxTopBigramFrac
+    val language = config.keepLangs
+      .map(ls => col("lang_pred").isin(ls: _*)).getOrElse(lit(true))
+    Seq(
+      "length" -> length,
+      "quality" -> (length && quality),
+      "repetition" -> (length && quality && repetition),
+      "language" -> (length && quality && repetition && language))
+  }
+
+  /** The curated corpus: annotated, filtered, deduplicated. Survivor rows
+    * keep their signal columns for downstream sampling/weighting. */
+  def curate(
+      docs: DataFrame,
+      config: Config = Config(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val filtered = materialize(annotate(docs, textCol))
+      .filter(stageConditions(config).last._2)
+    config.dedup match {
+      case "none" => filtered
+      case "exact" => Dedup.exact(filtered, idCol, textCol)
+      case "minhash" => Dedup.nearDedupMinhash(filtered, idCol, textCol)
+      case "minhash-clustered" => Dedup.nearDedupMinhashClustered(filtered, idCol, textCol)
+      case other => throw new IllegalArgumentException(s"unknown dedup mode: $other")
+    }
+  }
+
+  /** One-row attrition funnel: total and survivors after each stage, in ONE
+    * aggregation pass (conditional counts over the cumulative stage
+    * predicates). The dedup survivor count is exact-dedup's definition —
+    * distinct content hashes among fully-filtered rows; for the minhash
+    * modes run `curate(...).count()` instead (a near-dup group has no
+    * closed-form count). */
+  def report(
+      docs: DataFrame,
+      config: Config = Config(),
+      textCol: String = "text"): DataFrame = {
+    val conds = stageConditions(config)
+    val aggs = conds.map { case (name, c) =>
+      count(when(c, lit(1))).as(s"after_$name")
+    } :+ count_distinct(when(conds.last._2, md5(col(textCol)))).as("after_dedup_exact")
+    materialize(annotate(docs, textCol))
+      .agg(count(lit(1)).as("total"), aggs: _*)
+  }
+}

@@ -55,25 +55,57 @@ object TextAnalysis {
 
   /** Repetition signals (Gopher-style quality rules): duplicate-word
     * fraction, most-frequent-word fraction, most-frequent-bigram fraction.
-    * All row-local builtins (array_distinct / filter / transform) — the
-    * per-row cost is O(distinct·n) on short token lists, zero shuffle. */
+    * Row-local, zero shuffle.
+    *
+    * Deliberately ONE single-pass UDF kernel (the minhash/simhash
+    * precedent, NOTES.md): every builtin formulation loses badly here —
+    * `transform(array_distinct(A), w => size(filter(A, x => x === w)))`
+    * re-evaluates A's construction per lambda element (75 ms/row at 50
+    * words, an O(n²) array-rebuild bomb), and even the O(n log n)
+    * sorted-run `aggregate` form runs interpreted (higher-order functions
+    * have no codegen) at 2.6 ms/row. The hash-map kernel is ~10 µs/row and
+    * computes all three fractions in one tokenization. */
   def repetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val words = split(lower(trim(col(textCol))), "\\s+")
-    val n = size(words)
-    // 0-based get() (null OOB) — ANSI element_at throws; sequence() guarded
-    // because sequence(1, 0) counts DOWN rather than returning empty
-    val bigrams = transform(sequence(lit(0), n - 2),
-      i => concat_ws(" ", get(words, i), get(words, i + 1)))
-    def topFrac(arr: Column, denom: Column): Column =
-      array_max(transform(array_distinct(arr), w => size(filter(arr, x => x === w))))
-        .cast("double") / denom
-    df
-      .withColumn("dup_word_frac",
-        when(n > 0, lit(1.0) - size(array_distinct(words)).cast("double") / n).otherwise(lit(0.0)))
-      .withColumn("top_word_frac",
-        when(n > 0, topFrac(words, n.cast("double"))).otherwise(lit(0.0)))
-      .withColumn("top_bigram_frac",
-        when(n >= 2, topFrac(bigrams, (n - 1).cast("double"))).otherwise(lit(0.0)))
+    val u = udf { (s: String) =>
+      if (s == null) (0.0, 0.0, 0.0)
+      else {
+        // Locale.ROOT: match Spark's locale-independent lower()
+        val words = s.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val n = words.length
+        if (n == 0) (0.0, 0.0, 0.0)
+        else {
+          val freq = new java.util.HashMap[String, Int](n * 2)
+          var maxW = 0
+          var i = 0
+          while (i < n) {
+            val c = freq.merge(words(i), 1, (a, b) => a + b)
+            if (c > maxW) maxW = c
+            i += 1
+          }
+          val dup = 1.0 - freq.size.toDouble / n
+          val topW = maxW.toDouble / n
+          val topB =
+            if (n < 2) 0.0
+            else {
+              val bf = new java.util.HashMap[String, Int](n * 2)
+              var maxB = 0
+              var j = 0
+              while (j < n - 1) {
+                val c = bf.merge(words(j) + " " + words(j + 1), 1, (a, b) => a + b)
+                if (c > maxB) maxB = c
+                j += 1
+              }
+              maxB.toDouble / (n - 1)
+            }
+          (dup, topW, topB)
+        }
+      }
+    }
+    df.withColumn("__rep", u(col(textCol)))
+      .withColumn("dup_word_frac", col("__rep._1"))
+      .withColumn("top_word_frac", col("__rep._2"))
+      .withColumn("top_bigram_frac", col("__rep._3"))
+      .drop("__rep")
   }
 
   /** PII redaction: emails, IPv4 addresses, then phone-like digit runs —

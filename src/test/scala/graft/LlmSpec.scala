@@ -119,6 +119,38 @@ class LlmSpec extends SparkSpec {
     assert(out(5L) == "clean text only")
   }
 
+  test("curation pipeline: each stage drops its target, funnel counts match") {
+    import graft.llm.Curation
+    val good = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val docs = Seq(
+      (1L, good),                                    // survives everything
+      (2L, good),                                    // exact dup of 1 → dedup drop
+      (3L, "too short"),                             // length drop (2 words)
+      (4L, "12! 34? 56# 78$ 90%"),                   // quality drop (punct+digit+short → 0.0)
+      (5L, ("spam " * 40).trim),                     // repetition drop (one word)
+      (6L, "el la de que y en los del las por dias"))// survives (es, no lang filter)
+      .toDF("doc_id", "text")
+    val kept = Curation.curate(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L), s"kept $kept")
+    // language stage on: only English survives
+    val en = Curation.curate(docs, Curation.Config(keepLangs = Some(Seq("en"))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(en == Set(1L))
+    // funnel: 6 total → 5 length → 4 quality → 3 repetition → 3 language → 2 dedup
+    val rep = Curation.report(docs).collect().head
+    assert(rep.getAs[Long]("total") == 6L)
+    assert(rep.getAs[Long]("after_length") == 5L)
+    assert(rep.getAs[Long]("after_quality") == 4L)
+    assert(rep.getAs[Long]("after_repetition") == 3L)
+    assert(rep.getAs[Long]("after_language") == 3L)
+    assert(rep.getAs[Long]("after_dedup_exact") == 2L)
+    // the near-dup dedup modes compose too
+    val clustered = Curation.curate(corpus, Curation.Config(minWords = 2, dedup = "minhash-clustered"))
+      .select("doc_id").as[Long].collect().toSet
+    assert((0 until 20).forall(i => clustered.contains(i.toLong)))
+    assert(!clustered.exists(_ >= 100))
+  }
+
   test("degenerate bucket (mass-duplicated boilerplate) is capped, surfaced, and does not explode") {
     // 5k exact copies of one doc: a single LSH bucket of 5k members would
     // expand to ~12.5M pairs per band; the cap must route it to the audit
