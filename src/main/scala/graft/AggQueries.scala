@@ -600,6 +600,27 @@ object AggQueries {
       Some(withTrades(c1mCte("WHERE uid < 4000")) +
         "\n" + candleSelect("ts_1m") + "\nFROM c1m " + orderTail)),
 
+    // ST9 — streaming ingest dedup: dropDuplicatesWithinWatermark keyed on
+    // content hash, state bounded by the watermark horizon; with no
+    // eviction inside the bounded replay the survivors are exactly the
+    // distinct contents (arrival-independent projection)
+    QueryDef("st9_stream_dedup",
+      (s, dir) => {
+        import graft.streaming.StreamingDedup
+        val rows = Tables.events(s, dir).filter(col("event_id") < 2000)
+          .orderBy("event_id")
+          .select(unix_millis(col("ts").cast("timestamp")).as("ms"),
+            concat(col("event_type"), lit("#"), (col("user_id") % 50).cast("string")).as("text"))
+          .collect()
+          .map(r => StreamingDedup.DocEvent(r.getLong(0), r.getString(1)))
+        // horizon far beyond the fixture's time span: no eviction, so the
+        // survivors are exactly the global distinct set
+        StreamingDedup.replayExact(s, rows.toSeq, chunk = 700, delay = "3650 days")
+          .orderBy("text")
+      },
+      Some("""SELECT DISTINCT event_type || '#' || CAST(user_id % 50 AS VARCHAR) AS text
+             |FROM events WHERE event_id < 2000 ORDER BY text""".stripMargin)),
+
     // Views — tickers (O20 over asset_tickers, up.sql:432-435)
     QueryDef("view_tickers",
       (s, dir) => {

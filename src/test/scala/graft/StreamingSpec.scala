@@ -179,6 +179,33 @@ class StreamingSpec extends SparkSpec {
         s"batch-only: ${expected.exceptAll(streamed).collect().mkString("\n")}")
   }
 
+  test("streaming dedup: in-horizon duplicates dropped, state evicted past the watermark (ST9)") {
+    import graft.streaming.StreamingDedup
+    val t0 = 1704103200000L
+    // A twice within the horizon (second dropped), B once; after the
+    // watermark passes A's state, a third A is admitted again
+    // batch 1: A twice (second dropped) + B; batch 2: sentinels advancing
+    // the watermark past A's expiry (t0+1h); batch 3: the re-arrived A is
+    // admitted because its state was evicted between batches
+    val events = Seq(
+      StreamingDedup.DocEvent(t0, "doc-A"),
+      StreamingDedup.DocEvent(t0 + 60000, "doc-A"),
+      StreamingDedup.DocEvent(t0 + 120000, "doc-B"),
+      StreamingDedup.DocEvent(t0 + 9000000L, "doc-C1"), // t0+2h30m
+      StreamingDedup.DocEvent(t0 + 9000000L, "doc-C2"),
+      StreamingDedup.DocEvent(t0 + 9000000L, "doc-C3"),
+      StreamingDedup.DocEvent(t0 + 3 * 3600000L, "doc-A"))
+    val out = StreamingDedup.replayExact(spark, events, chunk = 3, delay = "1 hour")
+      .as[String].collect().toSeq
+    assert(out.count(_ == "doc-A") == 2, s"expected re-admission after eviction: $out")
+    assert(out.count(_ == "doc-B") == 1)
+    // within one horizon the survivors are exactly the distinct contents
+    val bounded = StreamingDedup.replayExact(spark,
+      (0 until 100).map(i => StreamingDedup.DocEvent(t0 + i * 1000L, s"d${i % 7}")), chunk = 40)
+      .as[String].collect().toSeq
+    assert(bounded.sorted == (0 until 7).map(i => s"d$i"))
+  }
+
   test("idempotent handler skips re-delivered batches (ST2)") {
     var applied = 0
     val h = new MicroBatchPipeline.IdempotentBatchHandler((_, _) => applied += 1)
