@@ -83,6 +83,25 @@ object Curation {
     }
   }
 
+  /** Streaming curation: the same annotate → filter funnel over a
+    * STREAMING frame (every signal is a row-local projection, so the whole
+    * stage chain is streaming-safe), with first-occurrence dedup via
+    * [[graft.streaming.StreamingDedup.exactWithinWatermark]] — state
+    * bounded by the watermark horizon. The per-batch predicate pays the
+    * expression-inlining tax [[annotate]] documents (no materialization
+    * point inside a streaming plan); at production scale put the annotated
+    * stream through a sink and run [[curate]] downstream if that tax
+    * matters. */
+  def curateStream(
+      docs: DataFrame,
+      eventTimeCol: String,
+      config: Config = Config(),
+      textCol: String = "text",
+      dedupDelay: String = "1 hour"): DataFrame =
+    graft.streaming.StreamingDedup.exactWithinWatermark(
+      annotate(docs, textCol).filter(stageConditions(config).last._2),
+      eventTimeCol, textCol, dedupDelay)
+
   /** One-row attrition funnel: total and survivors after each stage, in ONE
     * aggregation pass (conditional counts over the cumulative stage
     * predicates). The dedup survivor count is exact-dedup's definition —

@@ -206,6 +206,35 @@ class StreamingSpec extends SparkSpec {
     assert(bounded.sorted == (0 until 7).map(i => s"d$i"))
   }
 
+  test("streaming curation: annotate+filter+dedup run as one streaming pipeline") {
+    import graft.llm.Curation
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704103200000L
+    val good = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val events = Seq(
+      StreamingDedup.DocEvent(t0, good),                    // survives
+      StreamingDedup.DocEvent(t0 + 1000, good),             // dup → dropped
+      StreamingDedup.DocEvent(t0 + 2000, "too short"),      // length drop
+      StreamingDedup.DocEvent(t0 + 3000, ("spam " * 40).trim), // repetition drop
+      StreamingDedup.DocEvent(t0 + 4000, "el la de que y en los del las por dias")) // survives
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDedup.DocEvent]
+    val src = stream.toDS()
+      .select(timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
+    val query = Curation.curateStream(src, "event_time")
+      .select("text")
+      .writeStream.outputMode("append").format("memory").queryName("graft_curate_stream")
+      .start()
+    try {
+      stream.addData(events.take(2))
+      query.processAllAvailable()
+      stream.addData(events.drop(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("graft_curate_stream").as[String].collect().toSet
+    assert(out == Set(good, "el la de que y en los del las por dias"), s"got $out")
+  }
+
   test("idempotent handler skips re-delivered batches (ST2)") {
     var applied = 0
     val h = new MicroBatchPipeline.IdempotentBatchHandler((_, _) => applied += 1)
