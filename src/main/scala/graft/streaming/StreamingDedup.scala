@@ -48,14 +48,22 @@ object StreamingDedup {
     val src = stream.toDS()
       .select(timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
     val name = s"graft_stream_dedup_${seq.incrementAndGet()}"
-    val query = exactWithinWatermark(src, "event_time", delay = delay)
-      .select("text")
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.ProcessingTime(10L))
-      .start()
+    // bounded replay: 8 state partitions, not the session's 32 — a
+    // streaming query writes one state file per partition per micro-batch
+    // (same rationale as StreamingCandles' replay harness)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
     try {
-      events.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
-    } finally query.stop()
+      val query = exactWithinWatermark(src, "event_time", delay = delay)
+        .select("text")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(10L))
+        .start()
+      try {
+        events.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+      } finally query.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }
