@@ -286,6 +286,28 @@ object LlmQueries {
               |    AND dup_word_frac <= 0.9 AND top_bigram_frac <= 0.5 THEN md5(text) END) AS after_dedup_exact
               |FROM q JOIN r USING (doc_id)""".stripMargin)),
 
+    // token-budget corpus selection: greedy highest-quality prefix under a
+    // token budget, cumulative sum via the DISTRIBUTED prefix-sum (range
+    // partition + partition-local windows + offsets — no global window);
+    // the oracle is the single-node window form of the same selection
+    QueryDef("llm_token_budget",
+      (s, dir) => {
+        import graft.llm.Curation
+        Curation.tokenBudgetSample(
+          Curation.annotate(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+          budgetTokens = 10000L)
+          .select(col("doc_id"), col("n_tokens"), col("running_total"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $curationCtes,
+              |t AS (
+              |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+              |    CAST(sum(n_words) OVER (ORDER BY quality_score DESC, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
+              |  FROM q)
+              |SELECT doc_id, n_tokens, running_total FROM t
+              |WHERE running_total <= 10000 ORDER BY doc_id""".stripMargin)),
+
     // language-ID heuristic (stopword n-gram scoring)
     QueryDef("llm_langid",
       (s, dir) => Tables.documents(s, dir)

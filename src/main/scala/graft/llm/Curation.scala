@@ -102,6 +102,29 @@ object Curation {
       annotate(docs, textCol).filter(stageConditions(config).last._2),
       eventTimeCol, textCol, dedupDelay)
 
+  /** Token-budget corpus selection: keep the highest-priority prefix whose
+    * cumulative whitespace-token count fits `budgetTokens` — the greedy
+    * training-mix primitive ("best documents up to N tokens"). Priority is
+    * quality_score descending with doc id as the total-order tiebreak; the
+    * cumulative sum runs as a DISTRIBUTED prefix sum
+    * ([[graft.operators.Pipeline.runningTotal]]: range partition +
+    * partition-local windows + broadcast offsets), never a global
+    * single-partition window. Input must be [[annotate]]d (or any frame
+    * with a `quality_score`). Output keeps `n_tokens` and the inclusive
+    * `running_total` for auditability. */
+  def tokenBudgetSample(
+      annotated: DataFrame,
+      budgetTokens: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val withTokens = annotated
+      .withColumn("n_tokens", TextAnalysis.tokenCountWhitespace(col(textCol)).cast("long"))
+    graft.operators.Pipeline
+      .runningTotal(withTokens, Seq(col("quality_score").desc, col(idCol)), col("n_tokens"))
+      .withColumnRenamed("__running_total", "running_total")
+      .filter(col("running_total") <= budgetTokens)
+  }
+
   /** One-row attrition funnel: total and survivors after each stage, in ONE
     * aggregation pass (conditional counts over the cumulative stage
     * predicates). The dedup survivor count is exact-dedup's definition —

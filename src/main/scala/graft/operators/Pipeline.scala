@@ -135,6 +135,41 @@ object Pipeline {
     numbered
   }
 
+  /** Distributed inclusive prefix sum — `sum(valueCol) OVER (ORDER BY
+    * orderCols)` WITHOUT the single-partition window that the window form
+    * plans: range-partition on the order keys, partition-local running sums
+    * (window partitioned by pid — bounded), plus broadcast cumulative
+    * prior-partition totals. Same persistence discipline as
+    * [[globalRowNumber]] (the cached shuffle pins the sampled range
+    * boundaries; bounded unpersist pool). Returns the frame with a
+    * `__running_total` column. */
+  def runningTotal(events: DataFrame, orderCols: Seq[Column], valueCol: Column,
+      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+            else events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = events.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__val", valueCol.cast("long"))
+      .persist()
+    persistedPool.add(sorted)
+    while (persistedPool.size() > PersistedPoolSize)
+      Option(persistedPool.poll()).foreach(_.unpersist(false))
+    val stats = sorted.groupBy(col("__pid")).agg(sum(col("__val")).as("__s"))
+      .collect().sortBy(_.getInt(0))
+    var acc = 0L
+    val offsets = stats.map { r => val row = (r.getInt(0), acc); acc += r.getLong(1); row }.toSeq
+    val spark = events.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__pid", "__offset")
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__running_total", col("__offset") + sum(col("__val")).over(w))
+      .drop("__pid", "__val", "__offset")
+  }
+
   /** Batch-close folding (S2/ST1) ≙ `updates.rs:89-152`: assign each row a
     * batch id so that a batch closes at `maxSize` rows, mirroring the
     * size-close rule (time-close is the streaming trigger's job). Built on

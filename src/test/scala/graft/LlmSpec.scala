@@ -151,6 +151,31 @@ class LlmSpec extends SparkSpec {
     assert(!clustered.exists(_ >= 100))
   }
 
+  test("token-budget sampling keeps the greedy highest-quality prefix") {
+    import graft.llm.Curation
+    // quality ladder: doc i has i+5 clean words → higher quality for longer
+    // docs is NOT guaranteed, so pin quality via punctuation instead:
+    // docs 1-3 clean (quality 1.0), docs 4-5 punct-heavy (lower quality)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // 10 tokens, q=1.0
+      (2L, "one two three four five six seven eight nine ten"),         // 10 tokens, q=1.0
+      (3L, "red orange yellow green blue indigo violet black white grey"), // 10 tokens, q=1.0
+      (4L, "noisy!! doc?? with## lots$$ of%% punctuation&& here** now@@ ok!! yes??"), // lower q
+      (5L, "more!! noise?? in## this$$ doc%% too&& with** heavy@@ marks!! end??"))    // lower q
+      .toDF("doc_id", "text")
+    val sel = Curation.tokenBudgetSample(Curation.annotate(docs), budgetTokens = 25L)
+      .select("doc_id", "n_tokens", "running_total")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // greedy: docs 1 and 2 (10+10=20 ≤ 25); doc 3 would overflow (30 > 25)
+    assert(sel.map(_._1).toSeq == Seq(1L, 2L), s"got ${sel.toSeq}")
+    assert(sel.map(_._3).max <= 25L)
+    // budget covering everything keeps all docs with correct inclusive totals
+    val all = Curation.tokenBudgetSample(Curation.annotate(docs), budgetTokens = 1000L)
+    assert(all.count() == 5)
+    assert(all.agg(max("running_total")).first().getLong(0) ==
+      all.agg(sum("n_tokens")).first().getLong(0))
+  }
+
   test("degenerate bucket (mass-duplicated boilerplate) is capped, surfaced, and does not explode") {
     // 5k exact copies of one doc: a single LSH bucket of 5k members would
     // expand to ~12.5M pairs per band; the cap must route it to the audit

@@ -115,6 +115,34 @@ class OperatorsSpec extends SparkSpec {
     assert(rolled("t2").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("runningTotal equals the global-window prefix sum, without the single partition") {
+    import graft.operators.Pipeline
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map(i => (i.toLong, rnd.nextInt(100).toLong)).toDF("k", "v")
+      .repartition(13) // scrambled input
+    val got = Pipeline.runningTotal(rows, Seq(col("k")), col("v"))
+      .select(col("k"), col("__running_total")).as[(Long, Long)].collect().toMap
+    // local reference prefix sum
+    val vals = { val r = new scala.util.Random(7); (1 to 5000).map(i => i.toLong -> r.nextInt(100).toLong).toMap }
+    var acc = 0L
+    (1 to 5000).foreach { i =>
+      acc += vals(i.toLong)
+      assert(got(i.toLong) == acc, s"prefix sum diverged at k=$i")
+    }
+    // descending order direction works too
+    val desc = Pipeline.runningTotal(rows, Seq(col("k").desc), col("v"))
+      .select(col("k"), col("__running_total")).as[(Long, Long)].collect().toMap
+    var acc2 = 0L
+    (5000 to 1 by -1).foreach { i =>
+      acc2 += vals(i.toLong)
+      assert(desc(i.toLong) == acc2, s"desc prefix sum diverged at k=$i")
+    }
+    // the plan never funnels through one partition
+    val plan = Pipeline.runningTotal(rows, Seq(col("k")), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), plan)
+  }
+
   test("schema registry covers all 33 reference tables with txs common prefix") {
     assert(ReferenceSchemas.tables.size == 33)
     val prefix = ReferenceSchemas.txsCommon.map(_.name)
