@@ -308,6 +308,36 @@ object LlmQueries {
               |SELECT doc_id, n_tokens, running_total FROM t
               |WHERE running_total <= 10000 ORDER BY doc_id""".stripMargin)),
 
+    // reproducible train/val/test split: a pure function of (id, seed) via
+    // portable md5 buckets — DuckDB recomputes the assignment bit-for-bit,
+    // proving the split is engine- and partitioning-independent
+    QueryDef("llm_split",
+      (s, dir) => {
+        import graft.llm.Sampling
+        Sampling.assignSplit(Tables.documents(s, dir).select(col("doc_id")),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s1")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-s1'), 1, 8)) AS BIGINT) % 1000000 AS b
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // deterministic ~25% sample under a different seed (same portable hash)
+    QueryDef("llm_sample_det",
+      (s, dir) => {
+        import graft.llm.Sampling
+        Sampling.deterministicSample(Tables.documents(s, dir).select(col("doc_id")),
+          fraction = 0.25, seed = "s2")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM (SELECT doc_id,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-s2'), 1, 8)) AS BIGINT) % 1000000 AS b
+             |  FROM documents)
+             |WHERE b < 250000 ORDER BY doc_id""".stripMargin)),
+
     // language-ID heuristic (stopword n-gram scoring)
     QueryDef("llm_langid",
       (s, dir) => Tables.documents(s, dir)

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling and dataset splits for training pipelines.
+  *
+  * Everything here is a PURE FUNCTION OF (id, seed) — no RNG state, no
+  * partition dependence: re-running on a different cluster, a different
+  * partitioning, or a GROWN corpus yields the same decision for every
+  * existing id (new ids never reshuffle old ones — the property that keeps
+  * train/test splits honest across dataset versions). `Dataset.sample`'s
+  * per-partition RNG guarantees none of this.
+  *
+  * The hash is the first 8 hex chars of md5(id ++ "-" ++ seed) — chosen
+  * over xxhash64 because every engine computes the identical md5, so split
+  * assignment is verifiable outside Spark (the gate's DuckDB oracle
+  * recomputes it bit-for-bit). Map-only, codegen'd builtins.
+  */
+object Sampling {
+
+  /** Bucket resolution: parts-per-million. */
+  val Buckets: Long = 1000000L
+
+  /** Deterministic bucket in [0, 1e6) for an id under a seed. */
+  def bucket(idCol: Column, seed: String): Column =
+    conv(substring(md5(concat(idCol.cast("string"), lit("-"), lit(seed))), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /** Keep ~`fraction` of rows, decided per id: reproducible, stable under
+    * corpus growth, disjointness across seeds ≈ independent draws. */
+  def deterministicSample(
+      df: DataFrame,
+      fraction: Double,
+      seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    df.filter(bucket(col(idCol), seed) < math.round(fraction * Buckets))
+  }
+
+  /** Assign every row to a named split by contiguous bucket ranges of
+    * cumulative weight (weights must sum to 1). E.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. */
+  def assignSplit(
+      df: DataFrame,
+      splits: Seq[(String, Double)],
+      seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val b = bucket(col(idCol), seed)
+    var cum = 0.0
+    var chain: Column = null
+    splits.foreach { case (name, w) =>
+      cum += w
+      val cond = b < math.round(cum * Buckets)
+      chain = if (chain == null) when(cond, lit(name)) else chain.when(cond, lit(name))
+    }
+    // rounding guard: bucket == last threshold lands in the last split
+    df.withColumn("split", chain.otherwise(lit(splits.last._1)))
+  }
+}

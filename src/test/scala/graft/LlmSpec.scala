@@ -176,6 +176,33 @@ class LlmSpec extends SparkSpec {
       all.agg(sum("n_tokens")).first().getLong(0))
   }
 
+  test("deterministic sampling/splits: stable, partition-independent, growth-proof") {
+    import graft.llm.Sampling
+    val ids = (1L to 2000L).toDF("doc_id")
+    val split = Sampling.assignSplit(ids, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "seedA")
+    val m1 = split.as[(Long, String)].collect().toMap
+    // partitioning does not change assignment
+    val m2 = Sampling.assignSplit(ids.repartition(17), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "seedA")
+      .as[(Long, String)].collect().toMap
+    assert(m1 == m2)
+    // fractions in the right ballpark (binomial tolerance)
+    val counts = m1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 120, counts.toString)
+    assert(math.abs(counts("val") - 200) < 80, counts.toString)
+    // growing the corpus never reassigns existing ids
+    val grown = Sampling.assignSplit((1L to 3000L).toDF("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "seedA")
+      .as[(Long, String)].collect().toMap
+    assert((1L to 2000L).forall(i => grown(i) == m1(i)))
+    // different seeds draw differently; same seed re-runs identically
+    val s1 = Sampling.deterministicSample(ids, 0.3, "x").as[Long].collect().toSet
+    val s1b = Sampling.deterministicSample(ids, 0.3, "x").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(ids, 0.3, "y").as[Long].collect().toSet
+    assert(s1 == s1b)
+    assert(s1 != s2)
+    assert(math.abs(s1.size - 600) < 90, s1.size.toString)
+  }
+
   test("degenerate bucket (mass-duplicated boilerplate) is capped, surfaced, and does not explode") {
     // 5k exact copies of one doc: a single LSH bucket of 5k members would
     // expand to ~12.5M pairs per band; the cap must route it to the audit
