@@ -338,6 +338,120 @@ object LlmQueries {
              |  FROM documents)
              |WHERE b < 250000 ORDER BY doc_id""".stripMargin)),
 
+    // per-stratum deterministic sampling: each language keeps its own
+    // fraction (corpus rebalancing); same portable md5 bucket hash
+    QueryDef("llm_sample_stratified",
+      (s, dir) => {
+        import graft.llm.Sampling
+        Sampling.stratifiedSample(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          rates = Seq("en" -> 0.5, "zh" -> 0.9), defaultRate = 0.2,
+          strataCol = "lang", seed = "s3")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM (SELECT doc_id, lang,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-s3'), 1, 8)) AS BIGINT) % 1000000 AS b
+             |  FROM documents)
+             |WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 900000 ELSE 200000 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // deterministic global shuffle order for training epochs: full-md5
+    // pseudo-random total order, identical on any engine/partitioning
+    QueryDef("llm_shuffle_order",
+      (s, dir) => {
+        import graft.llm.Sampling
+        Tables.documents(s, dir)
+          .select(col("doc_id"), Sampling.shuffleKey(col("doc_id"), "epoch0").as("shuffle_key"))
+          .orderBy("shuffle_key", "doc_id")
+      },
+      Some("""SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '-epoch0') AS shuffle_key
+             |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
+
+    // benchmark decontamination: 3-gram overlap of every training doc
+    // against a (deterministic) eval subset; eval n-gram set is broadcast,
+    // the corpus side never shuffles for the probe
+    QueryDef("llm_decontaminate",
+      (s, dir) => {
+        import graft.llm.Decontaminate
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        Decontaminate.contamination(docs, docs.filter(col("doc_id") % 31 === 0), n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+             |g AS (
+             |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+             |    list_distinct(list_transform(range(1, len(words) - 1),
+             |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+             |    ELSE CAST([] AS VARCHAR[]) END AS grams
+             |  FROM w),
+             |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 31 = 0),
+             |x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+             |h AS (
+             |  SELECT x.doc_id, count(*) AS n_ngrams, count(e.gram) AS n_contaminated
+             |  FROM x LEFT JOIN e ON x.gram = e.gram GROUP BY x.doc_id)
+             |SELECT g.doc_id,
+             |  CAST(coalesce(h.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+             |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+             |  round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+             |    / greatest(CAST(coalesce(h.n_ngrams, 0) AS DOUBLE), 1.0), 6) AS contamination_frac
+             |FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+             |ORDER BY g.doc_id""".stripMargin)),
+
+    // concat-and-chunk sequence packing: global token spans and sequence
+    // ranges from the DISTRIBUTED prefix sum (no single-partition window);
+    // the oracle is the single-node window form of the same layout
+    QueryDef("llm_pack_sequences",
+      (s, dir) => {
+        import graft.llm.Curation
+        Curation.packSequences(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          seqLen = 512L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM t)
+             |SELECT doc_id, n_tokens, cum - n_tokens AS tok_start,
+             |  (cum - n_tokens) // 512 AS first_seq,
+             |  (cum - 1) // 512 AS last_seq,
+             |  (cum - n_tokens) % 512 AS offset_in_first
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // exact top-k corpus bigrams (freq desc, ngram asc total order):
+    // map-side partial agg + TakeOrdered — distribution never collected
+    QueryDef("llm_top_ngrams",
+      (s, dir) => {
+        import graft.llm.CorpusStats
+        CorpusStats.topNgrams(Tables.documents(s, dir), n = 2, k = 20)
+      },
+      Some("""WITH w AS (
+             |  SELECT string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+             |g AS (
+             |  SELECT unnest(list_transform(range(1, len(words)),
+             |    i -> words[i] || ' ' || words[i+1])) AS ngram
+             |  FROM w)
+             |SELECT ngram, count(*) AS freq FROM g
+             |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20""".stripMargin)),
+
+    // per-language corpus profile: docs, token sum, mean length
+    QueryDef("llm_strata_profile",
+      (s, dir) => {
+        import graft.llm.CorpusStats
+        CorpusStats.strataProfile(Tables.documents(s, dir), "lang").orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  round(avg(n_tok), 6) AS mean_tokens
+             |FROM (SELECT lang,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // language-ID heuristic (stopword n-gram scoring)
     QueryDef("llm_langid",
       (s, dir) => Tables.documents(s, dir)

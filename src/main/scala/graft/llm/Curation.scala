@@ -125,6 +125,39 @@ object Curation {
       .filter(col("running_total") <= budgetTokens)
   }
 
+  /** Concat-and-chunk sequence packing — the standard LLM pre-training
+    * layout: documents are concatenated in a deterministic order (`idCol`)
+    * and the token stream is sliced into fixed `seqLen`-token training
+    * sequences. Each document gets its global token span and the range of
+    * sequences it lands in:
+    * `tok_start` (inclusive, 0-based), `first_seq`/`last_seq` (a doc
+    * straddling a boundary spans several), `offset_in_first`.
+    *
+    * The global offset is a DISTRIBUTED prefix sum
+    * ([[graft.operators.Pipeline.runningTotal]]: range partition +
+    * partition-local windows + broadcast per-partition offsets) — never a
+    * single-partition window, so the layout step scales with the corpus.
+    * Downstream writers emit sequence shards by `first_seq` range, which
+    * the range partitioning has already co-located. */
+  def packSequences(
+      docs: DataFrame,
+      seqLen: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val withTokens = docs
+      .withColumn("n_tokens", TextAnalysis.tokenCountWhitespace(col(textCol)).cast("long"))
+    graft.operators.Pipeline
+      .runningTotal(withTokens, Seq(col(idCol)), col("n_tokens"))
+      .withColumn("tok_start", col("__running_total") - col("n_tokens"))
+      // integer `div`, not floor(double /): exact past 2^53 tokens
+      .withColumn("first_seq", expr(s"tok_start div ${seqLen}L"))
+      .withColumn("last_seq", expr(s"(__running_total - 1) div ${seqLen}L"))
+      .withColumn("offset_in_first", col("tok_start") % seqLen)
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        col("first_seq"), col("last_seq"), col("offset_in_first"))
+  }
+
   /** One-row attrition funnel: total and survivors after each stage, in ONE
     * aggregation pass (conditional counts over the cumulative stage
     * predicates). The dedup survivor count is exact-dedup's definition —

@@ -59,4 +59,39 @@ object Sampling {
     // rounding guard: bucket == last threshold lands in the last split
     df.withColumn("split", chain.otherwise(lit(splits.last._1)))
   }
+
+  /** Per-stratum deterministic sampling: each stratum (language, source,
+    * domain…) keeps its own fraction — the rebalancing primitive for
+    * hitting a target corpus mix. Same (id, seed) bucket hash as
+    * [[deterministicSample]], so assignments stay stable under corpus
+    * growth and across strata-rate changes (changing one stratum's rate
+    * never reshuffles another's). Map-only; the rate lookup is a literal
+    * CASE chain, not a join. */
+  def stratifiedSample(
+      df: DataFrame,
+      rates: Seq[(String, Double)],
+      defaultRate: Double,
+      strataCol: String,
+      seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates out of range: $rates default=$defaultRate")
+    val threshold = rates.foldLeft(null: Column) { case (chain, (name, r)) =>
+      val c = col(strataCol) === name
+      val t = lit(math.round(r * Buckets))
+      if (chain == null) when(c, t) else chain.when(c, t)
+    }
+    val thr = if (threshold == null) lit(math.round(defaultRate * Buckets))
+              else threshold.otherwise(math.round(defaultRate * Buckets))
+    df.filter(bucket(col(idCol), seed) < thr)
+  }
+
+  /** Deterministic global shuffle key for training-example order: the full
+    * md5 hex of (id, seed) is a stable pseudo-random total order — the
+    * same epoch order on any cluster, any partitioning, any engine
+    * (`ORDER BY shuffle_key, id`). Different seeds = different epoch
+    * orders. Map-only; the sort itself is the downstream consumer's
+    * range-partitioned write. */
+  def shuffleKey(idCol: Column, seed: String): Column =
+    md5(concat(idCol.cast("string"), lit("-"), lit(seed)))
 }

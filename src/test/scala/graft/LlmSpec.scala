@@ -410,4 +410,80 @@ class LlmSpec extends SparkSpec {
     val n = Multimodal.sampleFrames(media).count()
     assert(n == 3) // frames 0,4,8
   }
+
+  test("decontamination: exact eval member is 1.0, partial overlap fractional, disjoint 0") {
+    import graft.llm.Decontaminate
+    val docs = Seq(
+      (1L, "a b c d e f"),          // in eval: fully contaminated
+      (2L, "a b c x y z"),          // shares exactly 3-gram "a b c": 1/4
+      (3L, "p q r s t u"),          // disjoint
+      (4L, "a b")                   // too short for a 3-gram
+    ).toDF("doc_id", "text")
+    val eval = docs.filter(col("doc_id") === 1L)
+    val m = Decontaminate.contamination(docs, eval, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m(1L) == ((4L, 4L, 1.0)))
+    assert(m(2L) == ((4L, 1L, 0.25)))
+    assert(m(3L) == ((4L, 0L, 0.0)))
+    assert(m(4L) == ((0L, 0L, 0.0)))
+    // removal at threshold 0.5 drops only the eval member
+    val kept = Decontaminate.decontaminate(docs, eval, n = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("sequence packing: contiguous non-overlapping spans, boundary straddles, partition-independent") {
+    import graft.llm.Curation
+    val docs = (1L to 100L).map(i => (i, (1L to (i % 7 + 1)).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Curation.packSequences(docs, seqLen = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    // spans tile the token stream exactly: each doc starts where the previous ended
+    packed.foldLeft(0L) { case (expectedStart, (_, n, start, first, last, off)) =>
+      assert(start == expectedStart)
+      assert(first == start / 10 && off == start % 10)
+      assert(last == (start + n - 1) / 10)
+      start + n
+    }
+    // total tokens = last doc's end
+    val total = packed.map(_._2).sum
+    assert(packed.last._3 + packed.last._2 == total)
+    // partitioning never changes the layout
+    val repacked = Curation.packSequences(docs.repartition(13), seqLen = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(packed.toSeq == repacked.toSeq)
+  }
+
+  test("stratified sampling honors per-stratum rates and is growth-stable") {
+    import graft.llm.Sampling
+    val docs = (1L to 3000L).map(i => (i, if (i % 3 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(docs, Seq("en" -> 0.9, "zh" -> 0.1), 0.5, "lang", "sA")
+      .as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byLang("en") - 900) < 100, byLang.toString)   // 1000 en docs * 0.9
+    assert(math.abs(byLang("zh") - 200) < 80, byLang.toString)    // 2000 zh docs * 0.1
+    // default rate applies to unlisted strata
+    val withDe = docs.withColumn("lang", when(col("doc_id") > 2900, "de").otherwise(col("lang")))
+    val de = Sampling.stratifiedSample(withDe, Seq("en" -> 0.9, "zh" -> 0.1), 1.0, "lang", "sA")
+      .filter(col("lang") === "de").count()
+    assert(de == 100)
+    // growing the corpus never drops/readds an existing id
+    val small = Sampling.stratifiedSample(docs.filter(col("doc_id") <= 1000),
+      Seq("en" -> 0.9, "zh" -> 0.1), 0.5, "lang", "sA").as[(Long, String)].collect().map(_._1).toSet
+    assert(kept.map(_._1).filter(_ <= 1000).toSet == small)
+  }
+
+  test("top-ngrams: exact counts with a deterministic total order") {
+    import graft.llm.CorpusStats
+    val docs = Seq(
+      (1L, "x y x y z"),   // "x y"×2, "y x"×1, "y z"×1
+      (2L, "x y q")        // "x y"×1, "y q"×1
+    ).toDF("doc_id", "text")
+    val top = CorpusStats.topNgrams(docs, n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("x y", 3L), ("y q", 1L), ("y x", 1L)))
+  }
 }
