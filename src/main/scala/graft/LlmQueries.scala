@@ -452,6 +452,107 @@ object LlmQueries {
              |  FROM documents)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // cross-corpus novelty: bloom prefilter (broadcast, map-side probe)
+    // + exact verify of bloom-positives — EXACT composite, so the oracle
+    // is the plain anti-join the filter is equivalent to
+    QueryDef("llm_novel",
+      (s, dir) => {
+        val seen = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+        Dedup.novelAgainst(corpus(s, dir), seen).select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH $corpusSql,
+              |seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+              |SELECT doc_id FROM corpus
+              |WHERE md5(text) NOT IN (SELECT h FROM seen)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // per-document top-3 tf·idf terms: (doc,word) tf + word df partial-agg
+    // shuffles, N as a broadcast one-row aggregate, per-doc window top-k
+    QueryDef("llm_tfidf",
+      (s, dir) => {
+        import graft.llm.CorpusStats
+        CorpusStats.tfIdfTopTerms(Tables.documents(s, dir), k = 3)
+          .orderBy("doc_id", "term_rank")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+             |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+             |SELECT doc_id, word, tf, tf_idf, term_rank FROM (
+             |  SELECT tf.doc_id, tf.word, tf.tf,
+             |    round(tf.tf * ln(n.n / df.df), 6) AS tf_idf,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY round(tf.tf * ln(n.n / df.df), 6) DESC, tf.word) AS term_rank
+             |  FROM tf JOIN df USING (word) CROSS JOIN n)
+             |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin)),
+
+    // unigram-LM cross-entropy (CCNet-style fluency): LM trained on the
+    // even-id half, broadcast; corpus probed map-side, one per-doc re-agg
+    QueryDef("llm_lm_score",
+      (s, dir) => {
+        import graft.llm.CorpusStats
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val lm = CorpusStats.unigramLm(docs.filter(col("doc_id") % 2 === 0))
+        CorpusStats.lmScore(docs, lm).orderBy("doc_id")
+      },
+      Some("""WITH rw AS (
+             |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |c AS (SELECT word, count(*) AS c FROM rw GROUP BY word),
+             |t AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
+             |dw AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             |  FROM documents),
+             |s AS (
+             |  SELECT dw.doc_id,
+             |    coalesce(ln((c.c + 1.0) / (t.n + t.v + 1.0)), ln(1.0 / (t.n + t.v + 1.0))) AS lp
+             |  FROM dw LEFT JOIN c ON dw.word = c.word CROSS JOIN t)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round(-avg(lp) / ln(2), 6) AS bits_per_token
+             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // exact per-language token-count quantiles (linear interpolation both
+    // engines; approx_percentile is the documented 100 TB path)
+    QueryDef("llm_length_quantiles",
+      (s, dir) => {
+        import graft.llm.CorpusStats
+        CorpusStats.lengthQuantiles(Tables.documents(s, dir), "lang").orderBy("lang")
+      },
+      Some("""SELECT lang,
+             |  round(quantile_cont(tok, 0.25), 6) AS p25,
+             |  round(quantile_cont(tok, 0.5), 6) AS p50,
+             |  round(quantile_cont(tok, 0.75), 6) AS p75,
+             |  round(quantile_cont(tok, 0.9), 6) AS p90
+             |FROM (SELECT lang,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS tok
+             |  FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // k-means topic clustering (deterministic seeds + Lloyd steps + assign);
+    // iterative FP means are not SQL-oracle-able — invariants in LlmSpec
+    QueryDef("llm_kmeans",
+      (s, dir) => {
+        import graft.llm.Similarity
+        Similarity.kmeansCluster(Tables.embeddings(s, dir), k = 8, iterations = 2)
+          .orderBy("vec_id")
+      },
+      None),
+
+    // fuzzy decontamination: MinHash-LSH candidates vs a broadcast eval
+    // set, exact-Jaccard verified; LSH recall keeps it rows-only
+    QueryDef("llm_fuzzy_decon",
+      (s, dir) => {
+        import graft.llm.Decontaminate
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        Decontaminate.fuzzyContamination(docs, docs.filter(col("doc_id") % 41 === 0))
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .orderBy("doc_id", "eval_id")
+      },
+      None),
+
     // language-ID heuristic (stopword n-gram scoring)
     QueryDef("llm_langid",
       (s, dir) => Tables.documents(s, dir)

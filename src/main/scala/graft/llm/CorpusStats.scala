@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistics — the aggregate views a data-curation team
@@ -40,4 +40,109 @@ object CorpusStats {
         count(lit(1)).as("n_docs"),
         sum(col("__tok")).as("n_tokens"),
         round(avg(col("__tok")), 6).as("mean_tokens"))
+
+  /** Lowercased whitespace words of a document — the shared tokenization of
+    * the corpus-statistics operators (identical to the oracle's
+    * `string_split_regex(lower(trim(text)), '\s+')`). */
+  private def words(textCol: Column): Column = split(lower(trim(textCol)), "\\s+")
+
+  /** Top-k characteristic terms per document by tf·idf, the standard
+    * keyword-extraction / topic-labelling pass over a corpus.
+    *
+    * idf = ln(N / df) with df = number of documents containing the word.
+    * Scale shape: three shuffles, all keyed on high-cardinality hash-friendly
+    * keys — (doc, word) for tf, word for df (both partial-aggregate
+    * map-side), and the tf⋈df join on word (AQE may broadcast df when the
+    * vocabulary is small). N arrives as a broadcast one-row aggregate, never
+    * a driver-side collect. The per-document top-k ranks inside a window
+    * partitioned by doc_id — millions of small partitions, no global sort.
+    * Ties rank on (rounded score desc, word asc): total and
+    * engine-independent, so the k-boundary is deterministic. */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docWords = docs.select(col(idCol), explode(words(col(textCol))).as("word"))
+    val tf = docWords.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(df, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("tf_idf", round(col("tf") * log(col("__n") / col("df")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tf_idf").desc, col("word"))
+    scored
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("word"), col("tf"), col("tf_idf"), col("term_rank"))
+  }
+
+  /** Unigram language model over a reference corpus: (word, log_prob) with
+    * add-one smoothing — log((c + 1) / (N + V + 1)), where the +1 in the
+    * denominator reserves mass for the OOV pseudo-word, whose log-prob is
+    * returned by [[lmOovLogProb]]. One shuffle (word counts, map-side
+    * partials); N and V ride along as columns so scoring needs no driver
+    * action. */
+  def unigramLm(refDocs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = refDocs
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.agg(
+      sum(col("c")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("word"),
+        log((col("c") + 1.0) / (col("__n") + col("__v") + 1.0)).as("log_prob"),
+        col("__n").as("n_tokens_lm"), col("__v").as("vocab_size"))
+  }
+
+  /** Per-document cross-entropy (mean −log₂ p under the unigram LM) — the
+    * CCNet-style fluency filter: low bits-per-token ≈ in-domain text, high ≈
+    * noise. OOV words score the reserved smoothed mass.
+    *
+    * Scale shape: the LM is a vocabulary table — bounded by language, not
+    * corpus size — so it broadcasts and the 100 TB side is probed map-side;
+    * the only shuffle is the per-document re-aggregation (map-side
+    * partials). Rounded to 6 dp: double summation order and libm ulp
+    * differences sit far below the rounding grain. */
+  def lmScore(
+      docs: DataFrame,
+      lm: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ln2 = math.log(2.0)
+    val oov = broadcast(lm.agg(
+      log(lit(1.0) / (first(col("n_tokens_lm")) + first(col("vocab_size")) + 1.0)).as("__oov")))
+    docs
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .join(broadcast(lm.select(col("word"), col("log_prob"))), Seq("word"), "left")
+      .crossJoin(oov)
+      .withColumn("__lp", coalesce(col("log_prob"), col("__oov")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-avg(col("__lp")) / ln2, 6).as("bits_per_token"))
+  }
+
+  /** Exact token-count quantiles per stratum (linear interpolation — the
+    * same `p·(n−1)` rule DuckDB's quantile_cont applies, so the oracle is a
+    * direct transliteration). Exact percentile buffers each group's values:
+    * fine for per-stratum profiling (strata counts are bounded), and the
+    * correctness baseline for `approx_percentile`, which is what a 100 TB
+    * run would call — same plan shape, mergeable sketch instead of a
+    * buffer. */
+  def lengthQuantiles(
+      docs: DataFrame,
+      strataCol: String,
+      textCol: String = "text",
+      percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val toks = docs.select(col(strataCol),
+      TextAnalysis.tokenCountWhitespace(col(textCol)).cast("double").as("__tok"))
+    val aggs = percentiles.map { p =>
+      round(expr(s"percentile(__tok, $p)"), 6).as(s"p${(p * 100).toInt}")
+    }
+    toks.groupBy(col(strataCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

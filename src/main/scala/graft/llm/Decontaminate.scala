@@ -63,4 +63,53 @@ object Decontaminate {
       .select(col(idCol))
     docs.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Fuzzy decontamination: training documents NEAR-duplicating an eval
+    * document (lightly paraphrased test-set leakage that exact n-gram
+    * overlap misses). MinHash-LSH candidates across the two corpora,
+    * verified by exact shingle Jaccard — returns (doc_id, eval_id, jaccard)
+    * pairs at ≥ `threshold`.
+    *
+    * Scale shape: both sides compute signatures map-only (one pass, the
+    * [[Dedup.minhashSignature]] kernel); the eval side's banded signatures
+    * are TINY (benchmarks, not corpora) and broadcast, so candidate
+    * generation is a map-side hash join against the 100 TB side — the
+    * corpus never shuffles on bands. Only candidates (bounded by LSH
+    * collisions) reach the Jaccard verify join. Approximate in recall like
+    * every LSH pass (banding tuned below the verify threshold); precision
+    * is exact. */
+  def fuzzyContamination(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      threshold: Double = 0.7,
+      perms: Int = 32,
+      bands: Int = 8,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rows = perms / bands
+    def banded(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        Dedup.minhashSignature(col(textCol), perms, shingleK).as("__sig"))
+        .select(col(outId), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("__sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+    val cands = banded(docs, "doc_id_t")
+      .join(broadcast(banded(evalDocs, "eval_id")), Seq("band", "band_hash"))
+      .select(col("doc_id_t"), col("eval_id"))
+      .distinct()
+    val docSh = docs.join(cands.select(col("doc_id_t").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("doc_id_t"), Dedup.shingleHashes(col(textCol), shingleK).as("__sh_t"))
+    val evalSh = evalDocs.select(col(idCol).as("eval_id"), Dedup.shingleHashes(col(textCol), shingleK).as("__sh_e"))
+    cands
+      .join(docSh, Seq("doc_id_t"))
+      .join(broadcast(evalSh), Seq("eval_id"))
+      .withColumn("jaccard",
+        when(size(array_union(col("__sh_t"), col("__sh_e"))) > 0,
+          size(array_intersect(col("__sh_t"), col("__sh_e"))).cast("double") /
+            size(array_union(col("__sh_t"), col("__sh_e"))))
+          .otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_t").as("doc_id"), col("eval_id"), col("jaccard"))
+  }
 }

@@ -318,6 +318,46 @@ object Dedup {
     docs.join(survivors, Seq(idCol), "left_semi")
   }
 
+  // ---- cross-corpus novelty ----------------------------------------------
+
+  /** Documents in `docs` whose normalized text does NOT appear in `seen` —
+    * the incremental-ingest novelty filter (new crawl batch vs the
+    * already-ingested corpus). EXACT, despite the sketch in the middle.
+    *
+    * Scale shape: a Bloom filter over `seen`'s content hashes is built once
+    * (one aggregation pass — at a real deployment this is index-build cost,
+    * amortized across every subsequent increment) and broadcast; the
+    * incoming side probes it MAP-SIDE, so the common case — a novel
+    * document — never shuffles. Only Bloom-positives (true duplicates plus
+    * an `fpp` fraction of false positives) reach the exact verification
+    * anti-join, and that join carries hash projections, not documents.
+    * Bloom filters have no false negatives, so negatives are definitely
+    * novel and the composite result is exactly the anti-join — which is
+    * what the DuckDB oracle computes.
+    */
+  def novelAgainst(
+      docs: DataFrame,
+      seen: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fpp: Double = 0.01,
+      expectedItems: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    val seenHashes = seen.select(md5(col(textCol)).as("__h"))
+    // Auto-sizing counts `seen` once; callers with a known corpus size pass
+    // expectedItems to keep the build single-pass.
+    val n = if (expectedItems > 0L) expectedItems else math.max(1L, seenHashes.count())
+    val bf = seenHashes.stat.bloomFilter("__h", n, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val probe = udf { (h: String) => bfB.value.mightContainString(h) }
+    val hashed = docs.withColumn("__h", md5(col(textCol)))
+    val maybeSeen = hashed.filter(probe(col("__h")))
+      .join(seenHashes.distinct(), Seq("__h"), "left_anti")
+    hashed.filter(!probe(col("__h")))
+      .unionByName(maybeSeen)
+      .drop("__h")
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over word tokens: per-token 64-bit hash votes on each bit;

@@ -170,6 +170,44 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** K-means topic clustering over the embedding column: deterministic
+    * seeds → `iterations` Lloyd steps ([[refineCentroids]]) → final
+    * assignment. Returns (idCol, cluster_id) — the corpus-partitioning pass
+    * a curation pipeline uses for topic balancing and per-cluster sampling.
+    *
+    * Scale shape is the IVF build path's: every step is one broadcast
+    * assign (map-only argmax over k centroids) plus one shuffle keyed on
+    * (cell, position) for the means — no driver-side math beyond the
+    * (k × dim) centroid collect the broadcast needs anyway. */
+  def kmeansCluster(
+      corpus: DataFrame,
+      k: Int,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = refineCentroids(corpus, seedCentroids(corpus, k, idCol, vecCol),
+      iterations, idCol, vecCol)
+    assignCells(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("cell_id").as("cluster_id"))
+  }
+
+  /** Cluster sizes + mean cosine-to-assigned-centroid — the audit view of
+    * [[kmeansCluster]] (spot collapsed or incoherent clusters). */
+  def clusterProfile(
+      corpus: DataFrame,
+      k: Int,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = refineCentroids(corpus, seedCentroids(corpus, k, idCol, vecCol),
+      iterations, idCol, vecCol)
+    assignCells(corpus, centroids, idCol, vecCol)
+      .join(broadcast(centroids), Seq("cell_id"))
+      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
+      .groupBy(col("cell_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"), round(avg(col("__sim")), 6).as("mean_cosine"))
+  }
+
   /** Random-hyperplane LSH bucketing for cosine (the alternative scale
     * path): `bits` signs of dot(v, rᵢ) with deterministic pseudo-random
     * hyperplanes form the bucket key. `seed` selects an independent

@@ -486,4 +486,96 @@ class LlmSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(top == Seq(("x y", 3L), ("y q", 1L), ("y x", 1L)))
   }
+
+  test("bloom novelty filter is exactly the anti-join, at any fpp") {
+    // `corpus` contains exact dups of doc 1 (ids 200, 201); seed `seen`
+    // with doc 1's text plus a few others — everything sharing those texts
+    // must drop, everything else must survive, bit-for-bit the anti-join.
+    val seen = corpus.filter($"doc_id".isin(1L, 5L, 100L))
+    val expected = corpus.join(
+        seen.select(md5($"text").as("__h")).distinct(),
+        md5(corpus("text")) === col("__h"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.intersect(Set(1L, 5L, 100L, 200L, 201L)).isEmpty)
+    for (fpp <- Seq(0.5, 0.01)) { // a lousy filter only costs verify work
+      val novel = Dedup.novelAgainst(corpus, seen, fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(novel == expected, s"fpp=$fpp diverged from the exact anti-join")
+    }
+  }
+
+  test("tf-idf: corpus-wide words score zero, distinctive words rank first") {
+    import graft.llm.CorpusStats
+    val docs = Seq(
+      (1L, "common apple apple"),
+      (2L, "common banana"),
+      (3L, "common cherry cherry cherry")
+    ).toDF("doc_id", "text")
+    val top = CorpusStats.tfIdfTopTerms(docs, k = 1)
+      .select("doc_id", "word", "tf", "tf_idf")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    // "common" has df=3 → idf=ln(1)=0; the per-doc distinctive word wins
+    assert(top.map(t => t._1 -> t._2).toSeq ==
+      Seq(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+    val expectedApple = BigDecimal(2.0 * math.log(3.0 / 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.find(_._1 == 1L).get._4 == expectedApple)
+  }
+
+  test("unigram LM score: in-domain text scores fewer bits than OOV text") {
+    import graft.llm.CorpusStats
+    val ref = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val lm = CorpusStats.unigramLm(ref)
+    // N=6 tokens, V=5 words ("the"×2) → smoothing denominator 12
+    val probs = lm.select("word", "log_prob").as[(String, Double)].collect().toMap
+    assert(math.abs(probs("the") - math.log(3.0 / 12.0)) < 1e-12)
+    assert(math.abs(probs("cat") - math.log(2.0 / 12.0)) < 1e-12)
+    val docs = Seq((10L, "the cat sat"), (11L, "zq xw vv")).toDF("doc_id", "text")
+    val scores = CorpusStats.lmScore(docs, lm)
+      .select("doc_id", "bits_per_token").as[(Long, Double)].collect().toMap
+    // all-OOV text must score exactly the reserved mass: -log2(1/12)
+    assert(math.abs(scores(11L) - (-math.log(1.0 / 12.0) / math.log(2.0))) < 1e-6)
+    assert(scores(10L) < scores(11L))
+  }
+
+  test("length quantiles interpolate linearly (quantile_cont semantics)") {
+    import graft.llm.CorpusStats
+    // token counts 1..4 in one stratum: p50 of [1,2,3,4] = 2.5, p25 = 1.75
+    val docs = Seq(
+      (1L, "a", "en"), (2L, "a b", "en"), (3L, "a b c", "en"), (4L, "a b c d", "en")
+    ).toDF("doc_id", "text", "lang")
+    val q = CorpusStats.lengthQuantiles(docs, "lang").collect().head
+    assert(q.getAs[Double]("p25") == 1.75)
+    assert(q.getAs[Double]("p50") == 2.5)
+    assert(q.getAs[Double]("p90") == 3.7)
+  }
+
+  test("k-means clustering: total assignment, bounded ids, coherent profile") {
+    import graft.llm.Similarity
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val k = 8
+    val assigned = Similarity.kmeansCluster(vecs, k = k, iterations = 2)
+    val rows = assigned.select("vec_id", "cluster_id").as[(Long, Int)].collect()
+    assert(rows.length == vecs.count()) // every vector assigned exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall { case (_, c) => c >= 0 && c < k })
+    val profile = Similarity.clusterProfile(vecs, k = k, iterations = 2).collect()
+    assert(profile.map(_.getAs[Long]("n_vectors")).sum == rows.length)
+    // every non-degenerate cluster coheres with its centroid
+    assert(profile.forall(_.getAs[Double]("mean_cosine") > 0.0))
+  }
+
+  test("fuzzy decontamination flags paraphrased eval leakage, not clean docs") {
+    import graft.llm.Decontaminate
+    // eval doc = doc 0's text; docs 100-102 are planted one-word paraphrases
+    // of doc 0 (jaccard ≈ 0.92 at k=3) and must be flagged; distinct docs not
+    val evalDocs = Seq((9000L, corpus.filter($"doc_id" === 0L).head.getString(1)))
+      .toDF("doc_id", "text")
+    val flagged = Decontaminate.fuzzyContamination(corpus, evalDocs, threshold = 0.7)
+      .select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(flagged.contains((0L, 9000L)))   // the exact copy
+    (0 until 3).foreach { i => assert(flagged.contains((100L + i, 9000L)), s"missed paraphrase 10$i") }
+    assert(!flagged.exists { case (d, _) => d >= 1 && d < 100 }, s"clean docs flagged: $flagged")
+  }
 }
