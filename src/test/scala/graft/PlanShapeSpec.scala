@@ -143,4 +143,51 @@ class PlanShapeSpec extends SparkSpec {
         s"$name funnels through a single partition:\n$plan")
     }
   }
+
+  test("bloom novelty probe side carries no exchange before the filter") {
+    // the 100 TB contract: a novel document is decided map-side — the only
+    // exchanges in the plan belong to the union's verification branch
+    // (bloom-positives), never between the docs scan and the bloom probe
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val seen = docs.filter(col("doc_id") % 3 === 0)
+    val plan = executed(graft.llm.Dedup.novelAgainst(docs, seen))
+    assert(!plan.contains("SortMergeJoin"),
+      s"novelty verify join must stay hash/broadcast at fixture scale:\n$plan")
+    // the negative (definitely-novel) branch: scan → filter → union, map-only
+    val negativeBranch = plan.split("Union").last
+    assert(negativeBranch.linesIterator.exists(_.contains("Scan parquet")),
+      s"unexpected plan layout:\n$plan")
+  }
+
+  test("LM scoring and fuzzy decontamination probe broadcast tables, never shuffle the corpus side") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val lm = graft.llm.CorpusStats.unigramLm(docs.filter(col("doc_id") % 2 === 0))
+    val lmPlan = executed(graft.llm.CorpusStats.lmScore(docs, lm))
+    assert(lmPlan.contains("BroadcastHashJoin"), s"LM join not broadcast:\n$lmPlan")
+    assert(!lmPlan.contains("SortMergeJoin"), s"corpus shuffled for the LM probe:\n$lmPlan")
+
+    val fuzzy = graft.llm.Decontaminate.fuzzyContamination(docs, docs.filter(col("doc_id") % 41 === 0))
+    val fuzzyPlan = executed(fuzzy)
+    assert(fuzzyPlan.contains("BroadcastHashJoin"),
+      s"eval-side band join not broadcast:\n$fuzzyPlan")
+    assert(!fuzzyPlan.contains("CartesianProduct") && !fuzzyPlan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in fuzzy decontamination:\n$fuzzyPlan")
+  }
+
+  test("tf-idf aggregations partial-aggregate map-side; N is a broadcast one-row aggregate") {
+    val plan = executed(graft.llm.CorpusStats.tfIdfTopTerms(
+      Tables.documents(spark, dir), k = 3))
+    // tf and df both partial+final — at least 4 HashAggregates total
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"missing map-side partials in tf-idf:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"tf-idf cross join must broadcast:\n$plan")
+    // the only single-partition exchange allowed is the scalar N aggregate
+    // (it carries one partial-count row, not data); the top-k window must
+    // partition by doc_id, never globally
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach { case (_, i) =>
+      assert(lines.drop(i + 1).take(1).exists(_.contains("partial_count")),
+        s"non-scalar single-partition funnel in tf-idf:\n$plan")
+    }
+  }
 }
