@@ -553,6 +553,48 @@ object LlmQueries {
       },
       None),
 
+    // streaming novelty: bloom-probe vs the seen corpus (map-side) +
+    // exact stream-static anti-join of positives + watermark dedup; under
+    // an uncapped horizon the survivors are exactly "first occurrence of
+    // each content not in seen", which the oracle computes in SQL
+    QueryDef("llm_stream_novel",
+      (s, dir) => {
+        import graft.streaming.StreamingDedup
+        val rows = Tables.documents(s, dir).select("doc_id", "text")
+          .orderBy("doc_id").collect()
+          .map(r => StreamingDedup.IdDocEvent(
+            r.getLong(0), 1704067200000L + r.getLong(0) * 1000L, r.getString(1)))
+        val seen = Tables.documents(s, dir)
+          .filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+        StreamingDedup.replayNovel(s, rows.toSeq, seen, chunk = 200, delay = "3650 days")
+          .orderBy("doc_id")
+      },
+      Some("""WITH seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+             |SELECT doc_id FROM (
+             |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM documents WHERE md5(text) NOT IN (SELECT h FROM seen))
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // incremental near-dedup: the new batch (shifted near-dup copies)
+    // against the corpus's persisted band-signature index; minhash
+    // banding keeps it rows-only, planted-recall spec'd in LlmSpec
+    QueryDef("llm_incremental_neardup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val index = Dedup.bandSignatures(docs)
+        val batch = docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 1)
+            .select((col("doc_id") + 600000).as("doc_id"),
+              concat_ws(" ", lit("wholly novel document number"), col("doc_id"),
+                lit("with unique synthetic token content"),
+                (col("doc_id") * 7).cast("string"),
+                (col("doc_id") * 13).cast("string")).as("text")))
+        Dedup.incrementalNearDedup(batch, index, docs)
+          .select("doc_id").orderBy("doc_id")
+      },
+      None),
+
     // language-ID heuristic (stopword n-gram scoring)
     QueryDef("llm_langid",
       (s, dir) => Tables.documents(s, dir)

@@ -87,13 +87,8 @@ object Decontaminate {
       shingleK: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val rows = perms / bands
     def banded(df: DataFrame, outId: String): DataFrame =
-      df.select(col(idCol).as(outId),
-        Dedup.minhashSignature(col(textCol), perms, shingleK).as("__sig"))
-        .select(col(outId), posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => hash(slice(col("__sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+      Dedup.bandSignatures(df, idCol, textCol, perms, bands, shingleK, outId)
     val cands = banded(docs, "doc_id_t")
       .join(broadcast(banded(evalDocs, "eval_id")), Seq("band", "band_hash"))
       .select(col("doc_id_t"), col("eval_id"))

@@ -123,6 +123,28 @@ object Dedup {
     u(text)
   }
 
+  /** Banded MinHash signatures of a corpus: one (outId, band, band_hash)
+    * row per document × band — the shared candidate-generation layout of
+    * the within-corpus, cross-corpus, and incremental dedup paths, and the
+    * PERSISTABLE signature index of [[incrementalCandidates]] (write it
+    * bucketed by (band, band_hash) and every future increment's candidate
+    * join is co-located). Map-only: the signature kernel runs once per
+    * row. */
+  def bandSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      perms: Int = 32,
+      bands: Int = 8,
+      shingleK: Int = 3,
+      outId: String = "id"): DataFrame = {
+    val rows = perms / bands
+    docs.select(col(idCol).as(outId), minhashSignature(col(textCol), perms, shingleK).as("__sig"))
+      .select(col(outId), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("__sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+  }
+
   /** MinHash-LSH near-dup candidate pairs: signature → `bands` bands of
     * `rows` = perms/bands values → groupBy (band index, band hash) → pairs
     * within bucket. Returns (id_a, id_b, band) candidates, id_a < id_b.
@@ -139,13 +161,7 @@ object Dedup {
       bands: Int = 8,
       shingleK: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val rows = perms / bands
-    val withSig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), perms, shingleK).as("sig"))
-    val banded = withSig.select(
-      col("id"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+    val banded = bandSignatures(docs, idCol, textCol, perms, bands, shingleK)
     // Single shuffle: bucket members per (band, hash), then expand ordered
     // pairs inside each bucket. A self-join here would re-execute the whole
     // signature scan per side; collect_set keeps it to one pass, and pair
@@ -189,18 +205,11 @@ object Dedup {
       perms: Int = 32,
       bands: Int = 8,
       shingleK: Int = 3,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val rows = perms / bands
-    val withSig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), perms, shingleK).as("sig"))
-    withSig.select(
-      col("id"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandSignatures(docs, idCol, textCol, perms, bands, shingleK)
       .groupBy("band", "band_hash")
       .agg(count(lit(1)).as("members"))
       .filter(col("members") > maxBucket)
-  }
 
   /** Distinct 64-bit shingle hashes via the same zero-allocation char walk
     * as [[minhashSignature]]: Jaccard over hashed shingles equals Jaccard
@@ -356,6 +365,82 @@ object Dedup {
     hashed.filter(!probe(col("__h")))
       .unionByName(maybeSeen)
       .drop("__h")
+  }
+
+  // ---- incremental near-dedup against a signature index ------------------
+
+  /** Near-dup candidates of a NEW batch against an indexed corpus — the
+    * incremental form of [[minhashLshCandidates]] for rolling ingest: the
+    * corpus's [[bandSignatures]] are computed once and persisted (bucketed
+    * by (band, band_hash)); each increment signs only ITS documents and
+    * joins the index, so per-batch cost scales with the batch, never the
+    * corpus. Returns (new_id, corpus_id) pairs sharing ≥1 band. The join
+    * keys are hashes — uniform, skew-free; a degenerate band value (mass
+    * boilerplate) is bounded by the same cap as the batch path via
+    * [[oversizedBuckets]] auditing on the index side. */
+  def incrementalCandidates(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      perms: Int = 32,
+      bands: Int = 8,
+      shingleK: Int = 3): DataFrame =
+    bandSignatures(newDocs, idCol, textCol, perms, bands, shingleK, outId = "new_id")
+      .join(index.select(col("id").as("corpus_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+
+  /** Exact-Jaccard verification of cross-corpus candidate pairs (the
+    * two-frame form of [[jaccardVerify]]): shingle only the documents that
+    * appear in a candidate pair on each side, join both back, filter at
+    * `threshold`. */
+  def verifyPairsAcross(
+      candidates: DataFrame,
+      leftDocs: DataFrame,
+      rightDocs: DataFrame,
+      leftId: String = "new_id",
+      rightId: String = "corpus_id",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val leftSh = leftDocs
+      .join(candidates.select(col(leftId).as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as(leftId), shingleHashes(col(textCol), k).as("__sh_l"))
+    val rightSh = rightDocs
+      .join(candidates.select(col(rightId).as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as(rightId), shingleHashes(col(textCol), k).as("__sh_r"))
+    candidates
+      .join(leftSh, Seq(leftId))
+      .join(rightSh, Seq(rightId))
+      .withColumn("jaccard",
+        when(size(array_union(col("__sh_l"), col("__sh_r"))) > 0,
+          size(array_intersect(col("__sh_l"), col("__sh_r"))).cast("double") /
+            size(array_union(col("__sh_l"), col("__sh_r"))))
+          .otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col(leftId), col(rightId), col("jaccard"))
+  }
+
+  /** Incremental near-dedup: the new batch minus documents near-duplicating
+    * the indexed corpus (candidates via [[incrementalCandidates]], verified
+    * by exact Jaccard against the corpus texts). The batch analog of a
+    * rolling crawl's "is this page new?" pass — batch-sized work against a
+    * corpus-sized index. */
+  def incrementalNearDedup(
+      newDocs: DataFrame,
+      index: DataFrame,
+      corpusDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7): DataFrame = {
+    val cands = materialize(incrementalCandidates(newDocs, index, idCol, textCol))
+    val dups = verifyPairsAcross(cands, newDocs, corpusDocs,
+      idCol = idCol, textCol = textCol, threshold = threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(dups, Seq(idCol), "left_anti")
   }
 
   // ---- SimHash -----------------------------------------------------------

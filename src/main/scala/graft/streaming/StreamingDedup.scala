@@ -31,10 +31,84 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
+  /** Streaming novelty filter for rolling ingest: drop documents already
+    * in the `seen` corpus AND in-stream re-arrivals — the streaming face of
+    * [[graft.llm.Dedup.novelAgainst]] composed with
+    * [[exactWithinWatermark]]. EXACT against `seen`, like the batch
+    * operator: a Bloom filter over `seen`'s content hashes probes each
+    * micro-batch map-side (the common case, a novel document, never joins);
+    * Bloom-positives are verified by a stream-static anti-join, which
+    * append mode supports natively. State stays bounded by the watermark
+    * horizon; the corpus index stays in the (amortized, broadcast) bloom +
+    * the static side of the verify join. */
+  def novelWithinWatermark(
+      docs: DataFrame,
+      seen: DataFrame,
+      eventTimeCol: String,
+      textCol: String = "text",
+      delay: String = "1 hour",
+      fpp: Double = 0.01,
+      expectedItems: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    val seenHashes = seen.select(md5(col(textCol)).as("__h"))
+    val n = if (expectedItems > 0L) expectedItems else math.max(1L, seenHashes.count())
+    val bf = seenHashes.stat.bloomFilter("__h", n, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val probe = udf { (h: String) => bfB.value.mightContainString(h) }
+    val hashed = docs.withColumn("__content_hash", md5(col(textCol)))
+    val novel = hashed.filter(!probe(col("__content_hash")))
+      .unionByName(
+        hashed.filter(probe(col("__content_hash")))
+          .join(seenHashes.distinct().withColumnRenamed("__h", "__content_hash"),
+            Seq("__content_hash"), "left_anti"))
+    novel
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+  }
+
   // bounded deterministic replay (≙ StreamReplay) for the gate/spec
   final case class DocEvent(timeStampMs: Long, text: String)
 
   private val seq = new AtomicInteger()
+
+  final case class IdDocEvent(docId: Long, timeStampMs: Long, text: String)
+
+  /** Replay `events` through [[novelWithinWatermark]] against a static
+    * `seen` corpus in `chunk`-sized micro-batches; returns the surviving
+    * (docId) rows. Arrival order is the input order, so the survivor of an
+    * in-stream duplicate group is its first arrival — deterministic, which
+    * is what lets the gate hash-compare this against the batch anti-join +
+    * first-occurrence SQL. */
+  def replayNovel(
+      spark: SparkSession,
+      events: Seq[IdDocEvent],
+      seen: DataFrame,
+      chunk: Int,
+      delay: String = "24 hours",
+      fpp: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[IdDocEvent]
+    val src = stream.toDS()
+      .select(col("docId").as("doc_id"),
+        timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
+    val name = s"graft_stream_novel_${seq.incrementAndGet()}"
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val query = novelWithinWatermark(src, seen, "event_time", delay = delay, fpp = fpp)
+        .select("doc_id")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(10L))
+        .start()
+      try {
+        events.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+      } finally query.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(name)
+  }
 
   /** Replay `events` through the dedup in `chunk`-sized micro-batches and
     * return the surviving rows' text (first occurrences). Only

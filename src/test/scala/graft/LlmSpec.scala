@@ -566,6 +566,29 @@ class LlmSpec extends SparkSpec {
     assert(profile.forall(_.getAs[Double]("mean_cosine") > 0.0))
   }
 
+  test("incremental near-dedup: new batch vs the corpus signature index") {
+    // index the base corpus once; a later batch re-serves doc 0 verbatim,
+    // a one-word paraphrase of doc 3, and a genuinely new document
+    val index = Dedup.bandSignatures(corpus)
+    val batch = Seq(
+      (1000L, corpus.filter($"doc_id" === 0L).head.getString(1)),
+      (1001L, doc(baseWords.map(w => s"$w-3").updated(5, "EDITED"))),
+      (1002L, doc((1 to 40).map(i => s"fresh-$i")))
+    ).toDF("doc_id", "text")
+    val cands = Dedup.incrementalCandidates(batch, index)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1000L, 0L)) && cands.contains((1001L, 3L)), s"candidates: $cands")
+    val survivors = Dedup.incrementalNearDedup(batch, index, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1002L), s"survivors: $survivors")
+    // the verify threshold keeps precision: candidates that share a band
+    // but fall below 0.7 Jaccard survive
+    val unrelated = Seq((2000L, doc((1 to 40).map(i => s"other-$i")))).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDedup(unrelated, index, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2000L))
+  }
+
   test("fuzzy decontamination flags paraphrased eval leakage, not clean docs") {
     import graft.llm.Decontaminate
     // eval doc = doc 0's text; docs 100-102 are planted one-word paraphrases

@@ -206,6 +206,24 @@ class StreamingSpec extends SparkSpec {
     assert(bounded.sorted == (0 until 7).map(i => s"d$i"))
   }
 
+  test("streaming novelty: seen corpus dropped exactly, in-stream dups dropped, novel passes") {
+    import graft.streaming.StreamingDedup
+    val t0 = 1704103200000L
+    val seen = Seq((1L, "seen-A"), (2L, "seen-B")).toDF("doc_id", "text")
+    val events = Seq(
+      StreamingDedup.IdDocEvent(10L, t0, "seen-A"),          // in seen → dropped
+      StreamingDedup.IdDocEvent(11L, t0 + 1000, "novel-X"),  // survives
+      StreamingDedup.IdDocEvent(12L, t0 + 2000, "novel-X"),  // in-stream dup → dropped
+      StreamingDedup.IdDocEvent(13L, t0 + 3000, "seen-B"),   // in seen → dropped
+      StreamingDedup.IdDocEvent(14L, t0 + 4000, "novel-Y"))  // survives
+    // a lousy bloom (fpp 0.5) may send novel docs to the verify join but
+    // must never change the result — exactness is the contract
+    for (fpp <- Seq(0.5, 0.01)) {
+      val out = StreamingDedup.replayNovel(spark, events, seen, chunk = 2, delay = "1 hour", fpp = fpp)
+      assert(out.as[Long].collect().toSet == Set(11L, 14L), s"fpp=$fpp")
+    }
+  }
+
   test("streaming curation: annotate+filter+dedup run as one streaming pipeline") {
     import graft.llm.Curation
     import graft.streaming.StreamingDedup
