@@ -287,6 +287,44 @@ object LlmQueries {
               |FROM q JOIN r USING (doc_id)""".stripMargin)),
 
     // token-budget corpus selection: greedy highest-quality prefix under a
+    // curation funnel with the LM-fluency stage: the unigram LM rides a
+    // broadcast vocabulary map so the stage stays map-only; the oracle
+    // replays funnel + LM math + exact dedup in SQL
+    QueryDef("llm_curation_lm",
+      (s, dir) => {
+        import graft.llm.{CorpusStats, Curation}
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val lm = CorpusStats.unigramLm(docs.filter(col("doc_id") % 2 === 0))
+        Curation.curate(docs,
+          Curation.Config(maxBitsPerToken = Some(4.92)), lm = Some(lm))
+          .select(col("doc_id"), col("bits_per_token"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $curationCtes,
+              |rw AS (
+              |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              |  FROM documents WHERE doc_id % 2 = 0),
+              |lc AS (SELECT word, count(*) AS c FROM rw GROUP BY word),
+              |lt AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM lc),
+              |dw AS (
+              |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              |  FROM documents),
+              |lp AS (
+              |  SELECT dw.doc_id,
+              |    round(-avg(coalesce(ln((lc.c + 1.0) / (lt.n + lt.v + 1.0)),
+              |      ln(1.0 / (lt.n + lt.v + 1.0)))) / ln(2), 6) AS bits_per_token
+              |  FROM dw LEFT JOIN lc ON dw.word = lc.word CROSS JOIN lt
+              |  GROUP BY dw.doc_id),
+              |f AS (
+              |  SELECT q.doc_id, q.text, lp.bits_per_token
+              |  FROM q JOIN r USING (doc_id) JOIN lp USING (doc_id)
+              |  WHERE q.n_words BETWEEN 5 AND 100000 AND q.quality_score >= 0.3
+              |    AND r.dup_word_frac <= 0.9 AND r.top_bigram_frac <= 0.5
+              |    AND lp.bits_per_token <= 4.92)
+              |SELECT doc_id, bits_per_token FROM f
+              |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+              |ORDER BY doc_id""".stripMargin)),
+
     // token budget, cumulative sum via the DISTRIBUTED prefix-sum (range
     // partition + partition-local windows + offsets — no global window);
     // the oracle is the single-node window form of the same selection

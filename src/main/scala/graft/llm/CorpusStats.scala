@@ -126,6 +126,35 @@ object CorpusStats {
         round(-avg(col("__lp")) / ln2, 6).as("bits_per_token"))
   }
 
+  /** Row-local form of [[lmScore]] for pipeline composition: the LM's
+    * vocabulary table (bounded by language, not corpus size) is collected
+    * once and rides the task closure as a broadcast hash map; each document
+    * scores in ONE kernel pass — tokenize, look up, accumulate — with zero
+    * shuffle, so a fluency filter slots into a map-only curation funnel
+    * without breaking its single-scan shape. Same math as [[lmScore]]
+    * (mean −log₂ p, add-one smoothing, OOV reserved mass, 6 dp), which the
+    * spec pins by equality. */
+  def lmScoreColumn(lm: DataFrame, text: Column): Column = {
+    val rows = lm.select(col("word"), col("log_prob"), col("n_tokens_lm"), col("vocab_size")).collect()
+    val probs = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val oov =
+      if (rows.isEmpty) 0.0
+      else math.log(1.0 / (rows.head.getDouble(2) + rows.head.getDouble(3) + 1.0))
+    val ln2 = math.log(2.0)
+    val u = udf { (s: String) =>
+      if (s == null) 0.0
+      else {
+        val words = s.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        var sum = 0.0
+        var i = 0
+        while (i < words.length) { sum += probs.getOrElse(words(i), oov); i += 1 }
+        val bits = if (words.length == 0) 0.0 else -(sum / words.length) / ln2
+        BigDecimal(bits).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    u(text)
+  }
+
   /** Exact token-count quantiles per stratum (linear interpolation — the
     * same `p·(n−1)` rule DuckDB's quantile_cont applies, so the oracle is a
     * direct transliteration). Exact percentile buffers each group's values:

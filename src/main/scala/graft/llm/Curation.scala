@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Filter thresholds; `keepLangs = None` disables the language stage,
+    * `maxBitsPerToken = None` disables the LM-fluency stage (requires an
+    * `lm` passed to [[annotate]]/[[curate]]/[[report]]),
     * `dedup` ∈ none | exact | minhash | minhash-clustered. */
   final case class Config(
       minWords: Int = 5,
@@ -26,6 +28,7 @@ object Curation {
       maxDupWordFrac: Double = 0.9,
       maxTopBigramFrac: Double = 0.5,
       keepLangs: Option[Seq[String]] = None,
+      maxBitsPerToken: Option[Double] = None,
       dedup: String = "exact")
 
   /** All signals in one row-local pass: quality score, repetition
@@ -39,9 +42,16 @@ object Curation {
     * [[report]] therefore materialize the annotated frame first — which is
     * also the natural persistence point of a real pipeline (annotations are
     * written once, consumed by many downstream passes). */
-  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
-    TextAnalysis.repetitionSignals(TextAnalysis.qualityScore(docs, textCol), textCol)
+  def annotate(
+      docs: DataFrame,
+      textCol: String = "text",
+      lm: Option[DataFrame] = None): DataFrame = {
+    val base = TextAnalysis.repetitionSignals(TextAnalysis.qualityScore(docs, textCol), textCol)
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
+    // the LM rides a broadcast vocabulary map — still one map-only pass
+    lm.map(m => base.withColumn("bits_per_token", CorpusStats.lmScoreColumn(m, col(textCol))))
+      .getOrElse(base)
+  }
 
   private def materialize(df: DataFrame): DataFrame = {
     val chk = df.localCheckpoint(true)
@@ -58,11 +68,15 @@ object Curation {
       col("top_bigram_frac") <= config.maxTopBigramFrac
     val language = config.keepLangs
       .map(ls => col("lang_pred").isin(ls: _*)).getOrElse(lit(true))
-    Seq(
+    val base = Seq(
       "length" -> length,
       "quality" -> (length && quality),
       "repetition" -> (length && quality && repetition),
       "language" -> (length && quality && repetition && language))
+    config.maxBitsPerToken match {
+      case Some(maxBits) => base :+ ("fluency" -> (base.last._2 && col("bits_per_token") <= maxBits))
+      case None => base
+    }
   }
 
   /** The curated corpus: annotated, filtered, deduplicated. Survivor rows
@@ -71,8 +85,9 @@ object Curation {
       docs: DataFrame,
       config: Config = Config(),
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val filtered = materialize(annotate(docs, textCol))
+      textCol: String = "text",
+      lm: Option[DataFrame] = None): DataFrame = {
+    val filtered = materialize(annotate(docs, textCol, lm))
       .filter(stageConditions(config).last._2)
     config.dedup match {
       case "none" => filtered
@@ -97,9 +112,10 @@ object Curation {
       eventTimeCol: String,
       config: Config = Config(),
       textCol: String = "text",
-      dedupDelay: String = "1 hour"): DataFrame =
+      dedupDelay: String = "1 hour",
+      lm: Option[DataFrame] = None): DataFrame =
     graft.streaming.StreamingDedup.exactWithinWatermark(
-      annotate(docs, textCol).filter(stageConditions(config).last._2),
+      annotate(docs, textCol, lm).filter(stageConditions(config).last._2),
       eventTimeCol, textCol, dedupDelay)
 
   /** Token-budget corpus selection: keep the highest-priority prefix whose
@@ -167,12 +183,13 @@ object Curation {
   def report(
       docs: DataFrame,
       config: Config = Config(),
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      lm: Option[DataFrame] = None): DataFrame = {
     val conds = stageConditions(config)
     val aggs = conds.map { case (name, c) =>
       count(when(c, lit(1))).as(s"after_$name")
     } :+ count_distinct(when(conds.last._2, md5(col(textCol)))).as("after_dedup_exact")
-    materialize(annotate(docs, textCol))
+    materialize(annotate(docs, textCol, lm))
       .agg(count(lit(1)).as("total"), aggs: _*)
   }
 }

@@ -538,6 +538,34 @@ class LlmSpec extends SparkSpec {
     assert(scores(10L) < scores(11L))
   }
 
+  test("row-local LM kernel equals the join-based scorer; fluency stage filters the funnel") {
+    import graft.llm.{CorpusStats, Curation}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val lm = CorpusStats.unigramLm(docs.filter($"doc_id" % 2 === 0))
+    val joined = CorpusStats.lmScore(docs, lm)
+      .select("doc_id", "bits_per_token").as[(Long, Double)].collect().toMap
+    val local = docs.select($"doc_id", CorpusStats.lmScoreColumn(lm, $"text").as("b"))
+      .as[(Long, Double)].collect().toMap
+    assert(joined.keySet == local.keySet)
+    joined.foreach { case (id, b) =>
+      assert(math.abs(b - local(id)) <= 1e-6, s"doc $id: join=$b kernel=${local(id)}")
+    }
+    // the fluency stage drops exactly the above-threshold documents
+    val cut = joined.values.toSeq.sorted.apply(joined.size / 2)
+    val cfg = Curation.Config(maxBitsPerToken = Some(cut), dedup = "none")
+    val kept = Curation.curate(docs, cfg, lm = Some(lm))
+      .select("doc_id").as[Long].collect().toSet
+    val expectedFluent = Curation.curate(docs, cfg.copy(maxBitsPerToken = None), lm = Some(lm))
+      .select("doc_id").as[Long].collect().toSet
+      .filter(id => local(id) <= cut)
+    assert(kept == expectedFluent)
+    // report grows an after_fluency column, monotone non-increasing
+    val rep = Curation.report(docs, cfg, lm = Some(lm)).collect().head
+    assert(rep.schema.fieldNames.contains("after_fluency"))
+    assert(rep.getAs[Long]("after_fluency") <= rep.getAs[Long]("after_language"))
+  }
+
   test("length quantiles interpolate linearly (quantile_cont semantics)") {
     import graft.llm.CorpusStats
     // token counts 1..4 in one stratum: p50 of [1,2,3,4] = 2.5, p25 = 1.75
