@@ -490,6 +490,16 @@ object LlmQueries {
              |  FROM documents)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // sketch-based profile (HLL++ vocab, approx quantiles): mergeable
+    // sketches partial-aggregate map-side — constant reducer memory at any
+    // corpus size; error bounds vs the exact operators pinned in LlmSpec
+    QueryDef("llm_approx_profile",
+      (s, dir) => {
+        import graft.llm.CorpusStats
+        CorpusStats.approxProfile(Tables.documents(s, dir), "lang").orderBy("lang")
+      },
+      None),
+
     // cross-corpus novelty: bloom prefilter (broadcast, map-side probe)
     // + exact verify of bloom-positives — EXACT composite, so the oracle
     // is the plain anti-join the filter is equivalent to

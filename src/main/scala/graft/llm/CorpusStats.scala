@@ -155,6 +155,34 @@ object CorpusStats {
     u(text)
   }
 
+  /** Sketch-based per-stratum profile — the 100 TB form of
+    * [[strataProfile]]/[[lengthQuantiles]]: HyperLogLog++ vocabulary
+    * cardinality and KLL-style token-count quantiles. Both sketches are
+    * MERGEABLE, so they partial-aggregate map-side and the shuffle carries
+    * fixed-size sketch states, never values — constant reducer memory at
+    * any corpus size, where the exact percentile buffers each group's full
+    * value list. Deterministic for a given input (no RNG), bounded error
+    * (`rsd`, `accuracy`); the exact operators remain the correctness
+    * oracles, and LlmSpec pins the error bounds against them. */
+  def approxProfile(
+      docs: DataFrame,
+      strataCol: String,
+      textCol: String = "text",
+      rsd: Double = 0.05,
+      accuracy: Int = 10000): DataFrame = {
+    val toks = docs.select(col(strataCol),
+      TextAnalysis.tokenCountWhitespace(col(textCol)).cast("double").as("__tok"))
+    val perDoc = toks.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n_docs"),
+      percentile_approx(col("__tok"), lit(0.5), lit(accuracy)).as("p50_tokens"),
+      percentile_approx(col("__tok"), lit(0.9), lit(accuracy)).as("p90_tokens"))
+    val vocab = docs
+      .select(col(strataCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(strataCol))
+      .agg(approx_count_distinct(col("__w"), rsd).as("approx_vocab"))
+    perDoc.join(vocab, Seq(strataCol))
+  }
+
   /** Exact token-count quantiles per stratum (linear interpolation — the
     * same `p·(n−1)` rule DuckDB's quantile_cont applies, so the oracle is a
     * direct transliteration). Exact percentile buffers each group's values:

@@ -578,6 +578,29 @@ class LlmSpec extends SparkSpec {
     assert(q.getAs[Double]("p90") == 3.7)
   }
 
+  test("sketch profile stays within declared error of the exact operators") {
+    import graft.llm.CorpusStats
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val approx = CorpusStats.approxProfile(docs, "lang").collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val exactQ = CorpusStats.lengthQuantiles(docs, "lang", percentiles = Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val exactVocab = docs
+      .select($"lang", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .groupBy($"lang").agg(countDistinct($"w").as("v"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("v")).toMap
+    assert(approx.keySet == exactQ.keySet)
+    approx.foreach { case (lang, row) =>
+      val vErr = math.abs(row.getAs[Long]("approx_vocab").toDouble - exactVocab(lang)) /
+        math.max(exactVocab(lang).toDouble, 1.0)
+      assert(vErr <= 0.15, s"$lang vocab error $vErr") // 3× the 5% rsd
+      // at accuracy 10000 over a small group the quantile sketch is exact-rank
+      val p50Err = math.abs(row.getAs[Double]("p50_tokens") - exactQ(lang).getAs[Double]("p50"))
+      assert(p50Err <= math.max(1.0, 0.05 * exactQ(lang).getAs[Double]("p50")),
+        s"$lang p50 off by $p50Err")
+    }
+  }
+
   test("k-means clustering: total assignment, bounded ids, coherent profile") {
     import graft.llm.Similarity
     val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
