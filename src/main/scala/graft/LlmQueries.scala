@@ -325,6 +325,48 @@ object LlmQueries {
               |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
               |ORDER BY doc_id""".stripMargin)),
 
+    // curation funnel with the benchmark-decontamination stage: the eval
+    // n-gram hash set rides the task closure (map-only, like the LM); the
+    // oracle replays funnel + n-gram overlap + exact dedup in SQL
+    QueryDef("llm_curation_decon",
+      (s, dir) => {
+        import graft.llm.Curation
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        Curation.curate(docs,
+          Curation.Config(maxContamination = Some(0.2)),
+          evalDocs = Some(docs.filter(col("doc_id") % 31 === 0)))
+          .select(col("doc_id"), col("contamination_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $curationCtes,
+              |w AS (
+              |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM documents),
+              |g AS (
+              |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+              |    list_distinct(list_transform(range(1, len(words) - 1),
+              |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              |    ELSE CAST([] AS VARCHAR[]) END AS grams
+              |  FROM w),
+              |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 31 = 0),
+              |x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+              |h AS (
+              |  SELECT x.doc_id, count(*) AS n_ngrams, count(e.gram) AS n_contaminated
+              |  FROM x LEFT JOIN e ON x.gram = e.gram GROUP BY x.doc_id),
+              |cf AS (
+              |  SELECT g.doc_id,
+              |    round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+              |      / greatest(CAST(coalesce(h.n_ngrams, 0) AS DOUBLE), 1.0), 6) AS contamination_frac
+              |  FROM g LEFT JOIN h ON g.doc_id = h.doc_id),
+              |f AS (
+              |  SELECT q.doc_id, q.text, cf.contamination_frac
+              |  FROM q JOIN r USING (doc_id) JOIN cf USING (doc_id)
+              |  WHERE q.n_words BETWEEN 5 AND 100000 AND q.quality_score >= 0.3
+              |    AND r.dup_word_frac <= 0.9 AND r.top_bigram_frac <= 0.5
+              |    AND cf.contamination_frac <= 0.2)
+              |SELECT doc_id, contamination_frac FROM f
+              |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+              |ORDER BY doc_id""".stripMargin)),
+
     // token budget, cumulative sum via the DISTRIBUTED prefix-sum (range
     // partition + partition-local windows + offsets — no global window);
     // the oracle is the single-node window form of the same selection
@@ -640,6 +682,26 @@ object LlmQueries {
                 (col("doc_id") * 13).cast("string")).as("text")))
         Dedup.incrementalNearDedup(batch, index, docs)
           .select("doc_id").orderBy("doc_id")
+      },
+      None),
+
+    // incremental embedding near-dedup: a new vector batch against the
+    // corpus's persisted LSH bucket index (exact re-serves dropped at
+    // cosine 1.0, negated vectors guaranteed novel); LSH recall keeps it
+    // rows-only, planted-recall spec'd in LlmSpec
+    QueryDef("llm_incremental_ann",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+          .select("vec_id", "embedding")
+        val index = Similarity.lshBucketIndex(emb, dim = 64)
+        val batch = emb.filter(col("vec_id") % 17 === 0)
+          .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 19 === 3)
+            .select((col("vec_id") + 600000).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")))
+        Similarity.incrementalNearDupVectors(batch, index, emb, dim = 64)
+          .select("vec_id").orderBy("vec_id")
       },
       None),
 

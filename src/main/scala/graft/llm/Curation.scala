@@ -20,7 +20,9 @@ object Curation {
   /** Filter thresholds; `keepLangs = None` disables the language stage,
     * `maxBitsPerToken = None` disables the LM-fluency stage (requires an
     * `lm` passed to [[annotate]]/[[curate]]/[[report]]),
-    * `dedup` ∈ none | exact | minhash | minhash-clustered. */
+    * `maxContamination = None` disables the benchmark-decontamination stage
+    * (requires `evalDocs`), `dedup` ∈ none | exact | minhash |
+    * minhash-clustered. */
   final case class Config(
       minWords: Int = 5,
       maxWords: Int = 100000,
@@ -29,6 +31,7 @@ object Curation {
       maxTopBigramFrac: Double = 0.5,
       keepLangs: Option[Seq[String]] = None,
       maxBitsPerToken: Option[Double] = None,
+      maxContamination: Option[Double] = None,
       dedup: String = "exact")
 
   /** All signals in one row-local pass: quality score, repetition
@@ -45,12 +48,18 @@ object Curation {
   def annotate(
       docs: DataFrame,
       textCol: String = "text",
-      lm: Option[DataFrame] = None): DataFrame = {
+      lm: Option[DataFrame] = None,
+      evalDocs: Option[DataFrame] = None): DataFrame = {
     val base = TextAnalysis.repetitionSignals(TextAnalysis.qualityScore(docs, textCol), textCol)
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
-    // the LM rides a broadcast vocabulary map — still one map-only pass
-    lm.map(m => base.withColumn("bits_per_token", CorpusStats.lmScoreColumn(m, col(textCol))))
+    // LM vocabulary and eval n-gram set both ride broadcast structures —
+    // the annotation stays ONE map-only pass however many stages are on
+    val withLm = lm.map(m =>
+      base.withColumn("bits_per_token", CorpusStats.lmScoreColumn(m, col(textCol))))
       .getOrElse(base)
+    evalDocs.map(e => withLm.withColumn("contamination_frac",
+        Decontaminate.contaminationColumn(e, col(textCol), textCol = textCol)))
+      .getOrElse(withLm)
   }
 
   private def materialize(df: DataFrame): DataFrame = {
@@ -73,9 +82,14 @@ object Curation {
       "quality" -> (length && quality),
       "repetition" -> (length && quality && repetition),
       "language" -> (length && quality && repetition && language))
-    config.maxBitsPerToken match {
+    val withLm = config.maxBitsPerToken match {
       case Some(maxBits) => base :+ ("fluency" -> (base.last._2 && col("bits_per_token") <= maxBits))
       case None => base
+    }
+    config.maxContamination match {
+      case Some(maxC) =>
+        withLm :+ ("decontamination" -> (withLm.last._2 && col("contamination_frac") <= maxC))
+      case None => withLm
     }
   }
 
@@ -86,8 +100,9 @@ object Curation {
       config: Config = Config(),
       idCol: String = "doc_id",
       textCol: String = "text",
-      lm: Option[DataFrame] = None): DataFrame = {
-    val filtered = materialize(annotate(docs, textCol, lm))
+      lm: Option[DataFrame] = None,
+      evalDocs: Option[DataFrame] = None): DataFrame = {
+    val filtered = materialize(annotate(docs, textCol, lm, evalDocs))
       .filter(stageConditions(config).last._2)
     config.dedup match {
       case "none" => filtered
@@ -113,9 +128,10 @@ object Curation {
       config: Config = Config(),
       textCol: String = "text",
       dedupDelay: String = "1 hour",
-      lm: Option[DataFrame] = None): DataFrame =
+      lm: Option[DataFrame] = None,
+      evalDocs: Option[DataFrame] = None): DataFrame =
     graft.streaming.StreamingDedup.exactWithinWatermark(
-      annotate(docs, textCol, lm).filter(stageConditions(config).last._2),
+      annotate(docs, textCol, lm, evalDocs).filter(stageConditions(config).last._2),
       eventTimeCol, textCol, dedupDelay)
 
   /** Token-budget corpus selection: keep the highest-priority prefix whose
@@ -184,12 +200,13 @@ object Curation {
       docs: DataFrame,
       config: Config = Config(),
       textCol: String = "text",
-      lm: Option[DataFrame] = None): DataFrame = {
+      lm: Option[DataFrame] = None,
+      evalDocs: Option[DataFrame] = None): DataFrame = {
     val conds = stageConditions(config)
     val aggs = conds.map { case (name, c) =>
       count(when(c, lit(1))).as(s"after_$name")
     } :+ count_distinct(when(conds.last._2, md5(col(textCol)))).as("after_dedup_exact")
-    materialize(annotate(docs, textCol, lm))
+    materialize(annotate(docs, textCol, lm, evalDocs))
       .agg(count(lit(1)).as("total"), aggs: _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: find training documents whose word n-grams
@@ -62,6 +62,37 @@ object Decontaminate {
       .filter(col("contamination_frac") >= threshold)
       .select(col(idCol))
     docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Row-local contamination fraction for pipeline composition — the
+    * kernel form of [[contamination]]: the eval set's distinct n-gram
+    * HASHES (64-bit, the [[Dedup.shingleHashes]] walk — benchmarks are
+    * small by construction) ride the task closure as a hash set; each
+    * document computes its overlap in one pass, zero shuffle, so a
+    * decontamination filter slots into the map-only curation funnel.
+    * Equal to the join-based stats up to negligible 64-bit collisions
+    * (spec pins equality on the fixtures). */
+  def contaminationColumn(
+      evalDocs: DataFrame,
+      text: Column,
+      n: Int = 3,
+      textCol: String = "text"): Column = {
+    val evalGrams: Array[Long] = evalDocs
+      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("__g"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val set = new java.util.HashSet[java.lang.Long](evalGrams.length * 2)
+    evalGrams.foreach(g => set.add(g))
+    val u = udf { (grams: Seq[Long]) =>
+      if (grams == null || grams.isEmpty) 0.0
+      else {
+        var hits = 0
+        grams.foreach(g => if (set.contains(g)) hits += 1)
+        BigDecimal(hits.toDouble / grams.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    u(Dedup.shingleHashes(text, n))
   }
 
   /** Fuzzy decontamination: training documents NEAR-duplicating an eval

@@ -232,6 +232,70 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Persistable multi-table LSH bucket index of a vector corpus:
+    * (id, table, bucket) — the embedding analog of
+    * [[graft.llm.Dedup.bandSignatures]]. Computed map-only; write it
+    * bucketed by (table, bucket) and every increment's candidate join
+    * co-locates. */
+  def lshBucketIndex(
+      vectors: DataFrame,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      outId: String = "id"): DataFrame =
+    (0 until tables).map { t =>
+      vectors.select(col(idCol).as(outId), lit(t).as("table"),
+        lshBucketKey(dim, bits, vecCol, t.toLong).as("bucket"))
+    }.reduce(_.unionByName(_))
+
+  /** Near-dup candidates of a NEW vector batch against an indexed corpus —
+    * batch-sized work against a corpus-sized index (the rolling-ingest ANN
+    * dedup): the increment buckets only ITS vectors (map-only), joins the
+    * index on (table, bucket), and candidates go to exact-cosine verify. */
+  def incrementalVectorCandidates(
+      newVectors: DataFrame,
+      index: DataFrame,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    lshBucketIndex(newVectors, dim, bits, tables, idCol, vecCol, outId = "new_id")
+      .join(index.select(col("id").as("corpus_id"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+
+  /** Incremental embedding near-dedup: the new batch minus vectors whose
+    * exact cosine against an indexed-corpus candidate reaches `threshold`.
+    * Recall follows the (bits, tables) collision probability like
+    * [[lshNearDup]]; precision is exact. */
+  def incrementalNearDupVectors(
+      newVectors: DataFrame,
+      index: DataFrame,
+      corpusVectors: DataFrame,
+      dim: Int,
+      threshold: Double = 0.9,
+      bits: Int = 8,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cands = incrementalVectorCandidates(newVectors, index, dim, bits, tables, idCol, vecCol)
+    val newSide = newVectors.select(col(idCol).as("new_id"), col(vecCol).as("__vn"),
+      norm(col(vecCol)).as("__nn"))
+    val corpusSide = corpusVectors.select(col(idCol).as("corpus_id"), col(vecCol).as("__vc"),
+      norm(col(vecCol)).as("__nc"))
+    val dups = cands
+      .join(newSide, Seq("new_id"))
+      .join(corpusSide, Seq("corpus_id"))
+      .withColumn("cosine", dot(col("__vn"), col("__vc")) / (col("__nn") * col("__nc")))
+      .filter(col("cosine") >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    newVectors.join(dups, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup over an UNBOUNDED corpus — the scale path past
     * [[bruteForceTopK]]'s O(Q·C) (which stays the exactness oracle):
     * `tables` independent hyperplane families bucket every vector map-only;
@@ -251,10 +315,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val banded = (0 until tables).map { t =>
-      vectors.select(col(idCol).as("id"), lit(t).as("table"),
-        lshBucketKey(dim, bits, vecCol, t.toLong).as("bucket"))
-    }.reduce(_.unionByName(_))
+    val banded = lshBucketIndex(vectors, dim, bits, tables, idCol, vecCol)
     val cands = banded
       .groupBy("table", "bucket")
       .agg(sort_array(collect_set(col("id"))).as("ids"))

@@ -566,6 +566,30 @@ class LlmSpec extends SparkSpec {
     assert(rep.getAs[Long]("after_fluency") <= rep.getAs[Long]("after_language"))
   }
 
+  test("row-local contamination kernel equals the join-based stats; stage filters the funnel") {
+    import graft.llm.{Curation, Decontaminate}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val evalDocs = docs.filter($"doc_id" % 31 === 0)
+    val joined = Decontaminate.contamination(docs, evalDocs, n = 3)
+      .select($"doc_id", round($"contamination_frac", 6).as("c"))
+      .as[(Long, Double)].collect().toMap
+    val local = docs.select($"doc_id",
+        Decontaminate.contaminationColumn(evalDocs, $"text").as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(joined == local) // hashed-shingle == string-shingle on the fixture
+    // funnel: eval members (contamination 1.0) drop, clean docs keep
+    val cfg = Curation.Config(maxContamination = Some(0.2), dedup = "none")
+    val kept = Curation.curate(docs, cfg, evalDocs = Some(evalDocs))
+      .select("doc_id").as[Long].collect().toSet
+    val noDecon = Curation.curate(docs, cfg.copy(maxContamination = None),
+      evalDocs = Some(evalDocs)).select("doc_id").as[Long].collect().toSet
+    assert(kept == noDecon.filter(id => local(id) <= 0.2))
+    assert(kept.intersect(noDecon.filter(_ % 31 == 0)).isEmpty)
+    val rep = Curation.report(docs, cfg, evalDocs = Some(evalDocs)).collect().head
+    assert(rep.getAs[Long]("after_decontamination") <= rep.getAs[Long]("after_language"))
+  }
+
   test("length quantiles interpolate linearly (quantile_cont semantics)") {
     import graft.llm.CorpusStats
     // token counts 1..4 in one stratum: p50 of [1,2,3,4] = 2.5, p25 = 1.75
@@ -638,6 +662,24 @@ class LlmSpec extends SparkSpec {
     val kept = Dedup.incrementalNearDedup(unrelated, index, corpus)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2000L))
+  }
+
+  test("incremental embedding near-dedup: re-serves dropped, negated vectors survive") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .select("vec_id", "embedding")
+    val index = Similarity.lshBucketIndex(emb, dim = 64)
+    val batch = emb.filter($"vec_id" % 17 === 0)
+      .select(($"vec_id" + 500000).as("vec_id"), $"embedding")       // exact re-serves
+      .unionByName(emb.filter($"vec_id" % 19 === 3)
+        .select(($"vec_id" + 600000).as("vec_id"),
+          transform($"embedding", x => -x).as("embedding")))         // cosine −1: novel
+    val survivors = Similarity.incrementalNearDupVectors(batch, index, emb, dim = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.forall(_ >= 600000), s"re-served vectors kept: ${survivors.filter(_ < 600000)}")
+    val expectedNovel = emb.filter($"vec_id" % 19 === 3).count()
+    assert(survivors.size == expectedNovel,
+      s"${expectedNovel - survivors.size} novel (negated) vectors wrongly dropped")
   }
 
   test("fuzzy decontamination flags paraphrased eval leakage, not clean docs") {
