@@ -48,4 +48,23 @@ object TableStore {
     spark.read.schema(schema).parquet(path)
 
   def readAny(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Persist a join-heavy index (e.g. [[graft.llm.Dedup.bandSignatures]],
+    * [[graft.llm.Similarity.lshBucketIndex]]) HASH-BUCKETED on its join
+    * keys: a catalog table written with `bucketBy(joinKeys)` reports
+    * HashPartitioning to the planner, so every future increment's candidate
+    * join shuffles ONLY the increment — the corpus-sized index side reads
+    * co-located, which is the property that makes incremental dedup
+    * batch-sized at 100 TB (SinksSpec pins the plan: bucketed scan, no
+    * exchange on the index side). */
+  def writeBucketedIndex(
+      index: DataFrame,
+      table: String,
+      joinKeys: Seq[String],
+      buckets: Int = 64): Unit =
+    index.write.mode("overwrite")
+      .bucketBy(buckets, joinKeys.head, joinKeys.tail: _*)
+      .sortBy(joinKeys.head, joinKeys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

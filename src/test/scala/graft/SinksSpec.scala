@@ -60,4 +60,48 @@ class SinksSpec extends SparkSpec {
     val back = TableStore.readAny(spark, s"$dir/candles")
     assert(back.filter(col("interval") === "1h").count() == 1)
   }
+
+  test("bucketed signature index: candidate join shuffles only the increment") {
+    // persist the corpus's band signatures bucketed on the join keys; a
+    // later increment's candidate join must read the index co-located —
+    // the property that keeps incremental dedup batch-sized at 100 TB
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val table = "graft_test_sig_index"
+    TableStore.writeBucketedIndex(
+      graft.llm.Dedup.bandSignatures(docs), table,
+      joinKeys = Seq("band", "band_hash"), buckets = 8)
+    // force the at-scale join shape: at 100 TB neither side broadcasts,
+    // so the plan under test must be the shuffle join
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try {
+      val index = spark.table(table)
+      val batch = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      val cands = graft.llm.Dedup.incrementalCandidates(batch, index)
+      val plan = cands.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      // differential proof: against the bucketed table the join plans
+      // exactly one exchange fewer than against the same index as a plain
+      // frame — the missing one is the index side's
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.toString.linesIterator.count(_.contains("Exchange "))
+      val plain = graft.llm.Dedup.incrementalCandidates(batch, graft.llm.Dedup.bandSignatures(docs))
+      assert(exchanges(cands) == exchanges(plain) - 1,
+        s"bucketed=${exchanges(cands)} plain=${exchanges(plain)}:\n$plan")
+      // correctness unchanged: re-served docs produce the same candidates
+      // either way
+      val viaBucketed = cands.as[(Long, Long)].collect().toSet
+      val viaPlain = plain.as[(Long, Long)].collect().toSet
+      assert(viaBucketed == viaPlain && viaBucketed.nonEmpty)
+      val expected = docs.filter(col("doc_id") % 11 === 0).select("doc_id").as[Long].collect()
+        .map(i => (i + 500000L, i)).toSet
+      assert(expected.subsetOf(viaBucketed), "identical re-serves must always collide")
+    } finally {
+      spark.conf.set(bcKey, prevBc)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
 }
