@@ -656,7 +656,11 @@ object LlmQueries {
             r.getLong(0), 1704067200000L + r.getLong(0) * 1000L, r.getString(1)))
         val seen = Tables.documents(s, dir)
           .filter(col("doc_id") % 3 === 0).select("doc_id", "text")
-        StreamingDedup.replayNovel(s, rows.toSeq, seen, chunk = 200, delay = "3650 days")
+        // ~3 micro-batches at any sf: a streaming replay pays fixed state
+        // I/O per micro-batch (NOTES.md), so the chunk scales with the
+        // fixture rather than fixing a batch count × sf cost
+        StreamingDedup.replayNovel(s, rows.toSeq, seen,
+          chunk = math.max(1, (rows.length + 2) / 3), delay = "3650 days")
           .orderBy("doc_id")
       },
       Some("""WITH seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
