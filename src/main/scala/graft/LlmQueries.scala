@@ -532,6 +532,47 @@ object LlmQueries {
              |  FROM documents)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // fixed-token document chunking with overlap (context-window prep):
+    // row-local explode, map-only; the oracle rebuilds every chunk's text
+    // span in SQL
+    QueryDef("llm_chunk_docs",
+      (s, dir) => {
+        import graft.llm.Curation
+        Curation.chunkDocuments(Tables.documents(s, dir), chunkSize = 40, overlap = 8)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+             |n AS (
+             |  SELECT doc_id, words,
+             |    greatest(CAST(ceil(CAST(len(words) - 8 AS DOUBLE) / 32) AS INT), 1) AS n_chunks
+             |  FROM w),
+             |c AS (
+             |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, words FROM n)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |  array_to_string(words[chunk_idx * 32 + 1 : chunk_idx * 32 + 40], ' ') AS chunk_text,
+             |  CAST(least(len(words) - chunk_idx * 32, 40) AS INT) AS chunk_tokens
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // winnowing passage overlap (MOSS construction): substring-level dedup
+    // — a copied >=8-word passage inside an otherwise-different document is
+    // guaranteed a shared fingerprint; hash-based, so rows-only (planted
+    // passages spec'd in LlmSpec)
+    QueryDef("llm_passage_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // plant cross-document passage copies: 12 leading words of every
+        // 23rd doc grafted onto unrelated filler
+        val planted = docs.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat(
+              array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " "),
+              lit(" unrelated filler alpha beta gamma delta epsilon zeta eta theta")).as("text"))
+        Dedup.passageOverlapCandidates(docs.unionByName(planted), minShared = 1)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // sketch-based profile (HLL++ vocab, approx quantiles): mergeable
     // sketches partial-aggregate map-side — constant reducer memory at any
     // corpus size; error bounds vs the exact operators pinned in LlmSpec

@@ -190,6 +190,36 @@ object Curation {
         col("first_seq"), col("last_seq"), col("offset_in_first"))
   }
 
+  /** Split each document into fixed-size token chunks with `overlap`
+    * carried tokens between consecutive chunks — the context-window prep
+    * for embedding/retrieval pipelines (chunk k covers tokens
+    * [k·(size−overlap), k·(size−overlap)+size)). Row-local explode: a
+    * document's chunks never leave its row's task, so the pass is map-only
+    * at any corpus size. The last chunk keeps the tail even when shorter
+    * than `size`; documents shorter than `size` yield one chunk. */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkSize: Int,
+      overlap: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize: chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val words = split(trim(col(textCol)), "\\s+")
+    val nChunks = greatest(ceil((size(words) - lit(overlap)).cast("double") / step).cast("int"), lit(1))
+    docs
+      .withColumn("__words", words)
+      .withColumn("__chunk", explode(transform(sequence(lit(0), nChunks - 1), k =>
+        struct(k.as("chunk_idx"),
+          array_join(slice(col("__words"), k * step + 1, lit(chunkSize)), " ").as("chunk_text"),
+          least(size(col("__words")) - k * step, lit(chunkSize)).as("chunk_tokens")))))
+      .select(col(idCol),
+        col("__chunk.chunk_idx").as("chunk_idx"),
+        col("__chunk.chunk_text").as("chunk_text"),
+        col("__chunk.chunk_tokens").as("chunk_tokens"))
+  }
+
   /** One-row attrition funnel: total and survivors after each stage, in ONE
     * aggregation pass (conditional counts over the cumulative stage
     * predicates). The dedup survivor count is exact-dedup's definition —

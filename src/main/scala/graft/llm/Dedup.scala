@@ -443,6 +443,91 @@ object Dedup {
     newDocs.join(dups, Seq(idCol), "left_anti")
   }
 
+  // ---- winnowing (passage-level overlap) ----------------------------------
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * construction): k-word shingle hashes in document order, a sliding
+    * window of `window` consecutive hashes, keep each window's minimum
+    * (rightmost on ties). Guarantees any shared run of ≥ k+window−1 words
+    * between two documents shares ≥1 selected fingerprint — the
+    * SUBSTRING-level dedup modality: whole-doc near-dup (MinHash) misses a
+    * copied paragraph inside an otherwise-different page; winnowing
+    * catches exactly that. Row-local kernel (the [[minhashSignature]]
+    * char walk plus an O(n·w) winnow over short windows), map-only. */
+  def winnowingFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val u = udf { (s: String) =>
+      val hs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (s != null) {
+        val ring = new Array[Long](k)
+        var wordCount = 0
+        var wh = 0xcbf29ce484222325L
+        var inWord = false
+        var idx = 0
+        val n = s.length
+        def closeWord(): Unit = if (inWord) {
+          ring(wordCount % k) = wh
+          wordCount += 1
+          wh = 0xcbf29ce484222325L
+          inWord = false
+          if (wordCount >= k) {
+            var sh = 0xcbf29ce484222325L
+            var j = wordCount - k
+            while (j < wordCount) { sh = (sh ^ ring(j % k)) * 0x100000001b3L; j += 1 }
+            hs += sh
+          }
+        }
+        while (idx < n) {
+          val c = s.charAt(idx)
+          if (Character.isWhitespace(c)) closeWord()
+          else { wh ^= Character.toLowerCase(c).toLong; wh *= 0x100000001b3L; inWord = true }
+          idx += 1
+        }
+        closeWord()
+      }
+      // winnow: minimum per window, rightmost on ties; short docs keep
+      // their global minimum so every shingled doc has >=1 fingerprint
+      val selected = scala.collection.mutable.LinkedHashSet.empty[Long]
+      if (hs.nonEmpty) {
+        val w = math.min(window, hs.length)
+        var start = 0
+        while (start + w <= hs.length) {
+          var minIdx = start
+          var j = start + 1
+          while (j < start + w) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+          selected += hs(minIdx)
+          start += 1
+        }
+      }
+      selected.toSeq
+    }
+    u(text)
+  }
+
+  /** Passage-overlap candidates: pairs of documents sharing ≥ `minShared`
+    * winnowing fingerprints, with the shared count. Same bucket-first shape
+    * as every dedup path — explode fingerprints, group by fingerprint
+    * (hash key, uniform), expand in-bucket pairs under the [[DefaultMaxBucket]]
+    * cap (a fingerprint shared by thousands of docs is boilerplate —
+    * exact-dedup's job), then count per pair. */
+  def passageOverlapCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      window: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(winnowingFingerprints(col(textCol), k, window)).as("fp"))
+    expandBuckets(
+      fps.groupBy("fp").agg(sort_array(collect_set(col("id"))).as("ids")),
+      maxBucket)
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over word tokens: per-token 64-bit hash votes on each bit;

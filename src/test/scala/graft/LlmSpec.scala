@@ -641,6 +641,40 @@ class LlmSpec extends SparkSpec {
     assert(profile.forall(_.getAs[Double]("mean_cosine") > 0.0))
   }
 
+  test("document chunking: exact spans, overlap carried, short docs intact") {
+    import graft.llm.Curation
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 words
+      (2L, "a b c")                                   // shorter than a chunk
+    ).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(docs, chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // step 3: [t1..t4], [t4..t7], [t7..t10] — overlap word carried
+    assert(d1.map(_._3).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).toSeq == Seq(4, 4, 4))
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == "a b c" && d2.head._4 == 3)
+    // reconstruction: de-overlapped chunks concatenate back to the doc
+    val rebuilt = d1.head._3 + " " + d1.tail.map(_._3.split(" ").drop(1).mkString(" ")).mkString(" ")
+    assert(rebuilt == (1 to 10).map(i => s"t$i").mkString(" "))
+  }
+
+  test("winnowing catches a copied passage inside an otherwise-different doc") {
+    // frankendoc: 12 words copied from doc 0, rest unrelated — whole-doc
+    // near-dup misses it (jaccard ~0.24 < 0.7); winnowing must find it
+    val copied = corpus.filter($"doc_id" === 0L).head.getString(1)
+      .split(" ").take(12).mkString(" ")
+    val franken = Seq((5000L, copied + " " + (1 to 30).map(i => s"zzz-$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.passageOverlapCandidates(corpus.unionByName(franken), minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 5000L)), s"copied passage missed: $pairs")
+    // distinct base docs (disjoint vocabularies) share no passages
+    assert(!pairs.exists { case (a, b) => a < 20 && b < 20 },
+      s"false passage overlap among distinct docs: $pairs")
+  }
+
   test("incremental near-dedup: new batch vs the corpus signature index") {
     // index the base corpus once; a later batch re-serves doc 0 verbatim,
     // a one-word paraphrase of doc 3, and a genuinely new document
