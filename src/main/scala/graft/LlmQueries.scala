@@ -573,6 +573,68 @@ object LlmQueries {
       },
       None),
 
+    // per-source boilerplate strip: a footer line planted on every doc of
+    // a source is line-frequency boilerplate (100% >= 30%) and must come
+    // off, while each doc's unique body line survives — the oracle
+    // replays line counting + anti-join + ordered rebuild in SQL
+    QueryDef("llm_boilerplate",
+      (s, dir) => {
+        import graft.llm.Curation
+        val planted = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit("\n"), lit("(c) corp "), col("source"),
+              lit(" all rights reserved")).as("text"))
+        Curation.stripBoilerplate(planted, strataCol = "source", minFrac = 0.3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    text || chr(10) || '(c) corp ' || source || ' all rights reserved' AS text
+             |  FROM documents),
+             |l AS (
+             |  SELECT doc_id, source, u.pos, u.line
+             |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS lines FROM d),
+             |    LATERAL (SELECT unnest(range(1, len(lines) + 1)) AS pos,
+             |             unnest(lines) AS line) u),
+             |sd AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+             |b AS (
+             |  SELECT l.source, l.line
+             |  FROM l JOIN sd USING (source)
+             |  GROUP BY l.source, l.line, sd.n_docs
+             |  HAVING count(DISTINCT l.doc_id) >= 2
+             |    AND count(DISTINCT l.doc_id) >= sd.n_docs * 0.3)
+             |SELECT l.doc_id, l.source,
+             |  string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+             |FROM l ANTI JOIN b ON l.source = b.source AND l.line = b.line
+             |GROUP BY l.doc_id, l.source
+             |ORDER BY l.doc_id""".stripMargin)),
+
+    // target-mixture sampling: BIGINT floor-division share math (both
+    // engines compute identical thresholds) + the portable md5 bucket —
+    // the oracle recomputes the whole mixture bit-for-bit
+    QueryDef("llm_mixture",
+      (s, dir) => {
+        import graft.llm.Sampling
+        Sampling.mixtureSample(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          targetsPpm = Seq("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L),
+          strataCol = "source", seed = "mix1")
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some("""WITH tgt AS (
+             |  SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000), ('src2', 200000))
+             |    t(source, ppm)),
+             |c AS (
+             |  SELECT d.source, count(*) AS n, tgt.ppm
+             |  FROM documents d JOIN tgt USING (source) GROUP BY d.source, tgt.ppm),
+             |tm AS (SELECT min(n * 1000000 // ppm) AS t FROM c),
+             |r AS (
+             |  SELECT source, ((t * ppm // 1000000) * 1000000 // n) AS thr
+             |  FROM c CROSS JOIN tm)
+             |SELECT doc_id, source FROM documents JOIN r USING (source)
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mix1'), 1, 8)) AS BIGINT)
+             |  % 1000000 < thr
+             |ORDER BY doc_id""".stripMargin)),
+
     // sketch-based profile (HLL++ vocab, approx quantiles): mergeable
     // sketches partial-aggregate map-side — constant reducer memory at any
     // corpus size; error bounds vs the exact operators pinned in LlmSpec

@@ -220,6 +220,43 @@ object Curation {
         col("__chunk.chunk_tokens").as("chunk_tokens"))
   }
 
+  /** Strip per-stratum boilerplate lines — the web-curation pass that
+    * removes navigation/footer text shared across a domain's pages: a line
+    * is boilerplate in a stratum (domain, source) when it appears in
+    * ≥ `minDocs` documents AND ≥ `minFrac` of the stratum's documents.
+    * Returns the documents with surviving lines rejoined in order;
+    * documents whose every line was boilerplate are dropped.
+    *
+    * Scale shape: three shuffles, all keyed high-cardinality — line
+    * occurrence counting on (stratum, line) [map-side partial distinct],
+    * the anti-join on the same key, and the per-document rebuild. The
+    * boilerplate table itself is small (frequent lines only), but the
+    * anti-join is keyed, never broadcast-dependent. */
+  def stripBoilerplate(
+      docs: DataFrame,
+      strataCol: String = "source",
+      minFrac: Double = 0.3,
+      minDocs: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol), col(strataCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
+    val strataDocs = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__docs"))
+    val boiler = lines
+      .groupBy(col(strataCol), col("__line"))
+      .agg(count_distinct(col(idCol)).as("__indocs"))
+      .join(strataDocs, Seq(strataCol))
+      .filter(col("__indocs") >= minDocs &&
+        col("__indocs") >= col("__docs") * minFrac)
+      .select(col(strataCol), col("__line"))
+    lines.join(boiler, Seq(strataCol, "__line"), "left_anti")
+      .groupBy(col(idCol), col(strataCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), sep).as(textCol))
+  }
+
   /** One-row attrition funnel: total and survivors after each stage, in ONE
     * aggregation pass (conditional counts over the cumulative stage
     * predicates). The dedup survivor count is exact-dedup's definition —

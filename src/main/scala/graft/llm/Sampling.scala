@@ -86,6 +86,44 @@ object Sampling {
     df.filter(bucket(col(idCol), seed) < thr)
   }
 
+  /** Sample a corpus DOWN to a target per-stratum mixture — the
+    * training-mix constructor: `targetsPpm` gives each stratum's share of
+    * the output in parts-per-million; the achievable total is bounded by
+    * the scarcest stratum (T = min over strata of available·1e6/share) and
+    * every stratum keeps the deterministic-bucket fraction that hits its
+    * share of T. Strata absent from `targetsPpm` are dropped.
+    *
+    * All share arithmetic is BIGINT floor division — both engines (and the
+    * DuckDB oracle) compute identical thresholds, no float rounding at the
+    * boundary. The per-row decision is the same (id, seed) bucket as
+    * [[deterministicSample]], so the realized mixture is exact in
+    * expectation and the draw reproducible anywhere. Shape: one
+    * count-per-stratum aggregation, a broadcast one-row min, a broadcast
+    * rates join — the corpus side stays one scan. */
+  def mixtureSample(
+      df: DataFrame,
+      targetsPpm: Seq[(String, Long)],
+      strataCol: String,
+      seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(targetsPpm.nonEmpty && targetsPpm.forall(_._2 > 0L)
+      && targetsPpm.map(_._2).sum <= Buckets,
+      s"shares must be positive ppm summing to <= $Buckets: $targetsPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetsPpm.toDF("__stratum", "__ppm")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(targets), col(strataCol) === col("__stratum"))
+    val tmin = counts.agg(min(expr(s"__n * ${Buckets}L div __ppm")).as("__t"))
+    val rates = counts.crossJoin(broadcast(tmin))
+      .withColumn("__keep", expr(s"__t * __ppm div ${Buckets}L"))
+      .withColumn("__thr", expr(s"__keep * ${Buckets}L div __n"))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(bucket(col(idCol), seed) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic global shuffle key for training-example order: the full
     * md5 hex of (id, seed) is a stable pseudo-random total order — the
     * same epoch order on any cluster, any partitioning, any engine

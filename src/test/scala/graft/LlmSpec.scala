@@ -641,6 +641,41 @@ class LlmSpec extends SparkSpec {
     assert(profile.forall(_.getAs[Double]("mean_cosine") > 0.0))
   }
 
+  test("boilerplate strip: shared footer removed, unique lines kept in order, all-boiler docs dropped") {
+    import graft.llm.Curation
+    val docs = Seq(
+      (1L, "sA", "unique one\nshared footer\nmore text"),
+      (2L, "sA", "different body\nshared footer"),
+      (3L, "sA", "third doc\nshared footer"),
+      (4L, "sA", "shared footer"),               // nothing survives → dropped
+      (5L, "sB", "shared footer\nother source")  // sB: footer appears once → kept
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.stripBoilerplate(docs, minFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "unique one\nmore text") // order preserved across the gap
+    assert(out(2L) == "different body" && out(3L) == "third doc")
+    assert(!out.contains(4L))
+    assert(out(5L) == "shared footer\nother source")
+  }
+
+  test("mixture sampling: integer share math, scarcest stratum binds, reproducible") {
+    import graft.llm.Sampling
+    val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
+    // s2 is scarce relative to its 60% share: 100 available / 0.6 → T=166
+    val out = Sampling.mixtureSample(docs,
+      Seq("s0" -> 200000L, "s1" -> 200000L, "s2" -> 600000L), "source", "mx")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // thresholds: keep_s0 = 166*0.2 = 33 of 100 → thr 330000; expected ~33
+    assert(bySrc("s2").toDouble / out.length > 0.5, s"scarce stratum under-represented: $bySrc")
+    assert(bySrc("s0") < 50 && bySrc("s1") < 50, s"abundant strata not downsampled: $bySrc")
+    // deterministic: a second run draws the identical sample
+    val again = Sampling.mixtureSample(docs,
+      Seq("s0" -> 200000L, "s1" -> 200000L, "s2" -> 600000L), "source", "mx")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
   test("document chunking: exact spans, overlap carried, short docs intact") {
     import graft.llm.Curation
     val docs = Seq(
