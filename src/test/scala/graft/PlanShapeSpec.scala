@@ -174,6 +174,26 @@ class PlanShapeSpec extends SparkSpec {
       s"all-pairs join in fuzzy decontamination:\n$fuzzyPlan")
   }
 
+  test("mixture sampling keeps the corpus side to one scan with broadcast rate joins") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val plan = executed(graft.llm.Sampling.mixtureSample(docs,
+      Seq("src0" -> 500000L, "src1" -> 500000L), "source", "planshape"))
+    assert(plan.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus shuffled for the rate lookup:\n$plan")
+  }
+
+  test("boilerplate strip: keyed joins only, no cartesian, bounded shuffles") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val q = graft.llm.Curation.stripBoilerplate(docs)
+    val plan = executed(q)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in boilerplate path:\n$plan")
+    // line counting (distinct agg = 2) + stratum counts + anti-join sides +
+    // rebuild: a fixed number of keyed exchanges, independent of corpus size
+    assert(exchanges(q) <= 6, s"boilerplate shuffle count grew:\n$plan")
+  }
+
   test("tf-idf aggregations partial-aggregate map-side; N is a broadcast one-row aggregate") {
     val plan = executed(graft.llm.CorpusStats.tfIdfTopTerms(
       Tables.documents(spark, dir), k = 3))
