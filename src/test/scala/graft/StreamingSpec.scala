@@ -253,6 +253,41 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(good, "el la de que y en los del las por dias"), s"got $out")
   }
 
+  test("streaming curation with LM-fluency and decontamination stages (broadcast kernels)") {
+    import graft.llm.{CorpusStats, Curation}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704103200000L
+    val inDomain = "the cat sat on the mat and the dog lay by the door all day long"
+    // fluent under the LM (same vocabulary) but with NO 3-gram shared with
+    // inDomain (scrambled order): the streamed copy must fall to
+    // decontamination, not fluency, and inDomain must stay clean
+    val evalText = "mat the cat the dog the door sat on lay by day all"
+    val oov = "zx qy wv ut sr qp on ml kj ih gf ed cb az yx wv ut sr"
+    val lm = CorpusStats.unigramLm(Seq((1L, inDomain)).toDF("doc_id", "text"))
+    val evalDocs = Seq((9L, evalText)).toDF("doc_id", "text")
+    val events = Seq(
+      StreamingDedup.DocEvent(t0, inDomain),          // fluent, clean → survives
+      StreamingDedup.DocEvent(t0 + 1000, oov),        // all-OOV → fluency drop
+      StreamingDedup.DocEvent(t0 + 2000, evalText))   // eval overlap → decon drop
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDedup.DocEvent]
+    val src = stream.toDS()
+      .select(timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
+    val cfg = Curation.Config(minQuality = 0.0,
+      maxBitsPerToken = Some(4.5), maxContamination = Some(0.5))
+    val query = Curation.curateStream(src, "event_time", cfg,
+        lm = Some(lm), evalDocs = Some(evalDocs))
+      .select("text")
+      .writeStream.outputMode("append").format("memory").queryName("graft_curate_stream_lm")
+      .start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("graft_curate_stream_lm").as[String].collect().toSet
+    assert(out == Set(inDomain), s"got $out")
+  }
+
   test("idempotent handler skips re-delivered batches (ST2)") {
     var applied = 0
     val h = new MicroBatchPipeline.IdempotentBatchHandler((_, _) => applied += 1)
