@@ -503,6 +503,24 @@ object Dedup {
     u(text)
   }
 
+  /** Audit view of fingerprint buckets the `maxBucket` cap would skip in
+    * [[passageOverlapCandidates]] — (fp, members). A fingerprint shared by
+    * thousands of documents is boilerplate (surface it, route it to
+    * [[Curation.stripBoilerplate]]-style handling or exact dedup); capped coverage
+    * must never be silent. */
+  def oversizedPassageBuckets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      window: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(winnowingFingerprints(col(textCol), k, window)).as("fp"))
+      .groupBy("fp")
+      .agg(count_distinct(col("id")).as("members"))
+      .filter(col("members") > maxBucket)
+
   /** Passage-overlap candidates: pairs of documents sharing ≥ `minShared`
     * winnowing fingerprints, with the shared count. Same bucket-first shape
     * as every dedup path — explode fingerprints, group by fingerprint

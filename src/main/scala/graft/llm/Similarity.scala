@@ -296,6 +296,23 @@ object Similarity {
     newVectors.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Audit view of (table, bucket) groups the `maxBucket` cap skips in
+    * [[lshNearDup]] — mass-duplicated vectors are exact-dedup's job, and
+    * capped coverage must be surfaced, never silent (the
+    * [[graft.llm.Dedup.oversizedBuckets]] convention). */
+  def oversizedVectorBuckets(
+      vectors: DataFrame,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    lshBucketIndex(vectors, dim, bits, tables, idCol, vecCol)
+      .groupBy("table", "bucket")
+      .agg(count_distinct(col("id")).as("members"))
+      .filter(col("members") > maxBucket)
+
   /** Embedding near-dup over an UNBOUNDED corpus — the scale path past
     * [[bruteForceTopK]]'s O(Q·C) (which stays the exactness oracle):
     * `tables` independent hyperplane families bucket every vector map-only;

@@ -695,6 +695,24 @@ class LlmSpec extends SparkSpec {
     assert(rebuilt == (1 to 10).map(i => s"t$i").mkString(" "))
   }
 
+  test("capped buckets are audited, never silent (winnowing + vector LSH)") {
+    // 5 docs share a passage; with maxBucket = 3 the fingerprint bucket is
+    // skipped for pair expansion but MUST surface in the audit view
+    val passage = (1 to 10).map(i => s"common-$i").mkString(" ")
+    val shared = (0 until 5).map(i => (i.toLong, passage + s" tail-$i extra words here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.passageOverlapCandidates(shared, minShared = 1, maxBucket = 3)
+      .collect()
+    val audit = Dedup.oversizedPassageBuckets(shared, maxBucket = 3).collect()
+    assert(audit.nonEmpty && audit.forall(_.getAs[Long]("members") > 3),
+      "skipped fingerprint buckets must be audited")
+    // identical vectors: one bucket of 5 per table, capped at 3 → audited
+    val vec = (1 to 16).map(_ => 0.5).toArray
+    val vecs = (0 until 5).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    val vAudit = Similarity.oversizedVectorBuckets(vecs, dim = 16, maxBucket = 3).collect()
+    assert(vAudit.nonEmpty && vAudit.forall(_.getAs[Long]("members") == 5))
+  }
+
   test("winnowing catches a copied passage inside an otherwise-different doc") {
     // frankendoc: 12 words copied from doc 0, rest unrelated — whole-doc
     // near-dup misses it (jaccard ~0.24 < 0.7); winnowing must find it
