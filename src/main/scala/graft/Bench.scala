@@ -37,10 +37,19 @@ object Bench {
       if (verbose) System.err.println(s"BENCHREP $name ${times.map(t => f"$t%.2f").mkString(" ")}")
       name -> times.sorted.apply(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal rounding keeps the one-line JSON compact enough to survive
+    // log-tail capture, and the identical line is ALSO written to
+    // bench_out.json so the per-query map is machine-parseable without log
+    // archaeology (VERDICT r4 #7)
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException => System.err.println(s"bench_out.json write failed: $e") }
     spark.stop()
   }
 }

@@ -141,18 +141,36 @@ object CorpusStats {
       if (rows.isEmpty) 0.0
       else math.log(1.0 / (rows.head.getDouble(2) + rows.head.getDouble(3) + 1.0))
     val ln2 = math.log(2.0)
+    // one broadcast per executor, not one vocab copy per task closure — a
+    // real multilingual vocabulary is millions of entries (ADVICE r4)
+    val probsB = lm.sparkSession.sparkContext.broadcast(probs)
     val u = udf { (s: String) =>
       if (s == null) 0.0
       else {
-        val words = s.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val words = splitLikeSql(s)
+        val p = probsB.value
         var sum = 0.0
         var i = 0
-        while (i < words.length) { sum += probs.getOrElse(words(i), oov); i += 1 }
+        while (i < words.length) { sum += p.getOrElse(words(i), oov); i += 1 }
         val bits = if (words.length == 0) 0.0 else -(sum / words.length) / ln2
         BigDecimal(bits).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     }
     u(text)
+  }
+
+  /** Exactly `split(lower(trim(s)), '\s+')` — the [[words]] tokenization.
+    * Java's `String.trim` strips every char ≤ U+0020 while SQL `trim`
+    * strips spaces only, and Java's 1-arg `split` drops trailing empty
+    * tokens while Spark's keeps them (limit −1) — so text with a leading or
+    * trailing tab/newline gains empty OOV tokens under the SQL form that a
+    * naive kernel would miss (ADVICE r4). */
+  private def splitLikeSql(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
   }
 
   /** Sketch-based per-stratum profile — the 100 TB form of

@@ -83,11 +83,15 @@ object Decontaminate {
       .collect().map(_.getLong(0))
     val set = new java.util.HashSet[java.lang.Long](evalGrams.length * 2)
     evalGrams.foreach(g => set.add(g))
+    // one broadcast per executor, not one set copy per task closure — the
+    // same discipline as lmScoreColumn's vocabulary (ADVICE r4)
+    val setB = evalDocs.sparkSession.sparkContext.broadcast(set)
     val u = udf { (grams: Seq[Long]) =>
       if (grams == null || grams.isEmpty) 0.0
       else {
+        val s = setB.value
         var hits = 0
-        grams.foreach(g => if (set.contains(g)) hits += 1)
+        grams.foreach(g => if (s.contains(g)) hits += 1)
         BigDecimal(hits.toDouble / grams.length)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
@@ -118,24 +122,29 @@ object Decontaminate {
       shingleK: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // internal aliases use a reserved __fz prefix so a caller's idCol can
+    // never collide with them, and the output id column honors idCol
+    // instead of a hardcoded "doc_id" (ADVICE r4)
+    require(idCol != "eval_id" && !idCol.startsWith("__fz"),
+      s"idCol collides with fuzzyContamination's output/internal names: $idCol")
     def banded(df: DataFrame, outId: String): DataFrame =
       Dedup.bandSignatures(df, idCol, textCol, perms, bands, shingleK, outId)
-    val cands = banded(docs, "doc_id_t")
-      .join(broadcast(banded(evalDocs, "eval_id")), Seq("band", "band_hash"))
-      .select(col("doc_id_t"), col("eval_id"))
+    val cands = banded(docs, "__fz_t")
+      .join(broadcast(banded(evalDocs, "__fz_e")), Seq("band", "band_hash"))
+      .select(col("__fz_t"), col("__fz_e"))
       .distinct()
-    val docSh = docs.join(cands.select(col("doc_id_t").as(idCol)).distinct(), Seq(idCol), "left_semi")
-      .select(col(idCol).as("doc_id_t"), Dedup.shingleHashes(col(textCol), shingleK).as("__sh_t"))
-    val evalSh = evalDocs.select(col(idCol).as("eval_id"), Dedup.shingleHashes(col(textCol), shingleK).as("__sh_e"))
+    val docSh = docs.join(cands.select(col("__fz_t").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__fz_t"), Dedup.shingleHashes(col(textCol), shingleK).as("__fz_sh_t"))
+    val evalSh = evalDocs.select(col(idCol).as("__fz_e"), Dedup.shingleHashes(col(textCol), shingleK).as("__fz_sh_e"))
     cands
-      .join(docSh, Seq("doc_id_t"))
-      .join(broadcast(evalSh), Seq("eval_id"))
+      .join(docSh, Seq("__fz_t"))
+      .join(broadcast(evalSh), Seq("__fz_e"))
       .withColumn("jaccard",
-        when(size(array_union(col("__sh_t"), col("__sh_e"))) > 0,
-          size(array_intersect(col("__sh_t"), col("__sh_e"))).cast("double") /
-            size(array_union(col("__sh_t"), col("__sh_e"))))
+        when(size(array_union(col("__fz_sh_t"), col("__fz_sh_e"))) > 0,
+          size(array_intersect(col("__fz_sh_t"), col("__fz_sh_e"))).cast("double") /
+            size(array_union(col("__fz_sh_t"), col("__fz_sh_e"))))
           .otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_id_t").as("doc_id"), col("eval_id"), col("jaccard"))
+      .select(col("__fz_t").as(idCol), col("__fz_e").as("eval_id"), col("jaccard"))
   }
 }

@@ -358,7 +358,11 @@ object Dedup {
     val n = if (expectedItems > 0L) expectedItems else math.max(1L, seenHashes.count())
     val bf = seenHashes.stat.bloomFilter("__h", n, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
-    val probe = udf { (h: String) => bfB.value.mightContainString(h) }
+    // null text → md5 null → probe false → the doc rides the novel branch,
+    // where the anti-join's null key matches nothing: null-text docs are
+    // NOVEL, exactly the anti-join's (and SQL NOT IN's rn-filtered oracle's)
+    // verdict — and the guard keeps the UDF from NPEing on it (ADVICE r4)
+    val probe = udf { (h: String) => h != null && bfB.value.mightContainString(h) }
     val hashed = docs.withColumn("__h", md5(col(textCol)))
     val maybeSeen = hashed.filter(probe(col("__h")))
       .join(seenHashes.distinct(), Seq("__h"), "left_anti")

@@ -112,13 +112,20 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val targets = targetsPpm.toDF("__stratum", "__ppm")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-      .join(broadcast(targets), col(strataCol) === col("__stratum"))
+    // targets LEFT JOIN counts with coalesce(n, 0): a stratum listed in
+    // targetsPpm but ABSENT from df must bind the achievable total to 0
+    // ("bounded by the scarcest stratum" — an empty stratum is scarcest),
+    // not silently drop out of the min (ADVICE r4)
+    val counts = broadcast(targets)
+      .join(df.groupBy(col(strataCol).as("__stratum")).agg(count(lit(1)).as("__n")),
+        Seq("__stratum"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
     val tmin = counts.agg(min(expr(s"__n * ${Buckets}L div __ppm")).as("__t"))
     val rates = counts.crossJoin(broadcast(tmin))
       .withColumn("__keep", expr(s"__t * __ppm div ${Buckets}L"))
-      .withColumn("__thr", expr(s"__keep * ${Buckets}L div __n"))
-      .select(col(strataCol), col("__thr"))
+      .withColumn("__thr",
+        when(col("__n") === 0L, lit(0L)).otherwise(expr(s"__keep * ${Buckets}L div __n")))
+      .select(col("__stratum").as(strataCol), col("__thr"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(bucket(col(idCol), seed) < col("__thr"))
       .drop("__thr")

@@ -48,13 +48,21 @@ object StreamingDedup {
       textCol: String = "text",
       delay: String = "1 hour",
       fpp: Double = 0.01,
-      expectedItems: Long = 0L): DataFrame = {
+      expectedItems: Long): DataFrame = {
+    // expectedItems is REQUIRED: the old auto-size fallback ran a full
+    // count() of `seen` before the bloom build — two whole corpus passes to
+    // start a stream at 100 TB. The caller always knows (or persists) the
+    // corpus size; an over-estimate only widens the filter (ADVICE r4 /
+    // VERDICT r4 #6). [[replayNovel]] derives it once for the bounded
+    // replay harness.
+    require(expectedItems > 0L,
+      s"expectedItems must be positive (sizes the bloom filter without re-scanning seen): $expectedItems")
     val spark = docs.sparkSession
     val seenHashes = seen.select(md5(col(textCol)).as("__h"))
-    val n = if (expectedItems > 0L) expectedItems else math.max(1L, seenHashes.count())
-    val bf = seenHashes.stat.bloomFilter("__h", n, fpp)
+    val bf = seenHashes.stat.bloomFilter("__h", expectedItems, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
-    val probe = udf { (h: String) => bfB.value.mightContainString(h) }
+    // null guard as in Dedup.novelAgainst: null text rides the novel branch
+    val probe = udf { (h: String) => h != null && bfB.value.mightContainString(h) }
     val hashed = docs.withColumn("__content_hash", md5(col(textCol)))
     val novel = hashed.filter(!probe(col("__content_hash")))
       .unionByName(
@@ -76,35 +84,52 @@ object StreamingDedup {
 
   /** Replay `events` through [[novelWithinWatermark]] against a static
     * `seen` corpus in `chunk`-sized micro-batches; returns the surviving
-    * (docId) rows. Arrival order is the input order, so the survivor of an
-    * in-stream duplicate group is its first arrival — deterministic, which
-    * is what lets the gate hash-compare this against the batch anti-join +
-    * first-occurrence SQL. */
+    * (docId) rows.
+    *
+    * Because `doc_id` is an arrival-ORDER-dependent output (the oracle pins
+    * min-doc_id per content), each micro-batch is pre-aggregated to the
+    * min-doc_id instance per text BEFORE entering the stream:
+    * `dropDuplicatesWithinWatermark` guarantees nothing about which of two
+    * same-batch duplicates survives (ADVICE r4). Across batches the
+    * stateful dedup keeps the first batch's instance, so with events in
+    * doc_id order the survivor is exactly the oracle's min-doc_id row.
+    *
+    * `expectedItems` sizes the bloom filter; ≤ 0 lets the HARNESS count
+    * `seen` once as a convenience — production callers of
+    * [[novelWithinWatermark]] must supply it. */
   def replayNovel(
       spark: SparkSession,
       events: Seq[IdDocEvent],
       seen: DataFrame,
       chunk: Int,
       delay: String = "24 hours",
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      expectedItems: Long = 0L): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[IdDocEvent]
     val src = stream.toDS()
       .select(col("docId").as("doc_id"),
         timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
+    val n = if (expectedItems > 0L) expectedItems else math.max(1L, seen.count())
     val name = s"graft_stream_novel_${seq.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")
     try {
-      val query = novelWithinWatermark(src, seen, "event_time", delay = delay, fpp = fpp)
+      val query = novelWithinWatermark(src, seen, "event_time", delay = delay, fpp = fpp,
+          expectedItems = n)
         .select("doc_id")
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.ProcessingTime(10L))
         .start()
       try {
-        events.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+        events.grouped(chunk).foreach { g =>
+          val batchFirst = g.groupBy(_.text).valuesIterator
+            .map(_.minBy(_.docId)).toSeq.sortBy(_.docId)
+          stream.addData(batchFirst)
+          query.processAllAvailable()
+        }
       } finally query.stop()
     } finally spark.conf.set(key, prev)
     spark.table(name)

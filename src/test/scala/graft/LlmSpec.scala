@@ -566,6 +566,33 @@ class LlmSpec extends SparkSpec {
     assert(rep.getAs[Long]("after_fluency") <= rep.getAs[Long]("after_language"))
   }
 
+  test("LM kernel matches SQL trim/split semantics on leading/trailing tabs and newlines") {
+    import graft.llm.CorpusStats
+    // SQL trim strips SPACES only: a leading newline/tab survives trim and
+    // split('\s+') then yields an empty first token (and limit -1 keeps a
+    // trailing one) — an extra OOV "word" the kernel must also count.
+    // Common in scraped web text; absent from the fixture (ADVICE r4).
+    val ref = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val lm = CorpusStats.unigramLm(ref)
+    val docs = Seq(
+      (10L, "\nthe cat sat"),     // leading newline → leading empty token
+      (11L, "\tthe cat sat"),     // leading tab
+      (12L, "the cat sat\n"),     // trailing newline → trailing empty token
+      (13L, "  the cat sat  "),   // spaces only: trimmed, no empties
+      (14L, " \t the cat \n ")    // mixed: space-trim leaves \t..\n ends
+    ).toDF("doc_id", "text")
+    val joined = CorpusStats.lmScore(docs, lm)
+      .select("doc_id", "bits_per_token").as[(Long, Double)].collect().toMap
+    val local = docs.select($"doc_id", CorpusStats.lmScoreColumn(lm, $"text").as("b"))
+      .as[(Long, Double)].collect().toMap
+    assert(joined.keySet == local.keySet)
+    joined.foreach { case (id, b) =>
+      assert(math.abs(b - local(id)) <= 1e-6, s"doc $id: join=$b kernel=${local(id)}")
+    }
+    // sanity: the newline-padded docs really do pay an OOV token
+    assert(local(10L) > local(13L) && local(12L) > local(13L))
+  }
+
   test("row-local contamination kernel equals the join-based stats; stage filters the funnel") {
     import graft.llm.{Curation, Decontaminate}
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -674,6 +701,21 @@ class LlmSpec extends SparkSpec {
       Seq("s0" -> 200000L, "s1" -> 200000L, "s2" -> 600000L), "source", "mx")
       .select("doc_id").as[Long].collect().toSet
     assert(again == out.map(_._1).toSet)
+  }
+
+  test("mixture sampling: a target stratum absent from the corpus binds the total to 0") {
+    import graft.llm.Sampling
+    // "achievable total bounded by the scarcest stratum": an EMPTY stratum
+    // is the scarcest — T must be 0 and the sample empty, not a silently
+    // re-normalized mixture over the present strata (ADVICE r4)
+    val docs = (0 until 100).map(i => (i.toLong, s"s${i % 2}")).toDF("doc_id", "source")
+    val out = Sampling.mixtureSample(docs,
+      Seq("s0" -> 400000L, "s1" -> 400000L, "missing" -> 200000L), "source", "mx")
+    assert(out.count() == 0L, "empty target stratum must zero the achievable mixture")
+    // control: without the phantom stratum the same targets draw non-empty
+    val ok = Sampling.mixtureSample(docs,
+      Seq("s0" -> 500000L, "s1" -> 500000L), "source", "mx")
+    assert(ok.count() > 0L)
   }
 
   test("document chunking: exact spans, overlap carried, short docs intact") {

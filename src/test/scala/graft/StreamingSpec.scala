@@ -224,6 +224,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("novelty stream build: with expectedItems supplied, only the bloom build touches seen") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    // the old auto-sizing fallback ran seen.count() — a second full corpus
+    // pass before the bloom build (VERDICT r4 #6); with expectedItems
+    // supplied, constructing the stream must launch at most the single
+    // bloom-build job
+    val seen = Seq((1L, "seen-A"), (2L, "seen-B")).toDF("doc_id", "text")
+    val stream = MemoryStream[StreamingDedup.IdDocEvent]
+    val src = stream.toDS()
+      .select(col("docId").as("doc_id"),
+        timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // give the listener bus time to drain before counting
+        var waited = 0
+        while (jobs.get() < 1 && waited < 20) { Thread.sleep(50); waited += 1 }
+        Thread.sleep(250)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // control: jobs a bare bloom build launches (2 on Spark 4)
+    val bloomOnly = countJobs {
+      seen.select(md5(col("text")).as("__h")).stat.bloomFilter("__h", 2L, 0.01); ()
+    }
+    val construction = countJobs {
+      StreamingDedup.novelWithinWatermark(src, seen, "event_time", expectedItems = 2L); ()
+    }
+    assert(construction == bloomOnly,
+      s"constructing the stream must launch ONLY the bloom-build jobs ($bloomOnly), saw $construction")
+    // and the auto-size fallback is gone: expectedItems is required
+    intercept[IllegalArgumentException] {
+      StreamingDedup.novelWithinWatermark(src, seen, "event_time", expectedItems = 0L)
+    }
+  }
+
   test("streaming curation: annotate+filter+dedup run as one streaming pipeline") {
     import graft.llm.Curation
     import graft.streaming.StreamingDedup
