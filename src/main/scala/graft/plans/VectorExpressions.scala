@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -79,4 +79,129 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "vector_dot"
+}
+
+/** Row-local nearest-centroid selection — the map-only cell assignment of
+  * the IVF/k-means paths (VERDICT r4 #1). The centroid matrix (bounded by
+  * construction: numCells × dim doubles) rides the expression as a plan
+  * constant — the same driver-side collection the old
+  * `crossJoin(broadcast(centroids))` performed — and each input vector
+  * computes its `n` nearest cells in ONE kernel pass: k fused dot products,
+  * a top-n insertion, zero expansion, zero Exchange. The replaced plan
+  * expanded the corpus ×k and then SHUFFLED the expansion through a
+  * `Window.partitionBy(id)` row_number to take the per-vector argmax.
+  *
+  * Ordering replicates the window's exactly: cosine descending under
+  * Spark's SQL double ordering (NaN greatest, −0.0 == 0.0), ties broken by
+  * ascending cell id (`cellIds` must be sorted ascending — the constructor
+  * requires it). Cosine = dot/(‖v‖·‖c‖) with the same left-to-right
+  * double accumulation as [[VectorDot]], so scores are bit-identical to
+  * the replaced plan's. Null input → null (embedding columns are non-null
+  * by construction, as for [[VectorDot]]).
+  */
+case class NearestCells(
+    child: Expression,
+    cellIds: IndexedSeq[Int],
+    centroids: IndexedSeq[IndexedSeq[Double]],
+    n: Int) extends UnaryExpression {
+  require(centroids.nonEmpty && centroids.length == cellIds.length && n >= 1,
+    s"need >=1 centroids matching cellIds and n>=1: ${centroids.length}/${cellIds.length}/$n")
+  require(cellIds.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+    "cellIds must be strictly ascending (the tie-break order)")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires an array of float or double, got ${t.catalogString}")
+  }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val mats: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val cnorms: Array[Double] = mats.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+  @transient private lazy val ids: Array[Int] = cellIds.toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    NearestCells.topCells(a.asInstanceOf[ArrayData], isFloat, mats, cnorms, ids, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroids", mats, "double[][]")
+    val cn = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    val ci = ctx.addReferenceObj("cellIds", ids, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.NearestCells.topCells($c, $isFloat, $m, $cn, $ci, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cells"
+}
+
+object NearestCells {
+  /** Spark SQL double ordering: −0.0 == 0.0, NaN greatest (SQLOrderingUtil). */
+  @inline private def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  def topCells(
+      v: ArrayData,
+      isFloat: Boolean,
+      cents: Array[Array[Double]],
+      cnorms: Array[Double],
+      cellIds: Array[Int],
+      n: Int): ArrayData = {
+    val vn = v.numElements()
+    var nv = 0.0
+    var i = 0
+    if (isFloat) while (i < vn) {
+      if (!v.isNullAt(i)) { val x = v.getFloat(i).toDouble; nv += x * x }; i += 1
+    } else while (i < vn) {
+      if (!v.isNullAt(i)) { val x = v.getDouble(i); nv += x * x }; i += 1
+    }
+    val normV = math.sqrt(nv)
+    val k = cents.length
+    val take = math.min(n, k)
+    // best-first selection buffer; scanning cells in ascending-cellId order
+    // makes ties resolve to the lower cell id (strict > to displace)
+    val selIdx = new Array[Int](take)
+    val selSim = new Array[Double](take)
+    var selN = 0
+    var j = 0
+    while (j < k) {
+      val c = cents(j)
+      val m = math.min(vn, c.length)
+      var acc = 0.0
+      var t = 0
+      if (isFloat) while (t < m) {
+        if (!v.isNullAt(t)) acc += v.getFloat(t).toDouble * c(t); t += 1
+      } else while (t < m) {
+        if (!v.isNullAt(t)) acc += v.getDouble(t) * c(t); t += 1
+      }
+      val sim = acc / (normV * cnorms(j))
+      if (selN < take || cmp(sim, selSim(selN - 1)) > 0) {
+        var pos = if (selN < take) selN else take - 1
+        while (pos > 0 && cmp(sim, selSim(pos - 1)) > 0) {
+          selSim(pos) = selSim(pos - 1); selIdx(pos) = selIdx(pos - 1); pos -= 1
+        }
+        selSim(pos) = sim
+        selIdx(pos) = j
+        if (selN < take) selN += 1
+      }
+      j += 1
+    }
+    val out = new Array[Int](selN)
+    i = 0
+    while (i < selN) { out(i) = cellIds(selIdx(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

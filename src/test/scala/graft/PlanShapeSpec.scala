@@ -77,6 +77,23 @@ class PlanShapeSpec extends SparkSpec {
       s"single-partition funnel in IVF path:\n$plan")
   }
 
+  test("cell assignment is map-only: NO exchange between corpus scan and cell-id projection") {
+    // the IVF/k-means assign step must be one row-local kernel projection
+    // over the scan — the old crossJoin(broadcast) + Window.partitionBy(id)
+    // argmax shuffled the ×k expansion once per build and per Lloyd
+    // iteration (VERDICT r4 #1)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val centroids = graft.llm.Similarity.seedCentroids(emb, numCells = 8)
+    val assigned = graft.llm.Similarity.assignCells(emb, centroids)
+    val plan = executed(assigned)
+    assert(exchanges(assigned) == 0, s"cell assignment shuffles:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"windowed/expanded argmax back in the assign path:\n$plan")
+    assert(plan.contains("nearest_cells"), s"native kernel missing:\n$plan")
+  }
+
   test("s3 typed decode parses JSON exactly once and pushes the presence filter to the scan") {
     val q = SparkEntry.queries("s3_decode_typed")(spark, dir)
     val plan = executed(q)
