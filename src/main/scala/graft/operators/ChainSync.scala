@@ -295,30 +295,117 @@ object ChainSync {
     * entity key) — the production alternative to in-memory state when the
     * driver restarts. [[load]] resumes, recovering the uid high-water mark
     * from `max(blocks.uid)` exactly as the reference resumes from
-    * `max(height)` (`pg.rs:70-78`). */
-  def persist(state: ChainState, dir: String, lastBatchId: Long = -1L): Unit = {
+    * `max(height)` (`pg.rs:70-78`).
+    *
+    * ATOMIC across tables (≙ the reference's one transaction around
+    * blocks+txs+candles, `mod.rs:168-186` / `pg.rs:51-63`): the whole state
+    * is written into a fresh `v<N>` version directory and only then
+    * PUBLISHED by an atomic rename of the `_CURRENT` pointer file. A crash
+    * anywhere mid-write leaves the pointer on the previous version, so
+    * [[load]] can never observe tables from two different folds
+    * (VERDICT r4 #2; ReplaySpec kills a persist between table writes to
+    * prove it). Rename atomicity: POSIX rename(2) locally / HDFS rename via
+    * `FileContext(Options.Rename.OVERWRITE)` — an object store would need a
+    * conditional put or a commit service instead. Superseded version
+    * directories are deleted AFTER the swap (best effort; orphans from a
+    * crash are re-swept by the next persist).
+    *
+    * `onTableWritten` is a progress hook (called with each table name after
+    * its write completes) — also how the crash-injection test severs a
+    * persist mid-way. */
+  def persist(state: ChainState, dir: String, lastBatchId: Long = -1L,
+      onTableWritten: String => Unit = _ => ()): Unit = {
     import graft.sinks.TableStore
+    val spark = state.blocks.sparkSession
+    import spark.implicits._
+    val version = currentVersion(spark, dir).getOrElse(0L) + 1L
+    val vdir = s"$dir/v$version"
     // one-row sync_meta carries everything not recoverable from the tables:
     // the uid-generator cursor (so a resume at the same height CONTINUES the
     // per-height index instead of re-issuing colliding tx uids) and the last
     // applied streaming batch id (so a checkpoint-replayed batch is
     // recognized and skipped — ADVICE r3)
-    val spark = state.blocks.sparkSession
-    import spark.implicits._
     Seq((state.uidLastHeight, state.uidNextIdx, lastBatchId))
       .toDF("uid_last_height", "uid_next_idx", "last_batch_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/sync_meta")
-    TableStore.writeFact(state.blocks, s"$dir/blocks_microblocks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/sync_meta")
+    onTableWritten("sync_meta")
+    TableStore.writeFact(state.blocks, s"$vdir/blocks_microblocks")
+    onTableWritten("blocks_microblocks")
     state.facts.foreach { case (name, df) =>
       val sortCol = if (df.columns.contains("uid")) "uid" else "tx_uid" // children key on tx_uid
-      TableStore.writeFact(df, s"$dir/$name", sortCol = sortCol)
+      TableStore.writeFact(df, s"$vdir/$name", sortCol = sortCol)
+      onTableWritten(name)
     }
-    state.candles.write.mode("overwrite").parquet(s"$dir/candles")
-    state.assetUpdates.sort("asset_id", "uid").write.mode("overwrite").parquet(s"$dir/asset_updates")
-    state.assetTickers.sort("asset_id", "uid").write.mode("overwrite").parquet(s"$dir/asset_tickers")
-    state.assetOrigins.sort("asset_id").write.mode("overwrite").parquet(s"$dir/asset_origins")
-    state.wavesData.sort("height").write.mode("overwrite").parquet(s"$dir/waves_data")
+    state.candles.write.mode("overwrite").parquet(s"$vdir/candles")
+    onTableWritten("candles")
+    state.assetUpdates.sort("asset_id", "uid").write.mode("overwrite").parquet(s"$vdir/asset_updates")
+    state.assetTickers.sort("asset_id", "uid").write.mode("overwrite").parquet(s"$vdir/asset_tickers")
+    state.assetOrigins.sort("asset_id").write.mode("overwrite").parquet(s"$vdir/asset_origins")
+    state.wavesData.sort("height").write.mode("overwrite").parquet(s"$vdir/waves_data")
+    onTableWritten("waves_data")
+    publishVersion(spark, dir, version)
+    cleanupVersions(spark, dir, keep = version)
   }
+
+  // ---- versioned-layout plumbing (two-phase commit) ----------------------
+
+  private def fileContext(spark: SparkSession, dir: String): (org.apache.hadoop.fs.FileContext, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, conf)
+    (fc, p)
+  }
+
+  /** The published version (None = nothing published; legacy flat layouts
+    * from before versioning also read as None and fall back). */
+  private def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val (fc, base) = fileContext(spark, dir)
+    val ptr = new org.apache.hadoop.fs.Path(base, "_CURRENT")
+    try {
+      val in = fc.open(ptr)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 1024, false)
+        Some(new String(bos.toByteArray, "UTF-8").trim.toLong)
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Phase 2: atomically point `_CURRENT` at `version` (write-tmp + rename
+    * with OVERWRITE — rename(2) locally, atomic HDFS rename on a cluster). */
+  private def publishVersion(spark: SparkSession, dir: String, version: Long): Unit = {
+    import org.apache.hadoop.fs.{Options, Path}
+    val (fc, base) = fileContext(spark, dir)
+    val tmp = new Path(base, s"_CURRENT.tmp")
+    val ptr = new Path(base, "_CURRENT")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try { out.write(version.toString.getBytes("UTF-8")); out.hsync() } finally out.close()
+    fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+  }
+
+  /** Best-effort sweep of superseded `v<N>` directories (after the swap —
+    * a crash here only leaves orphans for the next persist to remove). */
+  private def cleanupVersions(spark: SparkSession, dir: String, keep: Long): Unit = {
+    val (fc, base) = fileContext(spark, dir)
+    try {
+      val it = fc.listStatus(base)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isDirectory && name.matches("v\\d+") && name.drop(1).toLong != keep) {
+          try { fc.delete(st.getPath, true); () } catch { case _: java.io.IOException => () }
+        }
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** The directory holding the published tables: the `v<N>` the `_CURRENT`
+    * pointer names, or `dir` itself for legacy flat layouts. */
+  private def resolvedDir(spark: SparkSession, dir: String): String =
+    currentVersion(spark, dir).map(v => s"$dir/v$v").getOrElse(dir)
 
   /** Resume a fold state persisted by [[persist]]: block/fact/dim tables
     * plus the `sync_meta` uid-generator cursor, so txs appended at the
@@ -326,9 +413,10 @@ object ChainSync {
     * re-issuing uids that collide with persisted rows (ADVICE r3). States
     * persisted before `sync_meta` existed load with a reset cursor. */
   def load(spark: SparkSession, dir: String): ChainState = {
+    val tdir = resolvedDir(spark, dir)
     val (lastHeight, nextIdx, _) = readMeta(spark, dir)
     def read(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-      spark.read.schema(schema).parquet(s"$dir/$path")
+      spark.read.schema(schema).parquet(s"$tdir/$path")
         .select(schema.fieldNames.map(col).toIndexedSeq: _*) // drop the height_bucket partition col
     val blocks = read("blocks_microblocks", ReferenceSchemas.blocksMicroblocks)
     val maxUid = blocks.agg(max("uid")).first() match {
@@ -358,7 +446,7 @@ object ChainSync {
 
   private def readMeta(spark: SparkSession, dir: String): (Int, Long, Long) =
     try {
-      spark.read.parquet(s"$dir/sync_meta").collect().headOption
+      spark.read.parquet(s"${resolvedDir(spark, dir)}/sync_meta").collect().headOption
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
         .getOrElse((-1, 0L, -1L))
     } catch { case _: org.apache.spark.sql.AnalysisException => (-1, 0L, -1L) }

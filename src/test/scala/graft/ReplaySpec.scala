@@ -122,6 +122,36 @@ class ReplaySpec extends SparkSpec {
     same(resumed.blocks, direct.blocks, "resumed blocks")
   }
 
+  test("persist is atomic: a crash between table writes leaves the previous state loadable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state-").toString
+    val state1 = fold(ChainSync.emptyState(spark), block1)
+    ChainSync.persist(state1, dir, lastBatchId = 1L)
+    val state2 = fold(state1, block2)
+    // kill persist #2 between two table writes — after candles landed but
+    // before the dims; without the version-pointer swap this interleaving
+    // used to leave candles from fold 2 next to dims from fold 1
+    final class SimulatedCrash extends RuntimeException("crash mid-persist")
+    intercept[SimulatedCrash] {
+      ChainSync.persist(state2, dir, lastBatchId = 2L,
+        onTableWritten = name => if (name == "candles") throw new SimulatedCrash)
+    }
+    // the pointer still names version 1: EVERY table (and sync_meta) reads
+    // back as the previous consistent fold
+    val loaded = ChainSync.load(spark, dir)
+    same(loaded.candles, state1.candles, "candles after crashed persist")
+    same(loaded.blocks, state1.blocks, "blocks after crashed persist")
+    same(loaded.facts("txs_7"), state1.facts("txs_7"), "facts after crashed persist")
+    assert(ChainSync.lastAppliedBatch(spark, dir) == 1L)
+    // a clean re-persist publishes fold 2 and sweeps the orphaned attempt
+    ChainSync.persist(state2, dir, lastBatchId = 2L)
+    val reloaded = ChainSync.load(spark, dir)
+    same(reloaded.candles, state2.candles, "candles after re-persist")
+    assert(ChainSync.lastAppliedBatch(spark, dir) == 2L)
+    val versions = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).toSeq
+    assert(versions.size == 1, s"superseded/orphaned versions not swept: $versions")
+  }
+
   test("persist/load resumes the uid generator — no tx-uid collisions at the tip height") {
     val dir = java.nio.file.Files.createTempDirectory("graft-state-").toString
     val state = fold(ChainSync.emptyState(spark), block1)
