@@ -621,6 +621,25 @@ object AggQueries {
       Some("""SELECT DISTINCT event_type || '#' || CAST(user_id % 50 AS VARCHAR) AS text
              |FROM events WHERE event_id < 2000 ORDER BY text""".stripMargin)),
 
+    // ST10 — chained stateful ladder in append mode (multiple stateful
+    // aggregations in one streaming query): streamed 1m→5m candles, each
+    // emitted exactly once when the watermark closes its window, must equal
+    // the batch ladder edge over the same trades
+    QueryDef("st10_ladder_stream",
+      (s, dir) => {
+        import graft.streaming.StreamingCandles
+        val rows = Tables.trades(s, dir).filter(col("uid") < 4000)
+          .collect().map(r => StreamingCandles.TradeEvent(
+            r.getAs[Long]("uid"),
+            r.getAs[java.sql.Timestamp]("time_stamp").getTime,
+            r.getAs[String]("amount_asset_id"), r.getAs[String]("price_asset_id"),
+            r.getAs[String]("sender"), r.getAs[Int]("height"),
+            r.getAs[Long]("amount"), BigDecimal(r.getAs[java.math.BigDecimal]("price"))))
+        candleOut(StreamingCandles.replayLadder(s, rows.toSeq, chunk = 2000, dst = "5m"))
+      },
+      Some(withTrades(c1mCte("WHERE uid < 4000") + ",\n" + ladderCte("1m", "5m", 300)) +
+        "\n" + candleSelect("ts_5m") + "\nFROM c5m " + orderTail)),
+
     // Views — tickers (O20 over asset_tickers, up.sql:432-435)
     QueryDef("view_tickers",
       (s, dir) => {

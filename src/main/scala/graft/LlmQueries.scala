@@ -772,6 +772,30 @@ object LlmQueries {
              |  FROM documents WHERE md5(text) NOT IN (SELECT h FROM seen))
              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // ST11 — streaming curation funnel: annotate → length/quality/
+    // repetition filters → watermark dedup as ONE append-mode streaming
+    // query; with an uncapped horizon the survivors are exactly the
+    // distinct curated texts, which the batch funnel SQL computes directly
+    QueryDef("st11_stream_curation",
+      (s, dir) => {
+        import graft.llm.Curation
+        import graft.streaming.StreamingDedup
+        val rows = Tables.documents(s, dir).select("doc_id", "text")
+          .orderBy("doc_id").collect()
+          .map(r => StreamingDedup.DocEvent(
+            1704067200000L + r.getLong(0) * 1000L, r.getString(1)))
+        // ~3 micro-batches at any sf (fixed per-batch state I/O — NOTES.md)
+        Curation.replayCurateStream(s, rows.toSeq,
+          chunk = math.max(1, (rows.length + 2) / 3), delay = "3650 days")
+          .orderBy("text")
+      },
+      Some(s"""WITH $curationCtes
+              |SELECT DISTINCT q.text
+              |FROM q JOIN r USING (doc_id)
+              |WHERE q.n_words BETWEEN 5 AND 100000 AND q.quality_score >= 0.3
+              |  AND r.dup_word_frac <= 0.9 AND r.top_bigram_frac <= 0.5
+              |ORDER BY text""".stripMargin)),
+
     // incremental near-dedup: the new batch (shifted near-dup copies)
     // against the corpus's persisted band-signature index; minhash
     // banding keeps it rows-only, planted-recall spec'd in LlmSpec

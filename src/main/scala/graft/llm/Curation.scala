@@ -134,6 +134,47 @@ object Curation {
       annotate(docs, textCol, lm, evalDocs).filter(stageConditions(config).last._2),
       eventTimeCol, textCol, dedupDelay)
 
+  /** Bounded deterministic replay of [[curateStream]] (the ST11 gate form,
+    * ≙ [[graft.streaming.StreamingDedup.replayExact]]): drive `events`
+    * through the streaming funnel in `chunk`-sized micro-batches and return
+    * the surviving rows' text. Only arrival-order-INDEPENDENT columns are
+    * returned — which duplicate instance survives the watermark dedup is
+    * arrival-dependent by definition, the surviving CONTENT set is not. */
+  def replayCurateStream(
+      spark: org.apache.spark.sql.SparkSession,
+      events: Seq[graft.streaming.StreamingDedup.DocEvent],
+      chunk: Int,
+      config: Config = Config(),
+      delay: String = "1 hour",
+      lm: Option[DataFrame] = None,
+      evalDocs: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.StreamingDedup.DocEvent]
+    val src = stream.toDS()
+      .select(timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
+    val name = s"graft_curate_replay_${replaySeq.incrementAndGet()}"
+    // bounded replay at 8 state partitions (one state file per partition
+    // per micro-batch — the StreamingCandles/StreamingDedup rationale)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val query = curateStream(src, "event_time", config, dedupDelay = delay,
+          lm = lm, evalDocs = evalDocs)
+        .select("text")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+        .start()
+      try {
+        events.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+      } finally query.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(name)
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger()
+
   /** Token-budget corpus selection: keep the highest-priority prefix whose
     * cumulative whitespace-token count fits `budgetTokens` — the greedy
     * training-mix primitive ("best documents up to N tokens"). Priority is

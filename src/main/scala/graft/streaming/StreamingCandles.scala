@@ -211,6 +211,44 @@ object StreamingCandles {
     spark.table(name)
   }
 
+  /** Replay `trades` through the CHAINED stateful ladder (1-minute windowed
+    * candles re-aggregated to `dst`) in APPEND mode — the ST10 gate form of
+    * the multiple-stateful-aggregation pipeline. Events are replayed in
+    * event-time order (so a 0-second watermark never drops a late chunk)
+    * and a far-future sentinel trade advances the watermark past every real
+    * window at the end: append mode emits each `dst` candle exactly once,
+    * finalized; the sentinel's own window never closes, so it is absent
+    * from the output. */
+  def replayLadder(
+      spark: SparkSession,
+      trades: Seq[TradeEvent],
+      chunk: Int,
+      dst: String): DataFrame = {
+    require(trades.nonEmpty, "replayLadder needs at least one trade")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[TradeEvent]
+    val name = s"graft_stream_ladder_${seq.incrementAndGet()}"
+    val sorted = trades.sortBy(t => (t.timeStampMs, t.uid))
+    val sentinel = TradeEvent(Long.MaxValue, sorted.last.timeStampMs + 30L * 86400000L,
+      sorted.head.amountAssetId, sorted.head.priceAssetId, sorted.head.sender,
+      sorted.head.height, 1L, sorted.head.price)
+    withReplayPartitions(spark) {
+      val ladder = ladderStream(
+        minuteCandlesWindowed(tradeFrame(stream), watermarkDelay = "0 seconds"), dst)
+      val query = ladder.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(10L))
+        .start()
+      try {
+        sorted.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+        stream.addData(Seq(sentinel))
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    spark.table(name)
+  }
+
   /** Replay through [[statefulMinuteCandles]] (update mode): per-key
     * last-write-wins over the emitted updates is the final candle set. */
   def replayStateful(spark: SparkSession, trades: Seq[TradeEvent], chunk: Int): DataFrame = {
