@@ -154,7 +154,11 @@ object LlmQueries {
       },
       None),
 
-    // random-hyperplane LSH bucket assignment
+    // random-hyperplane LSH bucket assignment — oracle-checked: the
+    // deterministic xorshift plane STATES are inlined as longs (the value
+    // is state/Long.MaxValue, computed in SQL so the doubles stay
+    // bit-identical), the dots run list_dot_product, and the sign bits
+    // re-assemble the bucket key
     QueryDef("llm_lsh_buckets",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -163,7 +167,20 @@ object LlmQueries {
           .select("vec_id", "bucket")
           .orderBy("vec_id")
       },
-      None),
+      Some {
+        val planeRows = Similarity.hyperplaneSeeds(dim = 64, bits = 12, seed = 0L)
+          .zipWithIndex.flatMap { case (arr, b) =>
+            arr.zipWithIndex.map { case (st, i) => s"($b,$i,${st}::BIGINT)" }
+          }.mkString(",")
+        s"""WITH ps(b, i, s) AS (VALUES $planeRows),
+           |pl AS (SELECT b, list(CAST(s AS DOUBLE) / CAST(9223372036854775807 AS DOUBLE) ORDER BY i) AS plane
+           |       FROM ps GROUP BY b),
+           |d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |db AS (SELECT d.vec_id, pl.b, list_dot_product(d.v, pl.plane) AS dp FROM d CROSS JOIN pl)
+           |SELECT vec_id,
+           |  CAST(sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+           |FROM db GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      }),
 
     // LSH-bucketed embedding near-dup: the unbounded-corpus scale path
     // (multi-table hyperplane bucketing + in-bucket pairing + exact-cosine
@@ -556,8 +573,11 @@ object LlmQueries {
 
     // winnowing passage overlap (MOSS construction): substring-level dedup
     // — a copied >=8-word passage inside an otherwise-different document is
-    // guaranteed a shared fingerprint; hash-based, so rows-only (planted
-    // passages spec'd in LlmSpec)
+    // guaranteed a shared fingerprint. Oracle-checked: DuckDB transliterates
+    // the whole kernel — per-word FNV-1a over lowercased codepoints
+    // (UBIGINT mod-2^64 via HUGEINT multiplies), the k=5 shingle combine,
+    // and the window-4 min winnow compared as SIGNED longs (the kernel
+    // compares Scala Longs) — then counts shared fingerprints per pair
     QueryDef("llm_passage_overlap",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -571,7 +591,51 @@ object LlmQueries {
         Dedup.passageOverlapCandidates(docs.unionByName(planted), minShared = 1)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some {
+        // FNV-1a 64 step under DuckDB: xor as UBIGINT, multiply in HUGEINT,
+        // mod back to the 64-bit ring
+        val fnv = "CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)"
+        def red(lst: String) =
+          s"list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), $lst), (h, c) -> $fnv)"
+        // reinterpret the UBIGINT hash as the kernel's SIGNED Long for the
+        // winnow's min comparison
+        def signed(e: String) =
+          s"(CASE WHEN $e >= CAST(9223372036854775808 AS UBIGINT) " +
+            s"THEN CAST(CAST($e AS HUGEINT) - 18446744073709551616 AS BIGINT) ELSE CAST($e AS BIGINT) END)"
+        s"""WITH d AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 700000 AS doc_id,
+           |    list_aggr(ws[1:12], 'string_agg', ' ') || ' unrelated filler alpha beta gamma delta epsilon zeta eta theta' AS text
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           |        FROM documents WHERE doc_id % 23 = 0)),
+           |w AS (
+           |  SELECT doc_id, u.pos, lower(u.word) AS word
+           |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM d),
+           |       LATERAL (SELECT unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS word) u
+           |  WHERE u.word <> ''),
+           |wh AS (
+           |  SELECT doc_id, pos,
+           |    ${red("[CAST(unicode(word[i:i]) AS UBIGINT) FOR i IN range(1, len(word)+1)]")} AS h
+           |  FROM w),
+           |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM wh GROUP BY doc_id),
+           |sl AS (
+           |  SELECT doc_id, [${signed(red("hs[j:j+4]"))} FOR j IN range(1, len(hs) - 3)] AS shl
+           |  FROM hl WHERE len(hs) >= 5),
+           |wins AS (
+           |  SELECT doc_id,
+           |    [list_min(shl[st:st+least(4, len(shl))-1])
+           |     FOR st IN range(1, len(shl) - least(4, len(shl)) + 2)] AS sel
+           |  FROM sl),
+           |fp AS (SELECT DISTINCT doc_id, f AS fp
+           |       FROM (SELECT doc_id, unnest(sel) AS f FROM wins)),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+           |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, CAST(n AS BIGINT) AS shared_fingerprints
+           |FROM pairs WHERE n >= 1 ORDER BY id_a, id_b""".stripMargin
+      }),
 
     // per-source boilerplate strip: a footer line planted on every doc of
     // a source is line-frequency boilerplate (100% >= 30%) and must come

@@ -234,15 +234,22 @@ object Similarity {
     vectors.withColumn("bucket", key)
   }
 
-  private def lshBucketKey(dim: Int, bits: Int, vecCol: String, seed: Long): Column = {
-    val planes: Seq[Array[Double]] = (0 until bits).map { b =>
+  /** The raw xorshift states behind the hyperplane family — exposed so the
+    * DuckDB oracle can inline the exact same constants (a plane value is
+    * `state.toDouble / Long.MaxValue`; inlining the LONG keeps the oracle's
+    * doubles bit-identical without decimal round-trips). */
+  private[graft] def hyperplaneSeeds(dim: Int, bits: Int, seed: Long): IndexedSeq[Array[Long]] =
+    (0 until bits).map { b =>
       // xorshift-seeded deterministic pseudo-random hyperplane
       var s = 0x9e3779b97f4a7c15L + (seed * bits + b) * 0xbf58476d1ce4e5b9L
       Array.fill(dim) {
         s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-        (s.toDouble / Long.MaxValue)
+        s
       }
     }
+
+  private def lshBucketKey(dim: Int, bits: Int, vecCol: String, seed: Long): Column = {
+    val planes = hyperplaneSeeds(dim, bits, seed).map(_.map(_.toDouble / Long.MaxValue))
     (0 until bits).map { b =>
       val d = dot(col(vecCol), typedLit(planes(b).toSeq))
       when(d >= 0, lit(1L << b)).otherwise(lit(0L))
