@@ -170,3 +170,40 @@ final class LivenessListener(maxAgeMs: Long = 300000L) extends StreamingQueryLis
 
   def lastEventTime: Long = lastEventTimeMs
 }
+
+/** HTTP liveness probe ≙ the reference consumer's warp health server
+  * (`src/bin/consumer.rs:33-46`): `GET /health` serves the block-age
+  * freshness verdict from a [[LivenessListener]] as JSON —
+  * `{"healthy":bool,"last_block_ms":N,"age_ms":N}` — with 200 when the
+  * newest block is within the freshness bound and 503 when it has fallen
+  * behind (or nothing has been observed yet). Runs on the JDK's built-in
+  * `HttpServer` (driver-side, one tiny thread pool — it serves a probe, not
+  * traffic); `port = 0` binds an ephemeral port, exposed via [[boundPort]]. */
+final class LivenessServer(
+    listener: LivenessListener,
+    port: Int = 0,
+    host: String = "0.0.0.0") extends AutoCloseable {
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress(host, port), 0)
+  server.createContext("/health", new com.sun.net.httpserver.HttpHandler {
+    override def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+      val now = System.currentTimeMillis()
+      val healthy = listener.isHealthy(now)
+      val last = listener.lastEventTime
+      val age = if (last > 0) now - last else -1L
+      val body = s"""{"healthy":$healthy,"last_block_ms":$last,"age_ms":$age}"""
+        .getBytes("UTF-8")
+      x.getResponseHeaders.set("Content-Type", "application/json")
+      x.sendResponseHeaders(if (healthy) 200 else 503, body.length.toLong)
+      val os = x.getResponseBody
+      try os.write(body) finally os.close()
+    }
+  })
+  server.setExecutor(null) // serve the probe on the dispatch thread
+  server.start()
+
+  /** The actual port (after an ephemeral `port = 0` bind). */
+  def boundPort: Int = server.getAddress.getPort
+
+  override def close(): Unit = server.stop(0)
+}

@@ -349,4 +349,39 @@ class StreamingSpec extends SparkSpec {
     assert(l.isHealthy(now))
     assert(!l.isHealthy(now + 400000))
   }
+
+  test("liveness HTTP endpoint serves the block-age verdict (ST6, consumer.rs:33-46)") {
+    import graft.streaming.LivenessServer
+    def get(port: Int): (Int, String) = {
+      val conn = java.net.URI.create(s"http://127.0.0.1:$port/health").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000); conn.setReadTimeout(5000)
+      val code = conn.getResponseCode
+      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close(); conn.disconnect()
+      (code, body)
+    }
+    val l = new LivenessListener(maxAgeMs = 300000)
+    val srv = new LivenessServer(l, port = 0, host = "127.0.0.1")
+    try {
+      // nothing observed yet → unhealthy, 503, age unknown
+      val (c0, b0) = get(srv.boundPort)
+      assert(c0 == 503 && b0.contains("\"healthy\":false") && b0.contains("\"age_ms\":-1"), s"$c0 $b0")
+      // fresh block → healthy, 200, age reported
+      val t = System.currentTimeMillis() - 100000
+      l.observe(t)
+      val (c1, b1) = get(srv.boundPort)
+      assert(c1 == 200 && b1.contains("\"healthy\":true")
+        && b1.contains(s""""last_block_ms":$t"""), s"$c1 $b1")
+      // stale block → unhealthy again
+      val stale = new LivenessListener(maxAgeMs = 1L)
+      stale.observe(System.currentTimeMillis() - 10000)
+      val srv2 = new LivenessServer(stale, port = 0, host = "127.0.0.1")
+      try {
+        val (c2, b2) = get(srv2.boundPort)
+        assert(c2 == 503 && b2.contains("\"healthy\":false"), s"$c2 $b2")
+      } finally srv2.close()
+    } finally srv.close()
+  }
 }
