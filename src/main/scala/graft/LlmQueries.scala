@@ -19,6 +19,87 @@ object LlmQueries {
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** DuckDB fragments transliterating the engine's 64-bit hash kernels —
+    * the machinery behind the minhash/simhash/fingerprint oracles. All
+    * arithmetic runs in the mod-2^64 ring: xor on UBIGINT, multiplies in
+    * HUGEINT (split into 32-bit halves when the factor can overflow
+    * INT128), `% 2^64` back to UBIGINT; comparisons that the kernels do on
+    * Scala Longs reinterpret the UBIGINT as SIGNED first. */
+  private object HashSql {
+    val M = "18446744073709551616" // 2^64
+    /** (e * k) mod 2^64 for a full-width constant k — a·k = a_lo·k +
+      * ((a_hi·k mod 2^32) << 32), every intermediate < 2^96 (INT128-safe). */
+    def mul(e: String, k: String): String =
+      s"CAST((CAST($e & 4294967295 AS HUGEINT) * $k + " +
+        s"((CAST($e >> 32 AS HUGEINT) * $k) % 4294967296) * 4294967296) % $M AS UBIGINT)"
+    /** FNV-1a 64 fold of a UBIGINT list (the prime is 2^40-ish — plain
+      * HUGEINT multiply fits). */
+    def fnvRed(lst: String): String =
+      s"list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), $lst), " +
+        "(h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % " + M + " AS UBIGINT))"
+    /** Reinterpret a UBIGINT expression as the kernel's signed Long. */
+    def signed(e: String): String =
+      s"(CASE WHEN $e >= CAST(9223372036854775808 AS UBIGINT) " +
+        s"THEN CAST(CAST($e AS HUGEINT) - $M AS BIGINT) ELSE CAST($e AS BIGINT) END)"
+    /** CTE chain over a (doc_id, text) CTE named `src`: per-doc word-FNV
+      * lists (`<p>hl`), per-position k=3 shingle hashes (`<p>shp`), the
+      * Kirsch-Mitzenmacher 32-permutation MinHash signature (`<p>sig`,
+      * signed mins in permutation order), 8-band 4-row keys (`<p>bands`),
+      * and distinct shingle sets (`<p>shd`) for exact-Jaccard verification.
+      * Tokenization is the kernels' char walk: whitespace-run words,
+      * lowercased — `string_split_regex(text,'\s+')` + drop empties. */
+    def minhashCtes(src: String, p: String): String =
+      s"""${p}w AS (
+         |  SELECT doc_id, u.pos, lower(u.word) AS word
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM $src),
+         |       LATERAL (SELECT unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS word) u
+         |  WHERE u.word <> ''),
+         |${p}wh AS (
+         |  SELECT doc_id, pos,
+         |    ${fnvRed("[CAST(unicode(word[i:i]) AS UBIGINT) FOR i IN range(1, len(word)+1)]")} AS h
+         |  FROM ${p}w),
+         |${p}hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM ${p}wh GROUP BY doc_id),
+         |${p}shp AS (
+         |  SELECT doc_id, unnest([${fnvRed("hs[j:j+2]")} FOR j IN range(1, len(hs) - 1)]) AS sh
+         |  FROM ${p}hl WHERE len(hs) >= 3),
+         |${p}g0 AS (SELECT doc_id, sh, CAST((CAST(sh AS HUGEINT) + 11400714819323198485) % $M AS UBIGINT) AS z FROM ${p}shp),
+         |${p}g1 AS (SELECT doc_id, sh, ${mul("xor(z, z >> 30)", "13787848793156543929")} AS z FROM ${p}g0),
+         |${p}g2 AS (SELECT doc_id, sh, ${mul("xor(z, z >> 27)", "10723151780598845931")} AS z FROM ${p}g1),
+         |${p}gg AS (SELECT doc_id, sh, xor(z, z >> 31) AS g FROM ${p}g2),
+         |${p}s0 AS (SELECT doc_id, g, CAST((CAST(g AS HUGEINT) + 11400714819323198485) % $M AS UBIGINT) AS z FROM ${p}gg),
+         |${p}s1 AS (SELECT doc_id, g, ${mul("xor(z, z >> 30)", "13787848793156543929")} AS z FROM ${p}s0),
+         |${p}s2 AS (SELECT doc_id, g, ${mul("xor(z, z >> 27)", "10723151780598845931")} AS z FROM ${p}s1),
+         |${p}gs AS (SELECT doc_id, g, xor(z, z >> 31) | CAST(1 AS UBIGINT) AS step FROM ${p}s2),
+         |${p}pv AS (
+         |  SELECT doc_id, p.p,
+         |    min(${signed(s"CAST((CAST(g AS HUGEINT) + p.p * CAST(step AS HUGEINT)) % $M AS UBIGINT)")}) AS m
+         |  FROM ${p}gs CROSS JOIN (SELECT unnest(range(32)) AS p) p
+         |  GROUP BY doc_id, p.p),
+         |${p}sig AS (SELECT doc_id, list(m ORDER BY p) AS mins FROM ${p}pv GROUP BY doc_id),
+         |${p}bands AS (
+         |  SELECT doc_id, b.b AS band, mins[b.b*4+1 : b.b*4+4] AS key
+         |  FROM ${p}sig CROSS JOIN (SELECT unnest(range(8)) AS b) b),
+         |${p}shd AS (SELECT DISTINCT doc_id, sh FROM ${p}shp)""".stripMargin
+    /** Exact Jaccard of two band-keyed sides' candidate pairs at 0.7 —
+      * the `dropped` id set (right ids near-duplicating a left id). */
+    def jaccardDrop(cand: String, leftShd: String, rightShd: String): String =
+      s"""ji AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM $cand c
+         |  JOIN $leftShd x ON x.doc_id = c.id_a
+         |  JOIN $rightShd y ON y.doc_id = c.id_b AND y.sh = x.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |lsz AS (SELECT doc_id, count(*) AS n FROM $leftShd GROUP BY doc_id),
+         |rsz AS (SELECT doc_id, count(*) AS n FROM $rightShd GROUP BY doc_id),
+         |dropped AS (
+         |  SELECT DISTINCT c.id_b
+         |  FROM $cand c
+         |  JOIN lsz sa ON sa.doc_id = c.id_a
+         |  JOIN rsz sb ON sb.doc_id = c.id_b
+         |  LEFT JOIN ji ON ji.id_a = c.id_a AND ji.id_b = c.id_b
+         |  WHERE CAST(coalesce(ji.inter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(ji.inter, 0)) >= 0.7)""".stripMargin
+  }
+
   /** Shared CTEs for the curation queries: `q` = quality signals (mirrors
     * the llm_quality oracle), `r` = repetition fractions (mirrors
     * llm_repetition). */
@@ -67,16 +148,58 @@ object LlmQueries {
               |FROM corpus GROUP BY 1 HAVING count(*) > 1
               |ORDER BY content_hash""".stripMargin)),
 
-    // MinHash-LSH near-dedup survivors (banded buckets — never all-pairs);
-    // Spark-only: the signature uses Spark's hash() family
+    // MinHash-LSH near-dedup survivors (banded buckets — never all-pairs).
+    // Oracle-checked: the whole kernel — FNV-1a word/shingle hashes,
+    // splitmix64, the Kirsch-Mitzenmacher 32-permutation walk with SIGNED
+    // mins, 8×4 banding (band equality compared on the raw 4-min slice —
+    // Spark's murmur band_hash collides iff the slices do), exact-Jaccard
+    // verify, anti-join survivors — transliterated to DuckDB UBIGINT
+    // arithmetic (HashSql)
     QueryDef("llm_dedup_minhash",
       (s, dir) => Dedup.nearDedupMinhash(corpus(s, dir)).select("doc_id").orderBy("doc_id"),
-      None),
+      Some(s"""WITH $corpusSql,
+              |${HashSql.minhashCtes("corpus", "m")},
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM mbands a JOIN mbands b
+              |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |${HashSql.jaccardDrop("cand", "mshd", "mshd")}
+              |SELECT doc_id FROM corpus
+              |WHERE doc_id NOT IN (SELECT id_b FROM dropped) ORDER BY doc_id""".stripMargin)),
 
-    // SimHash candidates within Hamming distance 3 (16-bit bands)
+    // SimHash candidates within Hamming distance 3 (16-bit bands).
+    // Oracle-checked: per-token FNV-1a (Spark split keeps empty tokens —
+    // so does string_split_regex), ±1 bit votes, sign fingerprint, 4×16-bit
+    // pigeonhole bands, bit_count(xor) verify
     QueryDef("llm_dedup_simhash",
       (s, dir) => Dedup.simhashCandidates(corpus(s, dir)).orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH $corpusSql,
+              |tok AS (
+              |  SELECT doc_id, u.tok
+              |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM corpus),
+              |       LATERAL (SELECT unnest(ts) AS tok) u),
+              |th AS (
+              |  SELECT doc_id, ${HashSql.fnvRed("[CAST(unicode(tok[i:i]) AS UBIGINT) FOR i IN range(1, len(tok)+1)]")} AS h
+              |  FROM tok),
+              |v AS (
+              |  SELECT doc_id, b.b,
+              |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              |  GROUP BY doc_id, b.b),
+              |fp AS (
+              |  SELECT doc_id AS id,
+              |    CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS ufp
+              |  FROM v GROUP BY doc_id),
+              |banded AS (
+              |  SELECT id, ufp, b.b AS band, (ufp >> (b.b * 16)) & 65535 AS band_bits
+              |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+              |pairs AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+              |    CAST(bit_count(xor(a.ufp, b.ufp)) AS INT) AS hamming
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.band_bits = b.band_bits AND a.id < b.id
+              |  WHERE bit_count(xor(a.ufp, b.ufp)) <= 3)
+              |SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b""".stripMargin)),
 
     // n-gram Jaccard verification over a fixed candidate set (word sets, k=1)
     QueryDef("llm_jaccard",
@@ -808,7 +931,31 @@ object LlmQueries {
           .withColumn("jaccard", round(col("jaccard"), 6))
           .orderBy("doc_id", "eval_id")
       },
-      None),
+      // oracle: the eval side is a subset of docs, so its bands/shingles
+      // are the doc chain filtered — candidates are every (doc, eval) band
+      // collision (self-pairs included, jaccard 1), verified exactly
+      Some(s"""WITH ${HashSql.minhashCtes("documents", "d")},
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_id, e.doc_id AS eval_id
+              |  FROM dbands a JOIN dbands e
+              |    ON a.band = e.band AND a.key = e.key AND e.doc_id % 41 = 0),
+              |ji AS (
+              |  SELECT c.doc_id, c.eval_id, count(*) AS inter
+              |  FROM cand c
+              |  JOIN dshd x ON x.doc_id = c.doc_id
+              |  JOIN dshd y ON y.doc_id = c.eval_id AND y.sh = x.sh
+              |  GROUP BY c.doc_id, c.eval_id),
+              |sz AS (SELECT doc_id, count(*) AS n FROM dshd GROUP BY doc_id)
+              |SELECT c.doc_id, c.eval_id,
+              |  round(CAST(coalesce(ji.inter, 0) AS DOUBLE)
+              |    / (sa.n + sb.n - coalesce(ji.inter, 0)), 6) AS jaccard
+              |FROM cand c
+              |JOIN sz sa ON sa.doc_id = c.doc_id
+              |JOIN sz sb ON sb.doc_id = c.eval_id
+              |LEFT JOIN ji ON ji.doc_id = c.doc_id AND ji.eval_id = c.eval_id
+              |WHERE CAST(coalesce(ji.inter, 0) AS DOUBLE)
+              |    / (sa.n + sb.n - coalesce(ji.inter, 0)) >= 0.7
+              |ORDER BY c.doc_id, c.eval_id""".stripMargin)),
 
     // streaming novelty: bloom-probe vs the seen corpus (map-side) +
     // exact stream-static anti-join of positives + watermark dedup; under
@@ -878,7 +1025,32 @@ object LlmQueries {
         Dedup.incrementalNearDedup(batch, index, docs)
           .select("doc_id").orderBy("doc_id")
       },
-      None),
+      // oracle: the corpus chain runs once; re-served batch docs have the
+      // corpus text verbatim, so their bands/shingles are the corpus rows
+      // id-shifted; only the synthetic novel docs hash their own chain
+      Some(s"""WITH ${HashSql.minhashCtes("documents", "c")},
+              |synth AS (
+              |  SELECT doc_id + 600000 AS doc_id,
+              |    'wholly novel document number ' || CAST(doc_id AS VARCHAR)
+              |      || ' with unique synthetic token content '
+              |      || CAST(doc_id * 7 AS VARCHAR) || ' ' || CAST(doc_id * 13 AS VARCHAR) AS text
+              |  FROM documents WHERE doc_id % 13 = 1),
+              |${HashSql.minhashCtes("synth", "s")},
+              |nbands AS (
+              |  SELECT doc_id + 500000 AS doc_id, band, key FROM cbands WHERE doc_id % 11 = 0
+              |  UNION ALL SELECT doc_id, band, key FROM sbands),
+              |nshd AS (
+              |  SELECT doc_id + 500000 AS doc_id, sh FROM cshd WHERE doc_id % 11 = 0
+              |  UNION ALL SELECT doc_id, sh FROM sshd),
+              |batch AS (
+              |  SELECT doc_id + 500000 AS doc_id FROM documents WHERE doc_id % 11 = 0
+              |  UNION ALL SELECT doc_id FROM synth),
+              |cand AS (
+              |  SELECT DISTINCT c.doc_id AS id_a, n.doc_id AS id_b
+              |  FROM cbands c JOIN nbands n ON c.band = n.band AND c.key = n.key),
+              |${HashSql.jaccardDrop("cand", "cshd", "nshd")}
+              |SELECT doc_id FROM batch
+              |WHERE doc_id NOT IN (SELECT id_b FROM dropped) ORDER BY doc_id""".stripMargin)),
 
     // incremental embedding near-dedup: a new vector batch against the
     // corpus's persisted LSH bucket index (exact re-serves dropped at
@@ -963,12 +1135,21 @@ object LlmQueries {
              |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // rolling-hash document fingerprint (Spark-only UDF)
+    // rolling-hash document fingerprint — oracle-checked: h = 31·h + char
+    // over lower(trim(text)) in the mod-2^64 ring, signed Long out
     QueryDef("llm_fingerprint",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
-      None),
+      Some {
+        val poly = "list_reduce(list_prepend(CAST(1125899906842597 AS UBIGINT), " +
+          "[CAST(unicode(t[i:i]) AS UBIGINT) FOR i IN range(1, len(t)+1)]), " +
+          s"(h, c) -> CAST((CAST(h AS HUGEINT) * 31 + CAST(c AS HUGEINT)) % ${HashSql.M} AS UBIGINT))"
+        s"""WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN len(t) = 0 THEN 1125899906842597 ELSE ${HashSql.signed(poly)} END AS fp
+           |FROM d ORDER BY doc_id""".stripMargin
+      }),
 
     // multimodal: typed media columns + per-partition batched (stub) decode
     QueryDef("llm_media_features",
