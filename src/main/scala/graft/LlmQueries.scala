@@ -100,6 +100,81 @@ object LlmQueries {
          |  WHERE CAST(coalesce(ji.inter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(ji.inter, 0)) >= 0.7)""".stripMargin
   }
 
+  /** DuckDB fragments for the IVF/k-means oracles: xxhash64 of a BIGINT
+    * key (Spark's seed-42 `xxhash64`, the deterministic-centroid pick) in
+    * mod-2^64 arithmetic, plus the argmax assignment and Lloyd-step CTE
+    * builders. Rotations run as HUGEINT multiplies (DuckDB's `<<` checks
+    * signed bounds); the Lloyd means' float round-trip (`::REAL[]` —
+    * Spark casts refined centroids back to the input's array<float>)
+    * absorbs summation-order noise, which is what makes the iterated
+    * clustering engine-portable at all. */
+  private object IvfSql {
+    import HashSql.{M, mul, signed}
+    private def rotl(e: String, r: Int): String =
+      s"(CAST((CAST($e AS HUGEINT) * ${1L << r}) % $M AS UBIGINT) | (($e) >> ${64 - r}))"
+    private def add(e: String, k: String): String =
+      s"CAST((CAST($e AS HUGEINT) + $k) % $M AS UBIGINT)"
+    private val (p1, p2, p3, p4) =
+      ("11400714785074694791", "14029467366897019727", "1609587929392839161", "9650029242287828579")
+    private val h0 = "2870177450012600311" // seed 42 + PRIME64_5 + 8
+    /** CTE chain: `xx(vec_id, h)` = signed xxhash64(vec_id, 42) over `e`. */
+    val xxhashCtes: String =
+      s"""x0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS u FROM e),
+         |x1 AS (SELECT vec_id, ${mul("u", p2)} AS k FROM x0),
+         |x2 AS (SELECT vec_id, ${rotl("k", 31)} AS k FROM x1),
+         |x3 AS (SELECT vec_id, ${mul("k", p1)} AS k FROM x2),
+         |x4 AS (SELECT vec_id, xor(CAST($h0 AS UBIGINT), k) AS h FROM x3),
+         |x5 AS (SELECT vec_id, ${rotl("h", 27)} AS h FROM x4),
+         |x6 AS (SELECT vec_id, ${add(mul("h", p1), p4)} AS h FROM x5),
+         |x7 AS (SELECT vec_id, xor(h, h >> 33) AS h FROM x6),
+         |x8 AS (SELECT vec_id, ${mul("h", p2)} AS h FROM x7),
+         |x9 AS (SELECT vec_id, xor(h, h >> 29) AS h FROM x8),
+         |xa AS (SELECT vec_id, ${mul("h", p3)} AS h FROM x9),
+         |xx AS (SELECT vec_id, ${signed("xor(h, h >> 32)")} AS h FROM xa)""".stripMargin
+    /** Nearest-centroid assignment over CTE `cents(cell_id, v)` — argmax
+      * cosine, ties to the lower cell id (the NearestCells ordering). */
+    def assign(cents: String, out: String, where: String = ""): String =
+      s"""$out AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT e.vec_id, e.v, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell_id) AS rn
+         |    FROM e CROSS JOIN $cents c $where)
+         |  WHERE rn = 1)""".stripMargin
+    /** One Lloyd step: per-(cell, pos) means over assignment `asg`,
+      * float-rounded, empty cells keep `prev`'s centroid. */
+    def lloyd(prev: String, asg: String, out: String): String =
+      s"""${out}m AS (
+         |  SELECT cell_id, u.pos, avg(u.val) AS m
+         |  FROM $asg, LATERAL (SELECT unnest(range(1, len(v)+1)) AS pos, unnest(v) AS val) u
+         |  GROUP BY cell_id, u.pos),
+         |$out AS (
+         |  SELECT p.cell_id, coalesce(m.arr, p.v) AS v
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell_id, (list(m ORDER BY pos)::REAL[])::DOUBLE[] AS arr
+         |    FROM ${out}m GROUP BY cell_id) m USING (cell_id))""".stripMargin
+  }
+
+  /** Shared CTE base for the vector-LSH oracles: the xorshift hyperplane
+    * STATES inlined as BIGINTs (value = state / Long.MaxValue, divided in
+    * SQL so the doubles stay bit-identical — the llm_lsh_buckets
+    * convention), per-(vector, table) bucket keys from the
+    * `list_dot_product` sign bits. */
+  private def lshPlanesSql(dim: Int, bits: Int, tables: Int): String = {
+    val rows = (0 until tables).flatMap { t =>
+      Similarity.hyperplaneSeeds(dim, bits, t.toLong).zipWithIndex.flatMap { case (arr, b) =>
+        arr.zipWithIndex.map { case (s, i) => s"($t,$b,$i,${s}::BIGINT)" }
+      }
+    }.mkString(",")
+    s"""ps(t, b, i, s) AS (VALUES $rows),
+       |pv AS (SELECT t, b, list(CAST(s AS DOUBLE) / CAST(9223372036854775807 AS DOUBLE) ORDER BY i) AS plane
+       |       FROM ps GROUP BY t, b),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bk AS (SELECT e.vec_id, pv.t,
+       |  CAST(sum(CASE WHEN list_dot_product(e.v, pv.plane) >= 0 THEN CAST(1 AS BIGINT) << pv.b ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN pv GROUP BY e.vec_id, pv.t)""".stripMargin
+  }
+
   /** Shared CTEs for the curation queries: `q` = quality signals (mirrors
     * the llm_quality oracle), `r` = repetition fractions (mirrors
     * llm_repetition). */
@@ -265,8 +340,10 @@ object LlmQueries {
              |  WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id)
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // ANN scale path: IVF-bucketed search (approximate; recall vs brute
-    // force asserted in LlmSpec)
+    // ANN scale path: IVF-bucketed search (approximate vs brute force —
+    // recall asserted in LlmSpec — but DETERMINISTIC, so oracle-checkable:
+    // the seed pick is xxhash64 order, transliterated in IvfSql, and the
+    // assignment/probe/rank pipeline is exact arithmetic)
     QueryDef("llm_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -275,7 +352,29 @@ object LlmQueries {
           .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |${IvfSql.xxhashCtes},
+              |cent AS (
+              |  SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id
+              |  FROM e JOIN xx USING (vec_id) ORDER BY h, vec_id LIMIT 16),
+              |${IvfSql.assign("cent", "casg")},
+              |probes AS (
+              |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
+              |    SELECT e.vec_id, e.v, c.cell_id,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell_id) AS rn
+              |    FROM e CROSS JOIN cent c WHERE e.vec_id < 100)
+              |  WHERE rn <= 4),
+              |scored AS (
+              |  SELECT p.query_id, a.vec_id AS neighbor_id,
+              |    list_cosine_similarity(p.qv, a.v) AS cs
+              |  FROM probes p JOIN casg a ON a.cell_id = p.cell_id
+              |  WHERE p.query_id <> a.vec_id)
+              |SELECT query_id, neighbor_id, round(cs, 6) AS cosine, rank FROM (
+              |  SELECT query_id, neighbor_id, cs,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // random-hyperplane LSH bucket assignment — oracle-checked: the
     // deterministic xorshift plane STATES are inlined as longs (the value
@@ -316,7 +415,16 @@ object LlmQueries {
           .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      // oracle: in-bucket pairs across the 4 hyperplane tables, verified by
+      // exact cosine (list_cosine_similarity 6dp-matches the engine's
+      // dot/norm — the llm_ann_bruteforce precedent)
+      Some(s"""WITH ${lshPlanesSql(dim = 64, bits = 8, tables = 4)},
+              |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |         FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT c.id_a, c.id_b, round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+              |FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
+              |WHERE list_cosine_similarity(x.v, y.v) >= 0.5
+              |ORDER BY c.id_a, c.id_b""".stripMargin)),
 
     // connected components: pairwise near-dup verdicts → duplicate CLUSTERS
     // (iterative min-label propagation; the closed-form oracle proves ~6
@@ -919,7 +1027,21 @@ object LlmQueries {
         Similarity.kmeansCluster(Tables.embeddings(s, dir), k = 8, iterations = 2)
           .orderBy("vec_id")
       },
-      None),
+      // oracle: xxhash64 seeds → two unrolled Lloyd steps (means float-
+      // rounded per iteration, exactly as refineCentroids casts back to the
+      // input's array<float>; empty cells keep their centroid) → final
+      // assignment
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |${IvfSql.xxhashCtes},
+              |cent0 AS (
+              |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id, v
+              |  FROM e JOIN xx USING (vec_id) ORDER BY h, vec_id LIMIT 8),
+              |${IvfSql.assign("cent0", "a1")},
+              |${IvfSql.lloyd("cent0", "a1", "cent1")},
+              |${IvfSql.assign("cent1", "a2")},
+              |${IvfSql.lloyd("cent1", "a2", "cent2")},
+              |${IvfSql.assign("cent2", "af")}
+              |SELECT vec_id, CAST(cell_id AS INT) AS cluster_id FROM af ORDER BY vec_id""".stripMargin)),
 
     // fuzzy decontamination: MinHash-LSH candidates vs a broadcast eval
     // set, exact-Jaccard verified; LSH recall keeps it rows-only
@@ -1070,7 +1192,28 @@ object LlmQueries {
         Similarity.incrementalNearDupVectors(batch, index, emb, dim = 64)
           .select("vec_id").orderBy("vec_id")
       },
-      None),
+      // oracle: re-served batch buckets are the corpus rows id-shifted;
+      // negated vectors bucket on the flipped dot sign (dot(-v,p) = -dot
+      // exactly — negation is exact in IEEE); candidates verified by exact
+      // cosine at 0.9
+      Some(s"""WITH ${lshPlanesSql(dim = 64, bits = 8, tables = 4)},
+              |nbk AS (SELECT vec_id + 600000 AS vec_id, pv.t,
+              |  CAST(sum(CASE WHEN -list_dot_product(e.v, pv.plane) >= 0 THEN CAST(1 AS BIGINT) << pv.b ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+              |  FROM e CROSS JOIN pv WHERE e.vec_id % 19 = 3 GROUP BY e.vec_id, pv.t),
+              |bbk AS (
+              |  SELECT vec_id + 500000 AS vec_id, t, bucket FROM bk WHERE vec_id % 17 = 0
+              |  UNION ALL SELECT vec_id, t, bucket FROM nbk),
+              |bv AS (
+              |  SELECT vec_id + 500000 AS vec_id, v FROM e WHERE vec_id % 17 = 0
+              |  UNION ALL SELECT vec_id + 600000 AS vec_id, list_transform(v, x -> -x) AS v FROM e WHERE vec_id % 19 = 3),
+              |cand AS (SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS corpus_id
+              |         FROM bbk n JOIN bk c ON n.t = c.t AND n.bucket = c.bucket),
+              |dropped AS (
+              |  SELECT DISTINCT cand.new_id
+              |  FROM cand JOIN bv ON bv.vec_id = cand.new_id JOIN e ON e.vec_id = cand.corpus_id
+              |  WHERE list_cosine_similarity(bv.v, e.v) >= 0.9)
+              |SELECT vec_id FROM bv
+              |WHERE vec_id NOT IN (SELECT new_id FROM dropped) ORDER BY vec_id""".stripMargin)),
 
     // language-ID heuristic (stopword n-gram scoring)
     QueryDef("llm_langid",
