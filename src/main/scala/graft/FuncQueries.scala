@@ -12,12 +12,41 @@ object FuncQueries {
   val all: Vector[QueryDef] = Vector(
 
     // F8 — base58 encode UDF (utils.rs:3-5); Spark-only (no DuckDB base58)
+    // oracle: base-256 → base-58 by two-limb long division in a recursive
+    // CTE (the 16-byte digest exceeds signed HUGEINT, so the number is
+    // carried as hi/lo 64-bit limbs: q_hi = hi div 58, and the partial
+    // remainder r·2^64 + lo < 58·2^64 fits HUGEINT for the low step);
+    // '1' per leading zero byte, exactly Base58.encode
     QueryDef("f8_base58",
       (s, dir) => Tables.customer(s, dir)
         .select(col("c_custkey"),
           GraftFunctions.base58Encode(unhex(md5(col("c_name")))).as("b58"))
         .orderBy("c_custkey"),
-      None),
+      Some("""WITH RECURSIVE src AS (
+             |  SELECT c_custkey, md5(c_name) AS hx FROM customer),
+             |hexv AS (
+             |  SELECT c_custkey, hx,
+             |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             |      [CAST(CASE WHEN unicode(hx[i:i]) >= 97 THEN unicode(hx[i:i]) - 87
+             |                 ELSE unicode(hx[i:i]) - 48 END AS HUGEINT) FOR i IN range(1, 17)]),
+             |      (a, c) -> a * 16 + c) AS hi,
+             |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             |      [CAST(CASE WHEN unicode(hx[i:i]) >= 97 THEN unicode(hx[i:i]) - 87
+             |                 ELSE unicode(hx[i:i]) - 48 END AS HUGEINT) FOR i IN range(17, 33)]),
+             |      (a, c) -> a * 16 + c) AS lo,
+             |    (32 - len(ltrim(hx, '0'))) // 2 AS zero_bytes
+             |  FROM src),
+             |digs AS (
+             |  SELECT c_custkey, hi, lo, '' AS s FROM hexv
+             |  UNION ALL
+             |  SELECT c_custkey, hi // 58,
+             |    ((hi % 58) * 18446744073709551616 + lo) // 58,
+             |    substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz',
+             |      CAST(((hi % 58) * 18446744073709551616 + lo) % 58 AS INT) + 1, 1) || s
+             |  FROM digs WHERE hi > 0 OR lo > 0),
+             |f AS (SELECT c_custkey, s FROM digs WHERE hi = 0 AND lo = 0)
+             |SELECT h.c_custkey, repeat('1', h.zero_bytes) || f.s AS b58
+             |FROM hexv h JOIN f USING (c_custkey) ORDER BY c_custkey""".stripMargin)),
 
     // F9 — base64 with "base64:" prefix (utils.rs:7-15)
     QueryDef("f9_prefixed_base64",
@@ -56,6 +85,8 @@ object FuncQueries {
       None),
 
     // F13 — extract_asset_id: empty bytes => WAVES (waves.rs:79-85); Spark-only
+    // oracle: the 4-5-byte source strings fit one HUGEINT, so base58 is a
+    // single-limb recursive-CTE division; empty bytes ⇒ the WAVES sentinel
     QueryDef("f13_extract_asset_id",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -63,7 +94,23 @@ object FuncQueries {
             when(col("doc_id") % 10 === 0, lit(Array.emptyByteArray))
               .otherwise(col("source").cast("binary"))).as("asset_id"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH RECURSIVE b AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 THEN NULL
+             |         ELSE list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             |                [CAST(unicode(source[i:i]) AS HUGEINT) FOR i IN range(1, len(source)+1)]),
+             |              (a, c) -> a * 256 + c) END AS n
+             |  FROM documents),
+             |digs AS (
+             |  SELECT doc_id, n, '' AS s FROM b WHERE n IS NOT NULL
+             |  UNION ALL
+             |  SELECT doc_id, n // 58,
+             |    substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz',
+             |      CAST(n % 58 AS INT) + 1, 1) || s
+             |  FROM digs WHERE n > 0),
+             |f AS (SELECT doc_id, s FROM digs WHERE n = 0)
+             |SELECT b.doc_id, coalesce(f.s, 'WAVES') AS asset_id
+             |FROM b LEFT JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // F14 — fragstring parse via regexp (mod.rs:548-581)
     QueryDef("f14_frag_parse",
