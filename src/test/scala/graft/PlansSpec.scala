@@ -123,4 +123,70 @@ class PlansSpec extends SparkSpec {
       graft.functions.GraftFunctions.wavesAddress(col("pk"), lit(87)).as("viaUdf"))
     assert(both.filter(col("native") =!= col("viaUdf")).count() == 0)
   }
+
+  test("nearest_cells replicates the windowed argmax ordering it replaced (property)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.llm.Similarity
+    // the kernel's contract: for every vector, its cell assignment (and
+    // top-n probe list) must equal the old crossJoin(broadcast) +
+    // Window.partitionBy(id) row_number plan — cosine desc under Spark's
+    // SQL double ordering, ties to the lower cell id. Random vectors plus
+    // the degenerate shapes: exact duplicate centroids (ties), an
+    // all-zeros vector (NaN cosines), a zero centroid
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val base: IndexedSeq[Seq[Double]] =
+      (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()).toSeq)
+    val cents: IndexedSeq[(Int, Seq[Double])] = (0 until 5).map { j =>
+      // cell 4 duplicates cell 3: exact cosine tie → lower cell id wins.
+      // (Zero vectors/centroids are OUT of the comparison contract: the
+      // replaced plan's SQL division THROWS under ANSI on a zero norm,
+      // while the kernel's Java division yields NaN — asserted separately
+      // below as the kernel's strictly-more-tolerant documented behavior.)
+      (j, if (j == 4) base(3) else base(j))
+    }
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()).toSeq)
+    }
+    import spark.implicits._
+    val vdf = vecs.toDF("vec_id", "embedding")
+    val cdf = cents.toDF("cell_id", "centroid")
+    // old plan, reconstructed: expand x k, windowed row_number argmax
+    def oldTopN(n: Int): Set[(Long, Int, Int)] = {
+      val joined = vdf.crossJoin(broadcast(cdf))
+        .withColumn("__sim", Similarity.cosine(col("embedding"), col("centroid")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("__sim").desc, col("cell_id"))
+      joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
+        .select(col("vec_id"), col("__rn"), col("cell_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    }
+    for (n <- Seq(1, 3, 5)) {
+      val kernel = vdf.select(col("vec_id"),
+          posexplode(graft.plans.GraftExtensions.nearestCells(
+            col("embedding"),
+            cents.map(_._1),
+            cents.map(_._2.toIndexedSeq), n)).as(Seq("__p", "cell_id")))
+        .select(col("vec_id"), (col("__p") + 1).cast("int").as("rn"), col("cell_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val expected = oldTopN(n)
+      assert(kernel == expected, s"n=$n kernel/window divergence:\n" +
+        s"kernel-only: ${kernel.diff(expected)}\nwindow-only: ${expected.diff(kernel)}")
+    }
+    // degenerate shapes, kernel-only: NaN cosines rank greatest (the SQL
+    // double ordering), ties resolve to the lowest cell id — a zero vector
+    // assigns to cell 0, and a zero CENTROID (NaN against every vector)
+    // outranks finite cosines
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def top(v: Array[Double], cs: Seq[Seq[Double]], n: Int): Seq[Int] = {
+      val arr = graft.plans.NearestCells.topCells(
+        new GenericArrayData(v), isFloat = false,
+        cs.map(_.toArray).toArray,
+        cs.map(c => math.sqrt(c.map(x => x * x).sum)).toArray,
+        cs.indices.toArray, n)
+      arr.toIntArray().toSeq
+    }
+    val finite = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    assert(top(Array(0.0, 0.0), finite, 2) == Seq(0, 1), "zero vector: all-NaN ties → cell order")
+    assert(top(Array(1.0, 0.5), finite :+ Seq(0.0, 0.0), 1) == Seq(2), "zero centroid's NaN outranks finite cosines")
+  }
 }
