@@ -154,11 +154,11 @@ object Curation {
     val src = stream.toDS()
       .select(timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
     val name = s"graft_curate_replay_${replaySeq.incrementAndGet()}"
-    // bounded replay at 8 state partitions (one state file per partition
+    // bounded replay at 4 state partitions (one state file per partition
     // per micro-batch — the StreamingCandles/StreamingDedup rationale)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try {
       val query = curateStream(src, "event_time", config, dedupDelay = delay,
           lm = lm, evalDocs = evalDocs)

@@ -178,7 +178,7 @@ object StreamingCandles {
   private def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try body finally spark.conf.set(key, prev)
   }
 

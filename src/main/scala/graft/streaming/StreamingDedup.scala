@@ -115,7 +115,7 @@ object StreamingDedup {
     val name = s"graft_stream_novel_${seq.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try {
       val query = novelWithinWatermark(src, seen, "event_time", delay = delay, fpp = fpp,
           expectedItems = n)
@@ -147,12 +147,12 @@ object StreamingDedup {
     val src = stream.toDS()
       .select(timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
     val name = s"graft_stream_dedup_${seq.incrementAndGet()}"
-    // bounded replay: 8 state partitions, not the session's 32 — a
+    // bounded replay: 4 state partitions, not the session's 32 — a
     // streaming query writes one state file per partition per micro-batch
     // (same rationale as StreamingCandles' replay harness)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try {
       val query = exactWithinWatermark(src, "event_time", delay = delay)
         .select("text")
