@@ -58,7 +58,17 @@ object StreamingDedup {
     require(expectedItems > 0L,
       s"expectedItems must be positive (sizes the bloom filter without re-scanning seen): $expectedItems")
     val spark = docs.sparkSession
-    val seenHashes = seen.select(md5(col(textCol)).as("__h"))
+    // ONE corpus pass at stream build: the distinct content hashes are
+    // materialized (localCheckpoint + rebase — GC-released when the stream
+    // goes away), and BOTH the bloom filter and the verify join's static
+    // side derive from the materialized frame. Without this, Spark
+    // re-executes the static subquery — hash + distinct over the whole
+    // seen corpus — on EVERY micro-batch of the stream-static anti-join,
+    // turning the rolling-ingest filter into a per-batch corpus scan.
+    val seenHashes = {
+      val chk = seen.select(md5(col(textCol)).as("__h")).distinct().localCheckpoint(true)
+      spark.createDataFrame(chk.rdd, chk.schema)
+    }
     val bf = seenHashes.stat.bloomFilter("__h", expectedItems, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     // null guard as in Dedup.novelAgainst: null text rides the novel branch
@@ -67,7 +77,7 @@ object StreamingDedup {
     val novel = hashed.filter(!probe(col("__content_hash")))
       .unionByName(
         hashed.filter(probe(col("__content_hash")))
-          .join(seenHashes.distinct().withColumnRenamed("__h", "__content_hash"),
+          .join(seenHashes.withColumnRenamed("__h", "__content_hash"),
             Seq("__content_hash"), "left_anti"))
     novel
       .withWatermark(eventTimeCol, delay)
