@@ -161,6 +161,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("suite-wide sweep: no cartesian products; single-partition/nested-loop only where scalar") {
+    // every BATCH gate query's physical plan, audited in one pass. The
+    // streaming/fold queries are excluded (building them RUNS a replay or
+    // the chain-fold fixture); their shapes are pinned by their own tests.
+    // Allowlists are the legitimately-degenerate shapes: a SCALAR aggregate
+    // funnels to one partition by definition, and a one-row broadcast
+    // (corpus totals / tmin / the brute-force oracles' deliberate
+    // all-pairs) plans as BroadcastNestedLoopJoin. Anything new joining
+    // these lists needs the same justification.
+    val spOk = Set("a4_scalar_minmax", "llm_curation_report", "llm_lm_score",
+      "llm_mixture", "llm_tfidf", "view_assets")
+    val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
+      "llm_lm_score", "llm_mixture", "llm_tfidf", "view_assets")
+    val skip = (n: String) => n.startsWith("st") || n.startsWith("s") ||
+      n.startsWith("chain_fold") || n == "convert_txs_union" ||
+      n == "extract_tickers" || n.contains("stream")
+    val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
+      val plan = executed(SparkEntry.queries(name)(spark, dir))
+      val bad = Seq(
+        (plan.contains("CartesianProduct")) -> "CartesianProduct",
+        (plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS") && !spOk(name)) ->
+          "single-partition exchange",
+        (plan.contains("BroadcastNestedLoopJoin") && !bnljOk(name)) ->
+          "nested-loop join")
+      bad.collect { case (true, what) => s"$name: $what" }
+    }
+    assert(failures.isEmpty, s"plan-shape regressions:\n${failures.mkString("\n")}")
+  }
+
   test("bloom novelty probe side carries no exchange before the filter") {
     // the 100 TB contract: a novel document is decided map-side — the only
     // exchanges in the plan belong to the union's verification branch
