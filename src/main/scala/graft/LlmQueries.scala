@@ -1043,6 +1043,45 @@ object LlmQueries {
               |${IvfSql.assign("cent2", "af")}
               |SELECT vec_id, CAST(cell_id AS INT) AS cluster_id FROM af ORDER BY vec_id""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: k-means-partitioned candidate pairs,
+    // exact-cosine verified, lowest id kept — planted re-serves (identical
+    // vectors, +500000 ids) must all collapse onto their originals. The
+    // oracle replays the full clustering (xxhash64 seeds, two Lloyd steps)
+    // plus in-cluster pair verification
+    QueryDef("llm_semantic_dedup",
+      (s, dir) => {
+        import graft.llm.Similarity
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val planted = emb.filter(col("vec_id") % 23 === 0)
+          .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+        Similarity.semanticDedup(emb.unionByName(planted), k = 8, threshold = 0.95)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 500000 AS vec_id, embedding::DOUBLE[] AS v
+              |  FROM embeddings WHERE vec_id % 23 = 0),
+              |${IvfSql.xxhashCtes},
+              |cent0 AS (
+              |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id, v
+              |  FROM e JOIN xx USING (vec_id) ORDER BY h, vec_id LIMIT 8),
+              |${IvfSql.assign("cent0", "a1")},
+              |${IvfSql.lloyd("cent0", "a1", "cent1")},
+              |${IvfSql.assign("cent1", "a2")},
+              |${IvfSql.lloyd("cent1", "a2", "cent2")},
+              |${IvfSql.assign("cent2", "af")},
+              |pairs AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM af a JOIN af b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+              |dropped AS (
+              |  SELECT DISTINCT p.id_b FROM pairs p
+              |  JOIN af x ON x.vec_id = p.id_a
+              |  JOIN af y ON y.vec_id = p.id_b
+              |  WHERE list_cosine_similarity(x.v, y.v) >= 0.95)
+              |SELECT vec_id FROM e
+              |WHERE vec_id NOT IN (SELECT id_b FROM dropped) ORDER BY vec_id""".stripMargin)),
+
     // fuzzy decontamination: MinHash-LSH candidates vs a broadcast eval
     // set, exact-Jaccard verified; LSH recall keeps it rows-only
     QueryDef("llm_fuzzy_decon",

@@ -186,7 +186,7 @@ object Dedup {
     * oversized buckets are skipped here and surfaced via [[oversizedBuckets]]
     * — run [[exact]] first to collapse mass duplication. Expects `ids`
     * sorted; emits `p.id_a < p.id_b` structs. */
-  private def expandBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
+  private[llm] def expandBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
     buckets
       .filter(size(col("ids")).between(2, maxBucket))
       .select(col("*"), explode(

@@ -208,6 +208,49 @@ object Similarity {
       .select(col(idCol), col("cell_id").as("cluster_id"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    * public method): k-means-cluster the embedding space, form candidate
+    * pairs only WITHIN clusters, verify by exact cosine, drop
+    * near-duplicates at ≥ `threshold` keeping the lowest id. Catches
+    * SEMANTIC duplicates (rephrasings, template variants) that text-level
+    * MinHash misses; the cluster partition is what makes it tractable —
+    * pair expansion is bounded by cluster size, never corpus², and `k`
+    * grows with the corpus so clusters stay bounded (the paper's scale
+    * story). Oversized clusters are capped + skipped exactly like every
+    * dedup bucket (audit via [[clusterProfile]] `n_vectors > maxCluster`
+    * — capped coverage is surfaced, never silent; mass-identical vectors
+    * are exact-dedup's job).
+    *
+    * Shape: the clustering is the [[kmeansCluster]] build (map-only
+    * assigns + one (cell, pos) shuffle per Lloyd step), candidates are one
+    * shuffle keyed on cell_id, and the verify subtree joins vectors back
+    * by id — no cross join anywhere (PlanShapeSpec). */
+  def semanticDedup(
+      corpus: DataFrame,
+      k: Int,
+      threshold: Double = 0.95,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val centroids = refineCentroids(corpus, seedCentroids(corpus, k, idCol, vecCol),
+      iterations, idCol, vecCol)
+    val assigned = assignCells(corpus, centroids, idCol, vecCol)
+    val cands = Dedup.expandBuckets(
+      assigned.groupBy(col("cell_id")).agg(sort_array(collect_set(col(idCol))).as("ids")),
+      maxCluster)
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val side = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__n"))
+    val dups = cands
+      .join(side.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na")), Seq("id_a"))
+      .join(side.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(dups, Seq(idCol), "left_anti")
+  }
+
   /** Cluster sizes + mean cosine-to-assigned-centroid — the audit view of
     * [[kmeansCluster]] (spot collapsed or incoherent clusters). */
   def clusterProfile(

@@ -668,6 +668,25 @@ class LlmSpec extends SparkSpec {
     assert(profile.forall(_.getAs[Double]("mean_cosine") > 0.0))
   }
 
+  test("semantic dedup: planted copies collapse onto the lowest id, distinct vectors survive") {
+    import graft.llm.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val n = emb.count()
+    // identical re-serves AND scaled copies (cosine is scale-invariant, so
+    // a 1.5x rescale is a SEMANTIC duplicate text-level dedup can't see)
+    val planted = emb.filter($"vec_id" % 13 === 0)
+      .select(($"vec_id" + 500000).as("vec_id"), $"embedding")
+    val scaled = emb.filter($"vec_id" % 17 === 1)
+      .select(($"vec_id" + 600000).as("vec_id"),
+        transform($"embedding", x => x * lit(1.5f)).as("embedding"))
+    val out = Similarity.semanticDedup(emb.unionByName(planted).unionByName(scaled),
+        k = 8, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.forall(_ < 500000), s"planted duplicates survived: ${out.filter(_ >= 500000)}")
+    assert(out.size == n, "an original was dropped — originals hold the lowest id per duplicate group")
+  }
+
   test("boilerplate strip: shared footer removed, unique lines kept in order, all-boiler docs dropped") {
     import graft.llm.Curation
     val docs = Seq(
