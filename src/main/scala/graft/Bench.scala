@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Extract the `"queries":{...}` per-query map out of one of our own
+    * bench JSON lines (the format is ours, written below — a regex is
+    * enough; no JSON library in the unmanaged classpath contract). */
+  private[graft] def parseQueries(line: String): Map[String, Double] = {
+    val start = line.indexOf("\"queries\":{")
+    if (start < 0) Map.empty
+    else {
+      val body = line.substring(start + "\"queries\":{".length, line.indexOf('}', start))
+      """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,21 +51,49 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       if (verbose) System.err.println(s"BENCHREP $name ${times.map(t => f"$t%.2f").mkString(" ")}")
-      name -> times.sorted.apply(times.length / 2)
+      name -> median(times)
     }
-    // 4-decimal rounding keeps the one-line JSON compact enough to survive
-    // log-tail capture, and the identical line is ALSO written to
-    // bench_out.json so the per-query map is machine-parseable without log
-    // archaeology (VERDICT r4 #7)
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
+    def jsonLine(qs: Map[String, Double]): String = {
+      val body = qs.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val total = if (qs.nonEmpty) qs.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$body,"sf":"$sfDir"}"""
+    }
+
+    // The artifact of record is the per-query MEDIAN across runs, not one
+    // noisy sample (VERDICT r5 #3): each invocation appends its own
+    // (already median-of-reps) map to bench_history.jsonl, and bench_out
+    // .json + the final stdout line report the per-query median over the
+    // last <=3 same-sf runs — one run passes through unchanged; repeated
+    // end-of-round runs converge on the cross-run median automatically.
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val histPath = Paths.get("bench_history.jsonl")
+    val thisRun = jsonLine(results)
+    try Files.write(histPath, (thisRun + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    catch { case e: java.io.IOException => System.err.println(s"bench_history append failed: $e") }
+    val priorRuns: Seq[Map[String, Double]] =
+      try {
+        if (Files.exists(histPath)) {
+          import scala.jdk.CollectionConverters._
+          Files.readAllLines(histPath).asScala.toSeq
+            .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+            .dropRight(1).takeRight(2) // this run is already on disk; window = 3 runs
+            .map(parseQueries)
+        } else Nil
+      } catch { case _: java.io.IOException => Nil }
+    val merged = results.map { case (name, v) =>
+      name -> median(priorRuns.flatMap(_.get(name)) :+ v)
+    }
+    val line = jsonLine(merged)
+    try Files.write(Paths.get("bench_out.json"), (line + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException => System.err.println(s"bench_out.json write failed: $e") }
+    // stop FIRST so nothing (shutdown warnings, progress lines) can land on
+    // stdout after the JSON: the driver parses the FINAL stdout line, and
+    // BENCH_r05's tail captured the line head-truncated (VERDICT r5 #3)
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

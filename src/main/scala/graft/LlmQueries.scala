@@ -947,7 +947,11 @@ object LlmQueries {
       (s, dir) => {
         val seen = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
           .select(col("doc_id"), col("text"))
-        Dedup.novelAgainst(corpus(s, dir), seen).select("doc_id").orderBy("doc_id")
+        // expectedItems is the operator's required size hint (VERDICT r5
+        // #2); the HARNESS counts seen once here — a production caller
+        // reads it from index metadata. An over-estimate is also fine.
+        Dedup.novelAgainst(corpus(s, dir), seen, expectedItems = math.max(1L, seen.count()))
+          .select("doc_id").orderBy("doc_id")
       },
       Some(s"""WITH $corpusSql,
               |seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0)

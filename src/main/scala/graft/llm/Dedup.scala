@@ -343,6 +343,13 @@ object Dedup {
     * Bloom filters have no false negatives, so negatives are definitely
     * novel and the composite result is exactly the anti-join — which is
     * what the DuckDB oracle computes.
+    *
+    * `expectedItems` is REQUIRED, same contract as the streaming twin
+    * ([[graft.streaming.StreamingDedup.novelWithinWatermark]]): the old
+    * auto-size fallback hid a full `seen.count()` inside the operator — two
+    * whole corpus passes to build one bloom at 100 TB. The caller always
+    * knows the corpus size (or reads it from the persisted index's
+    * metadata); an over-estimate only widens the filter (VERDICT r5 #2).
     */
   def novelAgainst(
       docs: DataFrame,
@@ -350,13 +357,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       fpp: Double = 0.01,
-      expectedItems: Long = 0L): DataFrame = {
+      expectedItems: Long): DataFrame = {
+    require(expectedItems > 0L,
+      s"expectedItems must be positive (sizes the bloom filter without re-scanning seen): $expectedItems")
     val spark = docs.sparkSession
     val seenHashes = seen.select(md5(col(textCol)).as("__h"))
-    // Auto-sizing counts `seen` once; callers with a known corpus size pass
-    // expectedItems to keep the build single-pass.
-    val n = if (expectedItems > 0L) expectedItems else math.max(1L, seenHashes.count())
-    val bf = seenHashes.stat.bloomFilter("__h", n, fpp)
+    val bf = seenHashes.stat.bloomFilter("__h", expectedItems, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     // null text → md5 null → probe false → the doc rides the novel branch,
     // where the anti-join's null key matches nothing: null-text docs are

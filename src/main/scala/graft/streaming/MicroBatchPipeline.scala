@@ -178,11 +178,15 @@ final class LivenessListener(maxAgeMs: Long = 300000L) extends StreamingQueryLis
   * newest block is within the freshness bound and 503 when it has fallen
   * behind (or nothing has been observed yet). Runs on the JDK's built-in
   * `HttpServer` (driver-side, one tiny thread pool — it serves a probe, not
-  * traffic); `port = 0` binds an ephemeral port, exposed via [[boundPort]]. */
+  * traffic); `port = 0` binds an ephemeral port, exposed via [[boundPort]].
+  * Binds loopback by default (ADVICE r5) — container/k8s probes that reach
+  * the pod over its network interface opt into `host = "0.0.0.0"`
+  * explicitly, which exposes the (read-only, unauthenticated) endpoint on
+  * every interface. */
 final class LivenessServer(
     listener: LivenessListener,
     port: Int = 0,
-    host: String = "0.0.0.0") extends AutoCloseable {
+    host: String = "127.0.0.1") extends AutoCloseable {
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress(host, port), 0)
   server.createContext("/health", new com.sun.net.httpserver.HttpHandler {

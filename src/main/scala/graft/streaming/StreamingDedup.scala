@@ -59,14 +59,26 @@ object StreamingDedup {
       s"expectedItems must be positive (sizes the bloom filter without re-scanning seen): $expectedItems")
     val spark = docs.sparkSession
     // ONE corpus pass at stream build: the distinct content hashes are
-    // materialized (localCheckpoint + rebase — GC-released when the stream
-    // goes away), and BOTH the bloom filter and the verify join's static
-    // side derive from the materialized frame. Without this, Spark
+    // materialized once, and BOTH the bloom filter and the verify join's
+    // static side derive from the materialized frame. Without this, Spark
     // re-executes the static subquery — hash + distinct over the whole
     // seen corpus — on EVERY micro-batch of the stream-static anti-join,
     // turning the rolling-ingest filter into a per-batch corpus scan.
+    //
+    // Durability (ADVICE r5): with a checkpoint dir configured
+    // (`sparkContext.setCheckpointDir`), the materialization is a RELIABLE
+    // checkpoint — executor loss re-reads the blocks from the checkpoint
+    // store and the stream keeps running. Without one, localCheckpoint
+    // stores blocks only on executors: losing an executor makes the static
+    // side unrecoverable and every subsequent micro-batch fails — the
+    // recovery path is a stream restart (which rebuilds the static side
+    // from `seen`). Long-running production streams should set a
+    // checkpoint dir; the bounded replay harnesses don't need one.
     val seenHashes = {
-      val chk = seen.select(md5(col(textCol)).as("__h")).distinct().localCheckpoint(true)
+      val hashed = seen.select(md5(col(textCol)).as("__h")).distinct()
+      val chk =
+        if (spark.sparkContext.getCheckpointDir.isDefined) hashed.checkpoint(true)
+        else hashed.localCheckpoint(true)
       spark.createDataFrame(chk.rdd, chk.schema)
     }
     val bf = seenHashes.stat.bloomFilter("__h", expectedItems, fpp)

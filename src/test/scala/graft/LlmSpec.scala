@@ -498,10 +498,46 @@ class LlmSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(expected.intersect(Set(1L, 5L, 100L, 200L, 201L)).isEmpty)
     for (fpp <- Seq(0.5, 0.01)) { // a lousy filter only costs verify work
-      val novel = Dedup.novelAgainst(corpus, seen, fpp = fpp)
+      val novel = Dedup.novelAgainst(corpus, seen, fpp = fpp, expectedItems = 3L)
         .select("doc_id").as[Long].collect().toSet
       assert(novel == expected, s"fpp=$fpp diverged from the exact anti-join")
     }
+  }
+
+  test("novelAgainst: expectedItems is required — build touches seen only for the bloom") {
+    // the old auto-size default hid a full seen.count() inside the operator
+    // (two corpus passes to build one bloom at 100 TB — VERDICT r5 #2);
+    // building the operator must launch exactly the bloom-build job over
+    // seen and nothing more
+    val seen = corpus.filter($"doc_id".isin(1L, 5L, 100L)).localCheckpoint(true)
+    intercept[IllegalArgumentException] {
+      Dedup.novelAgainst(corpus, seen, expectedItems = 0L)
+    }
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // give the listener bus time to drain before counting
+        var waited = 0
+        while (jobs.get() < 1 && waited < 20) { Thread.sleep(50); waited += 1 }
+        Thread.sleep(250)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val bloomOnly = countJobs {
+      seen.select(md5($"text").as("__h")).stat.bloomFilter("__h", 3L, 0.01); ()
+    }
+    val construction = countJobs {
+      Dedup.novelAgainst(corpus, seen, expectedItems = 3L); ()
+    }
+    assert(construction <= bloomOnly,
+      s"novelAgainst construction must launch only the bloom-build jobs (<= $bloomOnly), saw $construction")
   }
 
   test("tf-idf: corpus-wide words score zero, distinctive words rank first") {

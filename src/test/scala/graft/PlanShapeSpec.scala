@@ -174,9 +174,14 @@ class PlanShapeSpec extends SparkSpec {
       "llm_mixture", "llm_tfidf", "view_assets")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
       "llm_lm_score", "llm_mixture", "llm_tfidf", "view_assets")
-    val skip = (n: String) => n.startsWith("st") || n.startsWith("s") ||
-      n.startsWith("chain_fold") || n == "convert_txs_union" ||
-      n == "extract_tickers" || n.contains("stream")
+    // Skip ONLY the queries whose lambda runs work at build time (streaming
+    // replays, the chain-fold fixture, DSv2 replay, driver fixtures) — an
+    // explicit list, not a prefix: the old `startsWith("s")` silently
+    // excluded ~24 pure batch builders (s2..s10, scd2_*) from the audit
+    // (ADVICE r5).
+    val skipExact = Set("s1b_dsv2_size_close", "convert_txs_union", "extract_tickers")
+    val skip = (n: String) => n.startsWith("st") || n.startsWith("chain_fold") ||
+      n.contains("stream") || skipExact(n)
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val bad = Seq(
@@ -196,7 +201,7 @@ class PlanShapeSpec extends SparkSpec {
     // (bloom-positives), never between the docs scan and the bloom probe
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val seen = docs.filter(col("doc_id") % 3 === 0)
-    val plan = executed(graft.llm.Dedup.novelAgainst(docs, seen))
+    val plan = executed(graft.llm.Dedup.novelAgainst(docs, seen, expectedItems = 200L))
     assert(!plan.contains("SortMergeJoin"),
       s"novelty verify join must stay hash/broadcast at fixture scale:\n$plan")
     // the negative (definitely-novel) branch: scan → filter → union, map-only
