@@ -142,14 +142,136 @@ class ReplaySpec extends SparkSpec {
     same(loaded.blocks, state1.blocks, "blocks after crashed persist")
     same(loaded.facts("txs_7"), state1.facts("txs_7"), "facts after crashed persist")
     assert(ChainSync.lastAppliedBatch(spark, dir) == 1L)
-    // a clean re-persist publishes fold 2 and sweeps the orphaned attempt
+    // a clean re-persist publishes fold 2 and sweeps the orphaned attempt;
+    // the PREVIOUS version survives one more persist so readers holding the
+    // old pointer can finish (ADVICE r5) — v1 and v2, nothing else
     ChainSync.persist(state2, dir, lastBatchId = 2L)
     val reloaded = ChainSync.load(spark, dir)
     same(reloaded.candles, state2.candles, "candles after re-persist")
     assert(ChainSync.lastAppliedBatch(spark, dir) == 2L)
     val versions = new java.io.File(dir).listFiles()
-      .map(_.getName).filter(_.matches("v\\d+")).toSeq
-    assert(versions.size == 1, s"superseded/orphaned versions not swept: $versions")
+      .map(_.getName).filter(_.matches("v\\d+")).toSeq.sorted
+    assert(versions == Seq("v1", "v2"), s"kept-version policy violated: $versions")
+    // and a THIRD persist retires v1
+    ChainSync.persist(fold(state2, RawRollback("b1")), dir, lastBatchId = 3L)
+    val afterThird = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).toSeq.sorted
+    assert(afterThird == Seq("v2", "v3"), s"kept-version policy violated: $afterThird")
+  }
+
+  // ---- incremental durable persist (VERDICT r5 #1) -----------------------
+
+  private def segFiles(dir: String): Set[String] = {
+    val base = java.nio.file.Paths.get(dir, "segments")
+    if (!java.nio.file.Files.exists(base)) Set.empty
+    else {
+      val s = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => java.nio.file.Paths.get(dir).relativize(p).toString)
+          .filterNot(_.endsWith("_SUCCESS")).filterNot(_.contains(".crc"))
+          .toSet
+      } finally s.close()
+    }
+  }
+
+  // blocks spanning three height buckets (HeightBucketSize = 1000)
+  private def bucketBlock(id: String, height: Int, tsOffsetMin: Int, tx: String): RawBlock =
+    RawBlock(id, height, Some(t0 + tsOffsetMin * 60000L), None, Seq(
+      exchange(tx, t0 + tsOffsetMin * 60000L, 10 + height % 7, 100 + height % 13, ("AA", "PP"))))
+
+  test("incremental persist: frozen segments are reused; a new batch writes O(batch) files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-").toString
+    val s1 = fold(ChainSync.emptyState(spark),
+      bucketBlock("h1", 100, 0, "x1"), bucketBlock("h2", 1100, 1, "x2"),
+      bucketBlock("h3", 2100, 2, "x3"))
+    ChainSync.persist(s1, dir)
+    val after1 = segFiles(dir)
+    val m1 = ChainSync.readManifest(spark, s"$dir/v1").get
+    val frozen1 = m1.segments.filter(_.frozen)
+    // buckets 0..1 froze (tip = bucket 2); the tip segment is separate
+    assert(frozen1.nonEmpty && frozen1.forall(s => s.lo == 0 && s.hi == 1), s"$frozen1")
+    assert(m1.segments.filterNot(_.frozen).forall(s => s.lo == 2 && s.hi == 2))
+
+    // append at the SAME tip bucket: every frozen segment is reused by
+    // reference, and the only files written belong to the new tip segments
+    val s2 = fold(s1, bucketBlock("h4", 2150, 3, "x4"))
+    ChainSync.persist(s2, dir)
+    val after2 = segFiles(dir)
+    val m2 = ChainSync.readManifest(spark, s"$dir/v2").get
+    assert(m2.segments.filter(_.frozen) == frozen1,
+      s"frozen segments not reused:\n${m2.segments.filter(_.frozen)}\nvs\n$frozen1")
+    val new2 = after2 -- after1
+    assert(new2.nonEmpty && new2.forall(_.contains("/s2-t/")),
+      s"persist of one batch wrote non-tip files: ${new2.filterNot(_.contains("/s2-t/"))}")
+    val loaded2 = ChainSync.load(spark, dir)
+    same(loaded2.facts("txs_7"), s2.facts("txs_7"), "incremental txs_7")
+    same(loaded2.blocks, s2.blocks, "incremental blocks")
+    same(loaded2.candles, s2.candles, "incremental candles")
+
+    // tip advance: bucket 2 freezes EXACTLY once (one new frozen segment
+    // per table, covering [2,2]); buckets 0..1 are never rewritten
+    val s3 = fold(s2, bucketBlock("h5", 3100, 4, "x5"))
+    ChainSync.persist(s3, dir)
+    val m3 = ChainSync.readManifest(spark, s"$dir/v3").get
+    val blocksSegs3 = m3.segments.filter(s => s.table == "blocks_microblocks" && s.frozen)
+    assert(blocksSegs3.map(_.relPath).toSet ==
+      Set("segments/blocks_microblocks/s1-f", "segments/blocks_microblocks/s3-f"), s"$blocksSegs3")
+    assert(m3.segments.filter(_.relPath.contains("s3-f")).forall(s => s.lo == 2 && s.hi == 2))
+    val new3 = segFiles(dir) -- after2
+    assert(new3.forall(f => f.contains("/s3-f/") || f.contains("/s3-t/")),
+      s"history rewritten on tip advance: ${new3.filterNot(f => f.contains("/s3-f/") || f.contains("/s3-t/"))}")
+    val loaded3 = ChainSync.load(spark, dir)
+    same(loaded3.facts("txs_7"), s3.facts("txs_7"), "tip-advance txs_7")
+    same(loaded3.blocks, s3.blocks, "tip-advance blocks")
+    assert(loaded3.maxBlockUid == s3.maxBlockUid)
+  }
+
+  test("incremental persist: rollback invalidates frozen buckets from the cut") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-rb-").toString
+    val s1 = fold(ChainSync.emptyState(spark),
+      bucketBlock("h1", 100, 0, "x1"), bucketBlock("h2", 1100, 1, "x2"),
+      bucketBlock("h3", 2100, 2, "x3"))
+    ChainSync.persist(s1, dir)
+    // roll back to h2: bucket 2 disappears, bucket 1 becomes the tip — the
+    // v1 frozen segment spans [0,1] so it cannot be reused (its hi reaches
+    // into the now-mutable tip); persist must rewrite from bucket 0
+    val rolled = fold(s1, RawRollback("h2"))
+    ChainSync.persist(rolled, dir)
+    val m2 = ChainSync.readManifest(spark, s"$dir/v2").get
+    assert(m2.segments.forall(_.hi <= 1), s"rolled-back bucket still referenced: ${m2.segments}")
+    val loaded = ChainSync.load(spark, dir)
+    same(loaded.blocks, rolled.blocks, "post-rollback blocks")
+    same(loaded.facts("txs_7"), rolled.facts("txs_7"), "post-rollback txs_7")
+    // and the rolled-back state equals a clean fold of the surviving blocks
+    val clean = fold(ChainSync.emptyState(spark),
+      bucketBlock("h1", 100, 0, "x1"), bucketBlock("h2", 1100, 1, "x2"))
+    same(loaded.blocks, clean.blocks, "post-rollback blocks vs clean")
+    same(loaded.candles, clean.candles, "post-rollback candles vs clean")
+  }
+
+  test("incremental persist: crash between segment write and publish keeps the previous state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-crash-").toString
+    val s1 = fold(ChainSync.emptyState(spark),
+      bucketBlock("h1", 100, 0, "x1"), bucketBlock("h2", 1100, 1, "x2"))
+    ChainSync.persist(s1, dir, lastBatchId = 1L)
+    val s2 = fold(s1, bucketBlock("h3", 2100, 2, "x3"))
+    final class SimulatedCrash extends RuntimeException("crash mid-segments")
+    intercept[SimulatedCrash] {
+      ChainSync.persist(s2, dir, lastBatchId = 2L,
+        onTableWritten = name => if (name == "txs_7") throw new SimulatedCrash)
+    }
+    // pointer still on v1: the orphaned v2 segments are invisible
+    val loaded = ChainSync.load(spark, dir)
+    same(loaded.blocks, s1.blocks, "blocks after crashed segment persist")
+    same(loaded.facts("txs_7"), s1.facts("txs_7"), "txs_7 after crashed segment persist")
+    assert(ChainSync.lastAppliedBatch(spark, dir) == 1L)
+    // clean re-persist publishes fold 2 (overwriting the orphaned attempt)
+    ChainSync.persist(s2, dir, lastBatchId = 2L)
+    val reloaded = ChainSync.load(spark, dir)
+    same(reloaded.facts("txs_7"), s2.facts("txs_7"), "txs_7 after re-persist")
+    assert(ChainSync.lastAppliedBatch(spark, dir) == 2L)
   }
 
   test("persist/load resumes the uid generator — no tx-uid collisions at the tip height") {
