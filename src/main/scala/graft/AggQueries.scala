@@ -640,6 +640,48 @@ object AggQueries {
       Some(withTrades(c1mCte("WHERE uid < 4000") + ",\n" + ladderCte("1m", "5m", 300)) +
         "\n" + candleSelect("ts_5m") + "\nFROM c5m " + orderTail)),
 
+    // ST12 — streaming CALENDAR ladder (VERDICT r5 #4), STAGED: trades→1h
+    // (5 chained stateful aggs), 1h→1d (4 more in a second query — past ~7
+    // chained stateful operators Spark 4.1 blows the driver heap, measured
+    // NOTES.md r06), then 1d→1w (Monday-origin 7-day windows — fixed-width
+    // after an origin shift) and 1d→1M (flatMapGroupsWithState, event-time
+    // timeout at the month boundary). Edge sequence identical to the batch
+    // ladder, so it must hash-match the batch calendar CTE chain.
+    QueryDef("st12_calendar_stream",
+      (s, dir) => {
+        import graft.streaming.StreamingCandles
+        val rows = Tables.trades(s, dir).filter(col("uid") < 4000)
+          .collect().map(r => StreamingCandles.TradeEvent(
+            r.getAs[Long]("uid"),
+            r.getAs[java.sql.Timestamp]("time_stamp").getTime,
+            r.getAs[String]("amount_asset_id"), r.getAs[String]("price_asset_id"),
+            r.getAs[String]("sender"), r.getAs[Int]("height"),
+            r.getAs[Long]("amount"), BigDecimal(r.getAs[java.math.BigDecimal]("price"))))
+        val cal = StreamingCandles.replayCalendar(s, rows.toSeq, chunk = 2000)
+        cal.select(col("interval") +: candleOutCols: _*)
+          .orderBy("interval", "time_start_epoch", "amount_asset_id", "price_asset_id", "matcher_address")
+      },
+      Some(withTrades((Seq(
+        c1mCte("WHERE uid < 4000"),
+        ladderCte("1m", "5m", 300),
+        ladderCte("5m", "15m", 900),
+        ladderCte("15m", "30m", 1800),
+        ladderCte("30m", "1h", 3600),
+        ladderCte("1h", "3h", 10800),
+        ladderCte("3h", "6h", 21600),
+        ladderCte("6h", "12h", 43200),
+        ladderCte("12h", "1d", 86400),
+        ladderCteCalendar("1d", "1w", "week"),
+        ladderCteCalendar("1d", "1mo", "month"))).mkString(",\n")) +
+        s"""
+           |SELECT * FROM (
+           |  ${candleSelect("ts_1w").replace("SELECT ", "SELECT '1w' AS interval, ")}
+           |  FROM c1w
+           |  UNION ALL
+           |  ${candleSelect("ts_1mo").replace("SELECT ", "SELECT '1M' AS interval, ")}
+           |  FROM c1mo)
+           |ORDER BY interval, time_start_epoch, amount_asset_id, price_asset_id, matcher_address""".stripMargin)),
+
     // Views — tickers (O20 over asset_tickers, up.sql:432-435)
     QueryDef("view_tickers",
       (s, dir) => {

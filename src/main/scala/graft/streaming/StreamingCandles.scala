@@ -75,34 +75,207 @@ object StreamingCandles {
         col("amount_asset_id"), col("price_asset_id"), col("matcher_address"))
       .agg(Candles.minuteAggs.head, Candles.minuteAggs.tail: _*)
 
+  /** The ladder-edge aggregation list, shared by every streaming re-agg
+    * (definitionally [[graft.operators.Candles.ladderStep]]'s agg): source
+    * candles re-aggregate into the coarser bucket, open/close ordered by
+    * the source candle's start (`orderCol`). */
+  private def ladderAggs(orderCol: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    min(col("low")).as("low"),
+    max(col("high")).as("high"),
+    sum(col("volume")).cast(money).as("volume"),
+    sum(col("quote_volume")).cast(money).as("quote_volume"),
+    max(col("max_height")).as("max_height"),
+    sum(col("txs_count")).cast("int").as("txs_count"),
+    floor(sum(col("weighted_average_price") * col("volume")) / sum(col("volume")))
+      .cast(money).as("weighted_average_price"),
+    min_by(col("open"), orderCol).as("open"),
+    max_by(col("close"), orderCol).as("close"))
+
+  /** The `window()` expression for a ladder destination interval over the
+    * previous level's windows. Fixed-width intervals are epoch-aligned
+    * tumbling windows; `1w` IS expressible as a fixed 7-day window with a
+    * shifted origin — the epoch (1970-01-01) is a Thursday, so `startTime =
+    * 4 days` puts every window start on a Monday 00:00 (UTC session),
+    * exactly `date_trunc('week')` (SURVEY §7.4.5 said `window()` can't
+    * express the calendar edges; for weeks that was wrong — only months
+    * genuinely need custom state, see [[calendarMonthCandles]]). */
+  private def dstWindow(timeCol: org.apache.spark.sql.Column, dst: String): org.apache.spark.sql.Column =
+    dst match {
+      case "1w" => window(timeCol, "7 days", "7 days", "4 days")
+      case _ =>
+        val secs = graft.functions.CandleIntervals.seconds.getOrElse(dst,
+          throw new IllegalArgumentException(s"not a fixed-width ladder interval: $dst"))
+        window(timeCol, s"$secs seconds")
+    }
+
   /** Chained stateful ladder edge — the streaming analog of
     * [[graft.operators.Candles.ladderStep]]: re-aggregate the (append-mode)
-    * windowed candles into a coarser fixed-width interval, grouping on
+    * windowed candles into a coarser interval, grouping on
     * `window(window_time(window), dst)`. Spark ≥3.4 runs multiple stateful
-    * aggregations in one append-mode query exactly for this shape; each
-    * level's state evicts by the same watermark. Calendar intervals (1w/1M)
-    * stay batch-side — `window()` cannot express them; the fold's
-    * incremental MERGE remains their path. */
-  def ladderStream(windowedCandles: DataFrame, dst: String): DataFrame = {
-    val secs = graft.functions.CandleIntervals.seconds.getOrElse(dst,
-      throw new IllegalArgumentException(s"ladderStream supports fixed-width intervals only, got $dst"))
+    * aggregations in one append-mode query exactly for this shape
+    * ([[replayLadderChain]] chains NINE of them, 1m→…→1d); each level's
+    * state evicts by the same watermark. Keeps the `window` struct so the
+    * next edge can chain; [[ladderStream]] is the formatted terminal form. */
+  def ladderStreamWindowed(windowedCandles: DataFrame, dst: String): DataFrame =
     windowedCandles
-      .groupBy(window(window_time(col("window")), s"$secs seconds"),
+      .groupBy(dstWindow(window_time(col("window")), dst),
         col("amount_asset_id"), col("price_asset_id"), col("matcher_address"))
-      .agg(
-        min(col("low")).as("low"),
-        max(col("high")).as("high"),
-        sum(col("volume")).cast(money).as("volume"),
-        sum(col("quote_volume")).cast(money).as("quote_volume"),
-        max(col("max_height")).as("max_height"),
-        sum(col("txs_count")).cast("int").as("txs_count"),
-        floor(sum(col("weighted_average_price") * col("volume")) / sum(col("volume")))
-          .cast(money).as("weighted_average_price"),
-        min_by(col("open"), col("window.start")).as("open"),
-        max_by(col("close"), col("window.start")).as("close"))
+      .agg(ladderAggs(col("window.start")).head, ladderAggs(col("window.start")).tail: _*)
+
+  /** [[ladderStreamWindowed]] formatted to the candle schema (terminal
+    * ladder level). Supports the fixed-width intervals AND `1w` (Monday-
+    * origin 7-day windows); only `1M` needs [[calendarMonthCandles]]. */
+  def ladderStream(windowedCandles: DataFrame, dst: String): DataFrame =
+    ladderStreamWindowed(windowedCandles, dst)
       .withColumn("time_start", col("window.start"))
       .withColumn("interval", lit(dst))
       .select(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
+
+  // ------------------------------------------- staged ladder over channels
+
+  /** One FINALIZED candle of some interval, the row a production deployment
+    * publishes to a durable channel (files/Kafka) between streaming stages;
+    * the bounded replays feed them through a MemoryStream. Field names
+    * match the candle schema so `.as[FinalizedCandle]` binds by name. */
+  final case class FinalizedCandle(
+      time_start: java.sql.Timestamp, amount_asset_id: String, price_asset_id: String,
+      matcher_address: String,
+      low: java.math.BigDecimal, high: java.math.BigDecimal,
+      volume: java.math.BigDecimal, quote_volume: java.math.BigDecimal,
+      max_height: Int, txs_count: Int,
+      weighted_average_price: java.math.BigDecimal,
+      open: java.math.BigDecimal, close: java.math.BigDecimal)
+
+  /** Chain ladder edges over a STREAM of finalized candles (the next stage
+    * of a staged ladder pipeline): the first edge groups directly on the
+    * incoming `time_start`, later edges chain via `window_time`. Append
+    * mode; formatted to the candle schema at the terminal edge. Why staged
+    * instead of one deep query: Spark 4.1's multi-stateful-operator support
+    * degrades super-linearly past ~7 chained stateful aggregations (a
+    * 9-level 1m→…→1d chain OOMs an 8 GB driver on a 40-row replay —
+    * measured, NOTES.md r06; ≤5 levels per query is comfortable), and a
+    * channel boundary is where a production pipeline would checkpoint
+    * anyway. */
+  def ladderChainFromCandles(
+      candles: DataFrame,
+      edges: Seq[String],
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(edges.nonEmpty, "ladderChainFromCandles needs at least one edge")
+    val first = candles.withWatermark("time_start", watermarkDelay)
+      .groupBy(dstWindow(col("time_start"), edges.head),
+        col("amount_asset_id"), col("price_asset_id"), col("matcher_address"))
+      .agg(ladderAggs(col("time_start")).head, ladderAggs(col("time_start")).tail: _*)
+    edges.tail.foldLeft(first)((df, d) => ladderStreamWindowed(df, d))
+      .withColumn("time_start", col("window.start"))
+      .withColumn("interval", lit(edges.last))
+      .select(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Calendar 1w candles from a stream of finalized 1d candles: the same
+    * Monday-origin window trick as [[dstWindow]], one stateful aggregation,
+    * append mode — each weekly candle emits exactly once when the watermark
+    * passes its week. Aggregation ≙ the batch 1d→1w ladder edge. */
+  def calendarWeekCandles(daily1d: DataFrame, watermarkDelay: String = "0 seconds"): DataFrame =
+    ladderChainFromCandles(daily1d, Seq("1w"), watermarkDelay)
+
+  /** Running per-(month, pair, matcher) state: open/close carry the source
+    * day's start for order-independence; `wavgVolSum` accumulates
+    * Σ wavg_1d·volume exactly (java BigDecimal — no MathContext rounding),
+    * the final floor-divide happens in Spark expressions downstream so the
+    * result is bit-identical to the batch edge's `floor(sum(w·v)/sum(v))`. */
+  final case class MonthState(
+      firstStartMs: Long, open: java.math.BigDecimal,
+      lastStartMs: Long, close: java.math.BigDecimal,
+      low: java.math.BigDecimal, high: java.math.BigDecimal,
+      volume: java.math.BigDecimal, quoteVolume: java.math.BigDecimal,
+      maxHeight: Int, txsCount: Int, wavgVolSum: java.math.BigDecimal)
+
+  final case class MonthRow(
+      time_start: java.sql.Timestamp, amount_asset_id: String, price_asset_id: String,
+      matcher_address: String,
+      low: java.math.BigDecimal, high: java.math.BigDecimal,
+      volume: java.math.BigDecimal, quote_volume: java.math.BigDecimal,
+      max_height: Int, txs_count: Int, wavg_vol_sum: java.math.BigDecimal,
+      open: java.math.BigDecimal, close: java.math.BigDecimal)
+
+  private def monthStartMs(ms: Long): Long =
+    java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.withDayOfMonth(1).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli
+
+  private def nextMonthStartMs(monthMs: Long): Long =
+    java.time.Instant.ofEpochMilli(monthMs).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.plusMonths(1).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli
+
+  private def stepMonth(s: MonthState, d: FinalizedCandle): MonthState = {
+    // wavg·volume is integer-valued on candle data (wavg is floored, volume
+    // a long sum); setScale(18) keeps the encoder's Decimal(38,18) exact
+    val wv = d.weighted_average_price.multiply(d.volume)
+      .setScale(18, java.math.RoundingMode.HALF_UP)
+    val ms = d.time_start.getTime
+    if (s == null)
+      MonthState(ms, d.open, ms, d.close, d.low, d.high, d.volume, d.quote_volume,
+        d.max_height, d.txs_count, wv)
+    else {
+      val (fMs, o) = if (ms < s.firstStartMs) (ms, d.open) else (s.firstStartMs, s.open)
+      val (lMs, c) = if (ms > s.lastStartMs) (ms, d.close) else (s.lastStartMs, s.close)
+      MonthState(fMs, o, lMs, c,
+        s.low.min(d.low), s.high.max(d.high),
+        s.volume.add(d.volume), s.quoteVolume.add(d.quote_volume),
+        math.max(s.maxHeight, d.max_height), s.txsCount + d.txs_count,
+        s.wavgVolSum.add(wv))
+    }
+  }
+
+  /** Calendar 1M candles from a stream of finalized 1d candles — the one
+    * interval `window()` genuinely cannot express (variable month length):
+    * `flatMapGroupsWithState` keyed on (month start, pair, matcher) with an
+    * EVENT-TIME timeout at the first instant of the next month — when the
+    * watermark passes the month boundary the group finalizes, emits its
+    * candle exactly once (append mode) and drops its state, so live state
+    * is bounded by (open months × live pairs). The VERDICT r5 #4 closing
+    * move: weeks fell to the window-origin trick, months to this.
+    *
+    * `watermarkDelay` must be NONZERO if the channel can deliver a row
+    * timestamped exactly at the current watermark in a later micro-batch:
+    * flatMapGroupsWithState drops late input with `ts <= watermark`
+    * (windowed aggregations only drop once the window END passes, so they
+    * are immune) — with day-aligned channel timestamps any small delay
+    * clears the boundary (measured: a 0-second delay dropped a day candle
+    * arriving one batch after its equal-timestamp sibling). */
+  def calendarMonthCandles(daily1d: DataFrame, watermarkDelay: String = "1 second"): DataFrame = {
+    val spark = daily1d.sparkSession
+    import spark.implicits._
+    val typed = daily1d.withWatermark("time_start", watermarkDelay)
+      .drop("interval").as[FinalizedCandle]
+    val rows = typed
+      .groupByKey(d => (monthStartMs(d.time_start.getTime),
+        d.amount_asset_id, d.price_asset_id, d.matcher_address))
+      .flatMapGroupsWithState[MonthState, MonthRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case ((monthMs, a, p, m), days, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(MonthRow(new java.sql.Timestamp(monthMs), a, p, m,
+              s.low, s.high, s.volume, s.quoteVolume, s.maxHeight, s.txsCount,
+              s.wavgVolSum, s.open, s.close))
+          } else {
+            val s = days.foldLeft(state.getOption.orNull)(stepMonth)
+            state.update(s)
+            state.setTimeoutTimestamp(nextMonthStartMs(monthMs))
+            Iterator.empty
+          }
+      }
+    rows.toDF()
+      .withColumn("weighted_average_price",
+        floor(col("wavg_vol_sum") / col("volume")).cast(money))
+      .drop("wavg_vol_sum")
+      .withColumn("interval", lit("1M"))
+      .select(ReferenceSchemas.candles.fieldNames.map(c =>
+        col(c).cast(ReferenceSchemas.candles(c).dataType).as(c)).toIndexedSeq: _*)
   }
 
   /** Typed trade event for the stateful path and the replay harness. */
@@ -212,31 +385,36 @@ object StreamingCandles {
   }
 
   /** Replay `trades` through the CHAINED stateful ladder (1-minute windowed
-    * candles re-aggregated to `dst`) in APPEND mode — the ST10 gate form of
-    * the multiple-stateful-aggregation pipeline. Events are replayed in
-    * event-time order (so a 0-second watermark never drops a late chunk)
-    * and a far-future sentinel trade advances the watermark past every real
-    * window at the end: append mode emits each `dst` candle exactly once,
-    * finalized; the sentinel's own window never closes, so it is absent
-    * from the output. */
-  def replayLadder(
+    * candles re-aggregated through each interval of `dsts` in turn) in
+    * APPEND mode — the ST10/ST12 gate form of the multiple-stateful-
+    * aggregation pipeline. Keep chains to ≤ ~5 stateful levels per query
+    * and stage longer ladders over a channel ([[ladderChainFromCandles]],
+    * [[replayCalendar]]) — past ~7 chained stateful aggregations Spark
+    * 4.1's incremental planner blows the driver heap (measured, NOTES.md
+    * r06). Events are replayed in event-time order (so a 0-second watermark
+    * never drops a late chunk) and a far-future sentinel trade advances the
+    * watermark past every real window at the end: append mode emits each
+    * terminal candle exactly once, finalized; the sentinel's own window
+    * never closes, so it is absent from the output. */
+  def replayLadderChain(
       spark: SparkSession,
       trades: Seq[TradeEvent],
       chunk: Int,
-      dst: String): DataFrame = {
-    require(trades.nonEmpty, "replayLadder needs at least one trade")
+      dsts: Seq[String]): DataFrame = {
+    require(trades.nonEmpty && dsts.nonEmpty, "replayLadderChain needs trades and >= 1 edge")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[TradeEvent]
     val name = s"graft_stream_ladder_${seq.incrementAndGet()}"
     val sorted = trades.sortBy(t => (t.timeStampMs, t.uid))
-    val sentinel = TradeEvent(Long.MaxValue, sorted.last.timeStampMs + 30L * 86400000L,
+    val sentinel = TradeEvent(Long.MaxValue, sorted.last.timeStampMs + 90L * 86400000L,
       sorted.head.amountAssetId, sorted.head.priceAssetId, sorted.head.sender,
       sorted.head.height, 1L, sorted.head.price)
     withReplayPartitions(spark) {
-      val ladder = ladderStream(
-        minuteCandlesWindowed(tradeFrame(stream), watermarkDelay = "0 seconds"), dst)
-      val query = ladder.writeStream.outputMode("append")
+      val chained = dsts.init.foldLeft(
+        minuteCandlesWindowed(tradeFrame(stream), watermarkDelay = "0 seconds"))(
+        (df, d) => ladderStreamWindowed(df, d))
+      val query = ladderStream(chained, dsts.last).writeStream.outputMode("append")
         .format("memory").queryName(name)
         .trigger(Trigger.ProcessingTime(10L))
         .start()
@@ -247,6 +425,72 @@ object StreamingCandles {
       } finally query.stop()
     }
     spark.table(name)
+  }
+
+  def replayLadder(spark: SparkSession, trades: Seq[TradeEvent], chunk: Int, dst: String): DataFrame =
+    replayLadderChain(spark, trades, chunk, Seq(dst))
+
+  private def collectFinalized(candles: DataFrame): Seq[FinalizedCandle] = {
+    val fields = ReferenceSchemas.candles.fieldNames.filterNot(_ == "interval")
+    candles.select(fields.map(col).toIndexedSeq: _*).collect().map { r =>
+      FinalizedCandle(r.getTimestamp(0), r.getString(1), r.getString(2), r.getString(12),
+        r.getDecimal(3), r.getDecimal(4), r.getDecimal(5), r.getDecimal(6),
+        r.getInt(7), r.getInt(8), r.getDecimal(9), r.getDecimal(10), r.getDecimal(11))
+    }.sortBy(c => (c.time_start.getTime, c.amount_asset_id, c.price_asset_id, c.matcher_address)).toSeq
+  }
+
+  /** Replay ONE staged query over a channel of finalized candles: chunked
+    * MemoryStream replay in event-time order, append sink, far-future
+    * sentinel so every real group finalizes exactly once. */
+  private def runCandleStage(
+      spark: SparkSession,
+      rows: Seq[FinalizedCandle],
+      chunk: Int,
+      make: DataFrame => DataFrame): DataFrame = {
+    require(rows.nonEmpty, "candle stage replay needs at least one input candle")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val last = rows.last
+    val sentinel = last.copy(time_start =
+      new java.sql.Timestamp(last.time_start.getTime + 400L * 86400000L))
+    val stream = MemoryStream[FinalizedCandle]
+    val name = s"graft_stream_calendar_${seq.incrementAndGet()}"
+    withReplayPartitions(spark) {
+      val query = make(stream.toDS().toDF()).writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(10L))
+        .start()
+      try {
+        rows.grouped(math.max(1, chunk)).foreach { g =>
+          stream.addData(g); query.processAllAvailable()
+        }
+        stream.addData(Seq(sentinel))
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    spark.table(name)
+  }
+
+  /** Replay the full CALENDAR pipeline (ST12) as a STAGED ladder — each
+    * stage one append-mode streaming query, connected by the finalized-
+    * candle channel a production deployment would back with files/Kafka:
+    *
+    *   1. trades → 1m→5m→15m→30m→1h   (5 chained stateful aggs)
+    *   2. 1h     → 3h→6h→12h→1d        (4 chained stateful aggs)
+    *   3. 1d     → 1w ([[calendarWeekCandles]]) and
+    *      1d     → 1M ([[calendarMonthCandles]]) — one query each.
+    *
+    * The edge SEQUENCE is exactly the batch ladder's, so every nested
+    * weighted-average floor matches the batch (and oracle) bit-for-bit.
+    * Returns the union of the 1w and 1M candle sets, each row emitted
+    * exactly once by its query. */
+  def replayCalendar(spark: SparkSession, trades: Seq[TradeEvent], chunk: Int): DataFrame = {
+    val hourly = collectFinalized(
+      replayLadderChain(spark, trades, chunk, Seq("5m", "15m", "30m", "1h")))
+    val daily = collectFinalized(
+      runCandleStage(spark, hourly, chunk, ladderChainFromCandles(_, Seq("3h", "6h", "12h", "1d"))))
+    runCandleStage(spark, daily, chunk, calendarWeekCandles(_))
+      .unionByName(runCandleStage(spark, daily, chunk, calendarMonthCandles(_)))
   }
 
   /** Replay through [[statefulMinuteCandles]] (update mode): per-key

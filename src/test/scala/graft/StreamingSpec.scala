@@ -179,6 +179,30 @@ class StreamingSpec extends SparkSpec {
         s"batch-only: ${expected.exceptAll(streamed).collect().mkString("\n")}")
   }
 
+  test("calendar streaming ladder: 1w/1M candles equal the batch calendar edges (ST12)") {
+    import graft.streaming.StreamingCandles
+    // trades every 8 hours from 2024-01-25: spans two ISO weeks AND the
+    // Jan→Feb month boundary, so both calendar intervals aggregate >1 group
+    val t0 = 1706140800000L // 2024-01-25T00:00:00Z (a Thursday)
+    val events = (0 until 40).map { i =>
+      StreamingCandles.TradeEvent(
+        uid = i.toLong, timeStampMs = t0 + i * 28800000L,
+        amountAssetId = s"A${i % 2}", priceAssetId = "P", sender = "m",
+        height = 3 + i / 10, amount = i % 12 + 1, price = BigDecimal((i % 7 + 1) * 40, 2))
+    }
+    val streamed = StreamingCandles.replayCalendar(spark, events, chunk = 15)
+    val batchInput = asTrades(events.map(e =>
+      Trade(e.uid, new Timestamp(e.timeStampMs).toString, e.amountAssetId,
+        e.priceAssetId, e.sender, e.height, e.amount, e.price.toDouble)).toDF())
+    val expected = Candles.allIntervals(batchInput).filter(col("interval").isin("1w", "1M"))
+    assert(streamed.filter(col("interval") === "1w").count() >= 2)
+    assert(streamed.filter(col("interval") === "1M").count() >= 2)
+    assert(streamed.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(streamed).count() == 0,
+      s"calendar stream diverged:\nstream-only: ${streamed.exceptAll(expected).collect().mkString("\n")}\n" +
+        s"batch-only: ${expected.exceptAll(streamed).collect().mkString("\n")}")
+  }
+
   test("streaming dedup: in-horizon duplicates dropped, state evicted past the watermark (ST9)") {
     import graft.streaming.StreamingDedup
     val t0 = 1704103200000L
