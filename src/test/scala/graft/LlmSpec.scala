@@ -249,6 +249,40 @@ class LlmSpec extends SparkSpec {
     assert(refinedRecall >= 0.6, s"refined recall $refinedRecall (seeded was $recall)")
   }
 
+  test("IVF recall curve: monotone in nprobe, exact at nprobe = numCells") {
+    // VERDICT r5 #6: the gate queries pin ivf/semantic-dedup at ONE
+    // (numCells, nprobe, k) point; this sweep catches silent cell-
+    // assignment regressions the fixed gate can't. Two structural facts
+    // must hold by construction: (a) nearestCells(nprobe) lists are
+    // prefixes of each other, so the candidate set grows with nprobe and
+    // recall@k vs brute force is non-decreasing; (b) probing ALL cells IS
+    // brute force — any assignment bug (a vector landing in no cell, a
+    // probe list missing a cell) breaks the exact-set equality.
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") < 40)
+    for (k <- Seq(1, 5)) {
+      val exact = Similarity.bruteForceTopK(queries, emb, k = k)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val curve = Seq(1, 2, 4, 8, 16).map { nprobe =>
+        val approx = Similarity.ivfTopK(queries, emb, k = k, numCells = 16, nprobe = nprobe)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        nprobe -> approx
+      }
+      val recalls = curve.map { case (p, s) =>
+        p -> (exact.intersect(s).size.toDouble / exact.size)
+      }
+      recalls.sliding(2).foreach {
+        case Seq((p1, r1), (p2, r2)) =>
+          assert(r2 >= r1, s"recall@$k NOT monotone: nprobe $p1->$p2 recall $r1->$r2 ($recalls)")
+        case _ => ()
+      }
+      assert(curve.last._2 == exact,
+        s"nprobe = numCells must equal brute force at k=$k: " +
+          s"missing ${exact -- curve.last._2}, extra ${curve.last._2 -- exact}")
+    }
+  }
+
   test("refineCentroids: Lloyd step keeps cell count, dimension, and empty-cell fallback") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .withColumn("embedding", col("embedding").cast("array<double>"))
