@@ -657,7 +657,9 @@ object AggQueries {
             r.getAs[String]("amount_asset_id"), r.getAs[String]("price_asset_id"),
             r.getAs[String]("sender"), r.getAs[Int]("height"),
             r.getAs[Long]("amount"), BigDecimal(r.getAs[java.math.BigDecimal]("price"))))
-        val cal = StreamingCandles.replayCalendar(s, rows.toSeq, chunk = 2000)
+        // chunk > slice size: one data micro-batch + the sentinel batch per
+        // staged query — the gate pays query fixed cost, not batch rounds
+        val cal = StreamingCandles.replayCalendar(s, rows.toSeq, chunk = 4096)
         cal.select(col("interval") +: candleOutCols: _*)
           .orderBy("interval", "time_start_epoch", "amount_asset_id", "price_asset_id", "matcher_address")
       },

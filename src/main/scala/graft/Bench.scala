@@ -70,25 +70,34 @@ object Bench {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     val histPath = Paths.get("bench_history.jsonl")
     val thisRun = jsonLine(results)
-    try Files.write(histPath, (thisRun + "\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    catch { case e: java.io.IOException => System.err.println(s"bench_history append failed: $e") }
+    // dev subset runs (BENCH_ONLY) stay out of the history — a 4-query
+    // warm-JVM sample would contaminate the full run's cross-run medians
+    if (only.isEmpty) {
+      try Files.write(histPath, (thisRun + "\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      catch { case e: java.io.IOException => System.err.println(s"bench_history append failed: $e") }
+    }
     val priorRuns: Seq[Map[String, Double]] =
       try {
-        if (Files.exists(histPath)) {
+        if (only.isEmpty && Files.exists(histPath)) {
           import scala.jdk.CollectionConverters._
           Files.readAllLines(histPath).asScala.toSeq
             .filter(_.contains("\"sf\":\"" + sfDir + "\""))
-            .dropRight(1).takeRight(2) // this run is already on disk; window = 3 runs
             .map(parseQueries)
+            // only runs over the SAME query set are comparable samples
+            .filter(_.keySet == results.keySet)
+            .dropRight(1).takeRight(2) // this run is already on disk; window = 3 runs
         } else Nil
       } catch { case _: java.io.IOException => Nil }
     val merged = results.map { case (name, v) =>
       name -> median(priorRuns.flatMap(_.get(name)) :+ v)
     }
     val line = jsonLine(merged)
-    try Files.write(Paths.get("bench_out.json"), (line + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException => System.err.println(s"bench_out.json write failed: $e") }
+    // bench_out.json is the artifact of record — only FULL runs replace it
+    if (only.isEmpty) {
+      try Files.write(Paths.get("bench_out.json"), (line + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException => System.err.println(s"bench_out.json write failed: $e") }
+    }
     // stop FIRST so nothing (shutdown warnings, progress lines) can land on
     // stdout after the JSON: the driver parses the FINAL stdout line, and
     // BENCH_r05's tail captured the line head-truncated (VERDICT r5 #3)

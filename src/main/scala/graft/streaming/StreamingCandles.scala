@@ -347,12 +347,23 @@ object StreamingCandles {
   /** Run `body` with a reduced shuffle-partition count: a streaming query
     * snapshots the conf at start, and each micro-batch writes one state
     * file per state partition — 32 partitions for a bounded replay is pure
-    * fixed cost (the production query keeps the session default). */
-  private def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try body finally spark.conf.set(key, prev)
+    * fixed cost (the production query keeps the session default; 4 was the
+    * measured sweet spot vs 1/2/8). `codegen = false` for DEEP chains only
+    * (≥ ~4 chained stateful aggregations): those generate >64 KB hashAgg
+    * methods that FAIL Janino compilation, and the failed attempt is
+    * retried per stage per micro-batch (measured: the dominant cost of the
+    * st12 replay) — interpreted mode on a bounded replay's row counts is
+    * strictly cheaper than compiling. Shallow replays KEEP codegen: their
+    * methods compile fine and the compiled kernels win (st10 regressed
+    * ~25% under a blanket off switch). */
+  private def withReplayPartitions[A](spark: SparkSession, codegen: Boolean = true)(body: => A): A = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val cKey = "spark.sql.codegen.wholeStage"
+    val prevP = spark.conf.get(pKey)
+    val prevC = spark.conf.get(cKey)
+    spark.conf.set(pKey, "4")
+    spark.conf.set(cKey, codegen.toString)
+    try body finally { spark.conf.set(pKey, prevP); spark.conf.set(cKey, prevC) }
   }
 
   private[graft] def tradeFrame(stream: MemoryStream[TradeEvent]): DataFrame =
@@ -410,7 +421,8 @@ object StreamingCandles {
     val sentinel = TradeEvent(Long.MaxValue, sorted.last.timeStampMs + 90L * 86400000L,
       sorted.head.amountAssetId, sorted.head.priceAssetId, sorted.head.sender,
       sorted.head.height, 1L, sorted.head.price)
-    withReplayPartitions(spark) {
+    // 1 (minute agg) + dsts.length stateful levels; deep chains skip codegen
+    withReplayPartitions(spark, codegen = dsts.length < 3) {
       val chained = dsts.init.foldLeft(
         minuteCandlesWindowed(tradeFrame(stream), watermarkDelay = "0 seconds"))(
         (df, d) => ladderStreamWindowed(df, d))
@@ -439,37 +451,52 @@ object StreamingCandles {
     }.sortBy(c => (c.time_start.getTime, c.amount_asset_id, c.price_asset_id, c.matcher_address)).toSeq
   }
 
-  /** Replay ONE staged query over a channel of finalized candles: chunked
-    * MemoryStream replay in event-time order, append sink, far-future
-    * sentinel so every real group finalizes exactly once. */
-  private def runCandleStage(
+  /** Replay staged queries over a channel of finalized candles: chunked
+    * MemoryStream replay in event-time order, append sinks, far-future
+    * sentinel so every real group finalizes exactly once. All `makes` run
+    * CONCURRENTLY over their own copy of the channel (each streaming query
+    * has its own execution thread; `processAllAvailable` only waits) —
+    * exactly how a production deployment runs the independent calendar
+    * queries against one channel. */
+  private def runCandleStages(
       spark: SparkSession,
       rows: Seq[FinalizedCandle],
       chunk: Int,
-      make: DataFrame => DataFrame): DataFrame = {
+      makes: Seq[DataFrame => DataFrame],
+      codegen: Boolean = true): Seq[DataFrame] = {
     require(rows.nonEmpty, "candle stage replay needs at least one input candle")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val last = rows.last
     val sentinel = last.copy(time_start =
       new java.sql.Timestamp(last.time_start.getTime + 400L * 86400000L))
-    val stream = MemoryStream[FinalizedCandle]
-    val name = s"graft_stream_calendar_${seq.incrementAndGet()}"
-    withReplayPartitions(spark) {
-      val query = make(stream.toDS().toDF()).writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(Trigger.ProcessingTime(10L))
-        .start()
+    val streams = makes.map(_ => MemoryStream[FinalizedCandle])
+    val names = makes.map(_ => s"graft_stream_calendar_${seq.incrementAndGet()}")
+    withReplayPartitions(spark, codegen) {
+      val queries = makes.lazyZip(streams).lazyZip(names).map { (make, stream, name) =>
+        make(stream.toDS().toDF()).writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.ProcessingTime(10L))
+          .start()
+      }
       try {
         rows.grouped(math.max(1, chunk)).foreach { g =>
-          stream.addData(g); query.processAllAvailable()
+          streams.foreach(_.addData(g)); queries.foreach(_.processAllAvailable())
         }
-        stream.addData(Seq(sentinel))
-        query.processAllAvailable()
-      } finally query.stop()
+        streams.foreach(_.addData(Seq(sentinel)))
+        queries.foreach(_.processAllAvailable())
+      } finally queries.foreach(_.stop())
     }
-    spark.table(name)
+    names.map(spark.table)
   }
+
+  private def runCandleStage(
+      spark: SparkSession,
+      rows: Seq[FinalizedCandle],
+      chunk: Int,
+      make: DataFrame => DataFrame,
+      codegen: Boolean = true): DataFrame =
+    runCandleStages(spark, rows, chunk, Seq(make), codegen).head
 
   /** Replay the full CALENDAR pipeline (ST12) as a STAGED ladder — each
     * stage one append-mode streaming query, connected by the finalized-
@@ -488,9 +515,11 @@ object StreamingCandles {
     val hourly = collectFinalized(
       replayLadderChain(spark, trades, chunk, Seq("5m", "15m", "30m", "1h")))
     val daily = collectFinalized(
-      runCandleStage(spark, hourly, chunk, ladderChainFromCandles(_, Seq("3h", "6h", "12h", "1d"))))
-    runCandleStage(spark, daily, chunk, calendarWeekCandles(_))
-      .unionByName(runCandleStage(spark, daily, chunk, calendarMonthCandles(_)))
+      runCandleStage(spark, hourly, chunk,
+        ladderChainFromCandles(_, Seq("3h", "6h", "12h", "1d")), codegen = false))
+    runCandleStages(spark, daily, chunk,
+      Seq(calendarWeekCandles(_), calendarMonthCandles(_)))
+      .reduce(_.unionByName(_))
   }
 
   /** Replay through [[statefulMinuteCandles]] (update mode): per-key

@@ -274,6 +274,76 @@ class ReplaySpec extends SparkSpec {
     assert(ChainSync.lastAppliedBatch(spark, dir) == 2L)
   }
 
+  test("incremental persist: randomized append/rollback/crash interleavings always load the fold") {
+    // Property-style chaos drive over the NEWEST path (segment reuse +
+    // rollback invalidation + two-phase publish): a fixed-seed random walk
+    // of appends (some jumping height buckets), rollbacks, clean persists
+    // and crash-injected persists. Invariant after every clean persist:
+    // load(dir) == the in-memory fold; after every crashed persist:
+    // load(dir) == the last successfully PUBLISHED fold.
+    val rnd = new scala.util.Random(20260813L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-chaos-").toString
+    final class SimulatedCrash extends RuntimeException("chaos crash")
+    val crashTables = Vector("blocks_microblocks", "txs_7", "candles", "sync_meta")
+
+    var state = ChainSync.emptyState(spark)
+    var applied = Vector.empty[RawBlock] // surviving chain in order
+    var height = 100
+    var n = 0
+    var batchId = 0L
+    var published: Option[(ChainState, Long)] = None
+
+    def verifyLoaded(expect: ChainState, expectBatch: Long, label: String): Unit = {
+      val loaded = ChainSync.load(spark, dir)
+      same(loaded.blocks, expect.blocks, s"$label blocks")
+      same(loaded.facts("txs_7"), expect.facts("txs_7"), s"$label txs_7")
+      same(loaded.candles, expect.candles, s"$label candles")
+      same(loaded.assetUpdates, expect.assetUpdates, s"$label asset_updates")
+      assert(ChainSync.lastAppliedBatch(spark, dir) == expectBatch, label)
+    }
+
+    for (step <- 1 to 16) {
+      rnd.nextInt(10) match {
+        case r if r <= 4 || applied.size < 2 => // append (bucket jump 1 in 4)
+          n += 1
+          height += (if (rnd.nextInt(4) == 0) 400 + rnd.nextInt(1200) else 1 + rnd.nextInt(3))
+          val b = bucketBlock(s"c$n", height, n, s"t$n")
+          state = fold(state, b)
+          applied :+= b
+        case r if r <= 6 => // rollback to a random surviving block
+          val keep = 1 + rnd.nextInt(applied.size - 1)
+          state = fold(state, RawRollback(applied(keep - 1).id))
+          applied = applied.take(keep)
+          height = applied.last.height
+        case r if r <= 8 => // clean persist + full invariant check
+          batchId += 1
+          ChainSync.persist(state, dir, lastBatchId = batchId)
+          published = Some((state, batchId))
+          verifyLoaded(state, batchId, s"step $step clean persist")
+        case _ => // crash-injected persist: the publish must not happen
+          val crashOn = crashTables(rnd.nextInt(crashTables.length))
+          intercept[SimulatedCrash] {
+            ChainSync.persist(state, dir, lastBatchId = batchId + 1,
+              onTableWritten = t => if (t == crashOn) throw new SimulatedCrash)
+          }
+          published match {
+            case Some((p, b)) => verifyLoaded(p, b, s"step $step crash on $crashOn")
+            case None => assert(!new java.io.File(s"$dir/_CURRENT").exists(),
+              s"step $step: crashed first persist must not publish")
+          }
+      }
+    }
+    // terminal invariant: a final clean persist round-trips, and the fold
+    // equals a clean replay of only the surviving blocks
+    batchId += 1
+    ChainSync.persist(state, dir, lastBatchId = batchId)
+    verifyLoaded(state, batchId, "terminal persist")
+    val clean = fold(ChainSync.emptyState(spark), applied: _*)
+    same(state.blocks, clean.blocks, "terminal blocks vs clean replay")
+    same(state.candles, clean.candles, "terminal candles vs clean replay")
+    same(state.facts("txs_7"), clean.facts("txs_7"), "terminal txs_7 vs clean replay")
+  }
+
   test("persist/load resumes the uid generator — no tx-uid collisions at the tip height") {
     val dir = java.nio.file.Files.createTempDirectory("graft-state-").toString
     val state = fold(ChainSync.emptyState(spark), block1)
