@@ -370,12 +370,27 @@ object ChainSync {
       val refs = Seq.newBuilder[SegmentRef]
       refs ++= kept
       // newly frozen range: buckets the tip has moved past (or rollback
-      // invalidated) — written ONCE, reused by every later manifest
+      // invalidated) — written ONCE, reused by every later manifest.
+      // SPAN-CAPPED into absolute-aligned windows of FrozenSegmentSpan
+      // buckets: a single wide segment (the bootstrap persist would freeze
+      // [0, tip-1] in one piece) turns any later sub-tip rollback into an
+      // O(corpus) rewrite, because a frozen segment whose hi reaches past
+      // the rewrite boundary is invalidated WHOLE. With the cap, a rollback
+      // re-writes at most (span - 1) clean buckets plus the genuinely
+      // invalidated ones; steady-state tip advances still freeze exactly
+      // one bucket per segment. Absolute alignment (window = bucket/span)
+      // keeps window boundaries stable across persists.
       if (fps.keys.exists(b => b >= freezeLo && b < tipBucket)) {
         val lo = math.max(freezeLo, fps.keys.min.toLong).toInt
-        val rel = s"segments/$name/s$version-f"
-        TableStore.writeFactSegment(df, s"$dir/$rel", lo, tipBucket - 1, sortCol = sortCol)
-        refs += SegmentRef(name, rel, lo, tipBucket - 1, frozen = true)
+        (lo / FrozenSegmentSpan to (tipBucket - 1) / FrozenSegmentSpan).foreach { w =>
+          val clipLo = math.max(lo, w * FrozenSegmentSpan)
+          val clipHi = math.min(tipBucket - 1, (w + 1) * FrozenSegmentSpan - 1)
+          if (fps.keys.exists(b => b >= clipLo && b <= clipHi)) {
+            val rel = s"segments/$name/s$version-f$w"
+            TableStore.writeFactSegment(df, s"$dir/$rel", clipLo, clipHi, sortCol = sortCol)
+            refs += SegmentRef(name, rel, clipLo, clipHi, frozen = true)
+          }
+        }
       }
       // tip segment: rewritten every persist (squash/rollback may mutate it)
       if (tipBucket >= 0) {
@@ -415,6 +430,11 @@ object ChainSync {
   }
 
   // ---- versioned-layout plumbing (two-phase commit) ----------------------
+
+  /** Maximum height buckets one frozen segment may cover (rollback
+    * invalidates frozen segments WHOLE, so the span bounds the rewrite
+    * amplification of a sub-tip rollback at O(span), not O(history)). */
+  private[graft] val FrozenSegmentSpan = 8
 
   /** One immutable fact segment: rows of `table` whose height bucket lies
     * in [lo, hi], written once at some version, referenced (not rewritten)

@@ -217,11 +217,11 @@ class ReplaySpec extends SparkSpec {
     val m3 = ChainSync.readManifest(spark, s"$dir/v3").get
     val blocksSegs3 = m3.segments.filter(s => s.table == "blocks_microblocks" && s.frozen)
     assert(blocksSegs3.map(_.relPath).toSet ==
-      Set("segments/blocks_microblocks/s1-f", "segments/blocks_microblocks/s3-f"), s"$blocksSegs3")
+      Set("segments/blocks_microblocks/s1-f0", "segments/blocks_microblocks/s3-f0"), s"$blocksSegs3")
     assert(m3.segments.filter(_.relPath.contains("s3-f")).forall(s => s.lo == 2 && s.hi == 2))
     val new3 = segFiles(dir) -- after2
-    assert(new3.forall(f => f.contains("/s3-f/") || f.contains("/s3-t/")),
-      s"history rewritten on tip advance: ${new3.filterNot(f => f.contains("/s3-f/") || f.contains("/s3-t/"))}")
+    assert(new3.forall(f => f.contains("/s3-f") || f.contains("/s3-t/")),
+      s"history rewritten on tip advance: ${new3.filterNot(f => f.contains("/s3-f") || f.contains("/s3-t/"))}")
     val loaded3 = ChainSync.load(spark, dir)
     same(loaded3.facts("txs_7"), s3.facts("txs_7"), "tip-advance txs_7")
     same(loaded3.blocks, s3.blocks, "tip-advance blocks")
@@ -249,6 +249,38 @@ class ReplaySpec extends SparkSpec {
       bucketBlock("h1", 100, 0, "x1"), bucketBlock("h2", 1100, 1, "x2"))
     same(loaded.blocks, clean.blocks, "post-rollback blocks vs clean")
     same(loaded.candles, clean.candles, "post-rollback candles vs clean")
+  }
+
+  test("incremental persist: frozen spans are capped — a shallow rollback rewrites O(span), not O(history)") {
+    // Bootstrap a chain spanning 10 height buckets (two span-8 windows),
+    // then roll back INTO bucket 8. Without the span cap the bootstrap
+    // would have frozen [0,8] as one segment and the rollback would force
+    // a full-history rewrite; with it, window 0's segment [0,7] must be
+    // reused untouched and only the tip bucket is rewritten.
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-span-").toString
+    val blocks = (0 to 9).map(b => bucketBlock(s"w$b", 100 + b * 1000, b, s"wx$b"))
+    val s1 = fold(ChainSync.emptyState(spark), blocks: _*)
+    ChainSync.persist(s1, dir)
+    val m1 = ChainSync.readManifest(spark, s"$dir/v1").get
+    val frozen1 = m1.segments.filter(s => s.table == "blocks_microblocks" && s.frozen)
+    assert(frozen1.map(s => (s.lo, s.hi)).toSet == Set((0, 7), (8, 8)),
+      s"bootstrap freeze not span-capped: $frozen1")
+    val after1 = segFiles(dir)
+
+    val rolled = fold(s1, RawRollback("w8")) // bucket 9 gone; bucket 8 is the tip
+    ChainSync.persist(rolled, dir)
+    val m2 = ChainSync.readManifest(spark, s"$dir/v2").get
+    // window 0 reused by reference for EVERY table; no frozen rewrite at all
+    assert(m2.segments.filter(_.frozen) == m1.segments.filter(s => s.frozen && s.hi <= 7),
+      s"window-0 segments not reused: ${m2.segments.filter(_.frozen)}")
+    val new2 = segFiles(dir) -- after1
+    assert(new2.nonEmpty && new2.forall(_.contains("/s2-t/")),
+      s"shallow rollback rewrote history: ${new2.filterNot(_.contains("/s2-t/"))}")
+    val loaded = ChainSync.load(spark, dir)
+    same(loaded.blocks, rolled.blocks, "span-cap blocks")
+    same(loaded.facts("txs_7"), rolled.facts("txs_7"), "span-cap txs_7")
+    val clean = fold(ChainSync.emptyState(spark), blocks.take(9): _*)
+    same(loaded.blocks, clean.blocks, "span-cap blocks vs clean replay")
   }
 
   test("incremental persist: crash between segment write and publish keeps the previous state") {
