@@ -52,6 +52,29 @@ class PlanShapeSpec extends SparkSpec {
       s"columns not pruned:\n$plan")
   }
 
+  test("segment-loaded state: height filter and column pruning reach the multi-path parquet scan") {
+    // The incremental persist reads facts back as a MULTI-PATH scan over
+    // frozen + tip segments; at 100 TB the whole design only works if a
+    // height predicate prunes at the scan (segments are written sorted by
+    // height, so row groups carry tight min/max) and projection prunes
+    // columns. Guard both against regressing into a post-scan filter.
+    import graft.operators.ChainSync
+    import graft.convert.{RawBlock, RawUpdate}
+    val sdir = java.nio.file.Files.createTempDirectory("graft-plan-seg-").toString
+    val st = ChainSync.handleUpdates(spark, ChainSync.emptyState(spark), Seq[RawUpdate](
+      RawBlock("p1", 100, Some(1704100000000L), Some(1L), Nil),
+      RawBlock("p2", 1100, Some(1704100060000L), Some(1L), Nil),
+      RawBlock("p3", 2100, Some(1704100120000L), Some(1L), Nil)))
+    ChainSync.persist(st, sdir)
+    val q = ChainSync.load(spark, sdir).blocks
+      .filter(col("height") >= 1000).select("uid", "height")
+    val plan = executed(q)
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(height,1000)"),
+      s"height filter not pushed to the segment scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<uid:bigint,height:int>"),
+      s"columns not pruned on the segment scan:\n$plan")
+  }
+
   test("LSH candidate generation performs no cross joins") {
     val cands = graft.llm.Dedup.minhashLshCandidates(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))

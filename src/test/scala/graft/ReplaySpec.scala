@@ -462,6 +462,95 @@ class ReplaySpec extends SparkSpec {
     same(last.get.candles, direct.candles, "restarted candles")
   }
 
+  test("restart chaos: repeated crash/replay cycles over startChainSync converge to the clean fold") {
+    // The production restart story end-to-end, randomized: a global batch
+    // schedule grows across 5 simulated process lifetimes. Each lifetime
+    // resumes from the durable store (load + lastAppliedBatch seed),
+    // re-serves the ENTIRE schedule from batch 0 — replayed ids must be
+    // skipped, never double-applied — and then "crashes": one batch's
+    // persist dies mid-write (two-phase: the previous version must keep
+    // loading) and later batches are folded in memory but never persisted
+    // (durable state lags the dead process, exactly a crash). The final
+    // lifetime persists everything; the durable state must equal a clean
+    // batch-structured fold of the surviving blocks.
+    import graft.streaming.MicroBatchPipeline
+    import graft.streaming.MicroBatchPipeline.UpdateEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(0xC6A05L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart-chaos-").toString
+    final class SimulatedCrash extends RuntimeException("restart chaos crash")
+    val crashTables = Vector("blocks_microblocks", "txs_7", "candles", "sync_meta")
+    def publishedYet: Boolean = new java.io.File(s"$dir/_CURRENT").exists()
+
+    var schedule = Vector.empty[Seq[RawUpdate]]
+    var survivors = Vector.empty[RawBlock] // expected chain after the full schedule
+    var height = 100
+    var n = 0
+
+    for (run <- 1 to 5) {
+      // extend the schedule: 1-3 new batches of appends (bucket jumps) and
+      // occasional rollbacks, tracking the expected surviving chain
+      (1 to 1 + rnd.nextInt(3)).foreach { _ =>
+        val batch = (1 to 1 + rnd.nextInt(2)).map { _ =>
+          if (survivors.size >= 2 && rnd.nextInt(5) == 0) {
+            val keep = 1 + rnd.nextInt(survivors.size - 1)
+            val rb = RawRollback(survivors(keep - 1).id)
+            survivors = survivors.take(keep)
+            height = survivors.last.height
+            rb
+          } else {
+            n += 1
+            height += (if (rnd.nextInt(4) == 0) 700 + rnd.nextInt(900) else 1 + rnd.nextInt(3))
+            val b = bucketBlock(s"r$n", height, n, s"rt$n")
+            survivors :+= b
+            b
+          }
+        }
+        schedule :+= batch
+      }
+
+      // a lifetime that crashed before its first publish leaves no durable
+      // state at all — the restart then cold-starts from the empty fold
+      val resuming = run > 1 && publishedYet
+      val loaded = if (resuming) ChainSync.load(spark, dir) else ChainSync.emptyState(spark)
+      val lastBatch = if (resuming) ChainSync.lastAppliedBatch(spark, dir) else -1L
+      // last lifetime survives; earlier ones die at a random NEW batch id
+      val crashAt: Long =
+        if (run == 5) Long.MaxValue
+        else schedule.length - 1L - rnd.nextInt(math.min(2, schedule.length))
+      val crashTable = crashTables(rnd.nextInt(crashTables.length))
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UpdateEvent]
+      val q = MicroBatchPipeline.startChainSync(
+        spark, stream.toDS(), loaded,
+        onBatch = (st, id) =>
+          if (id < crashAt) ChainSync.persist(st, dir, id)
+          else if (id == crashAt)
+            try ChainSync.persist(st, dir, id,
+              onTableWritten = t => if (t == crashTable) throw new SimulatedCrash)
+            catch { case _: SimulatedCrash => () } // the process is "dead": no persist after this
+          , maxWaitMs = 10L, lastAppliedBatch = lastBatch)
+      try {
+        schedule.foreach { batch =>
+          stream.addData(batch.map(UpdateEvent(_)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // after every lifetime the durable store must load SOMETHING
+      // consistent (the last published version) — never throw, never mix
+      if (publishedYet) ChainSync.load(spark, dir).blocks.count()
+    }
+
+    val loaded = ChainSync.load(spark, dir)
+    val clean = schedule.foldLeft(ChainSync.emptyState(spark))((st, b) => fold(st, b: _*))
+    same(loaded.blocks, clean.blocks, "restart-chaos blocks")
+    same(loaded.facts("txs_7"), clean.facts("txs_7"), "restart-chaos txs_7")
+    same(loaded.candles, clean.candles, "restart-chaos candles")
+    same(loaded.assetUpdates, clean.assetUpdates, "restart-chaos asset_updates")
+    // and the batch-structured fold equals the flat replay of the survivors
+    val flat = fold(ChainSync.emptyState(spark), survivors: _*)
+    same(loaded.blocks, flat.blocks, "restart-chaos blocks vs survivor replay")
+  }
+
   test("views compose over the fold state (decimals/tickers/assets)") {
     val state = fold(ChainSync.emptyState(spark), block1, block2)
     val (decimals, tickers, assets) = ChainSync.views(spark, state)
