@@ -296,8 +296,13 @@ object ChainSync {
     * persist writes O(batch) new bytes, not O(corpus) — the reference
     * appends one batch per transaction (`pg.rs:841-872`); rewriting 100 TB
     * of fact history per persist was the one `weak` scale path left in r5.
-    * Candles and the dimension tables are small and genuinely mutated
-    * (MERGE semantics), so they are still rewritten per version.
+    * Candles segment the same way keyed by `time_start` WEEK — the candle
+    * history is O(pairs × active minutes) and grows without bound, while
+    * the fold only mutates it from a recent cut-off (recomputeSince /
+    * rollback), so past weeks freeze; per-week fingerprints detect a deep
+    * rollback's recompute and invalidate from the first changed week. Only
+    * the dimension tables (SCD-2 dims, waves_data — genuinely small, MERGE
+    * semantics) are still rewritten per version.
     *
     * Which buckets are reusable is decided by ONE tiny job over the blocks
     * table: per-bucket (count, Σ xxhash64(uid,id,height,ts)) fingerprints,
@@ -364,43 +369,51 @@ object ChainSync {
       prevManifest.map(_.segments.filter(s => s.frozen && s.hi < boundary).groupBy(_.table))
         .getOrElse(Map.empty)
 
-    def writeSegments(name: String, df: DataFrame, sortCol: String): Seq[SegmentRef] = {
-      val kept = keptByTable.getOrElse(name, Nil)
+    // Shared segment planner for ANY suffix-mutating keyspace (facts by
+    // height bucket, candles by time_start week): reuse kept frozen
+    // segments, freeze newly-passed buckets, rewrite the tip.
+    // Frozen writes are SPAN-CAPPED into absolute-aligned windows of
+    // FrozenSegmentSpan buckets: a single wide segment (the bootstrap
+    // persist would freeze [0, tip-1] in one piece) turns any later
+    // sub-tip rollback into an O(corpus) rewrite, because a frozen segment
+    // whose hi reaches past the rewrite boundary is invalidated WHOLE.
+    // With the cap, a rollback re-writes at most (span - 1) clean buckets
+    // plus the genuinely invalidated ones; steady-state tip advances still
+    // freeze exactly one bucket per segment. Absolute alignment (window =
+    // bucket/span) keeps window boundaries stable across persists.
+    def planSegments(name: String, df: DataFrame,
+        fpsX: Map[Int, (Long, BigDecimal)], tipX: Int, kept: Seq[SegmentRef],
+        bucketCol: org.apache.spark.sql.Column,
+        sortCols: Seq[org.apache.spark.sql.Column]): Seq[SegmentRef] = {
       val freezeLo: Long = kept.map(_.hi).maxOption.map(_ + 1L).getOrElse(Long.MinValue)
       val refs = Seq.newBuilder[SegmentRef]
       refs ++= kept
-      // newly frozen range: buckets the tip has moved past (or rollback
-      // invalidated) — written ONCE, reused by every later manifest.
-      // SPAN-CAPPED into absolute-aligned windows of FrozenSegmentSpan
-      // buckets: a single wide segment (the bootstrap persist would freeze
-      // [0, tip-1] in one piece) turns any later sub-tip rollback into an
-      // O(corpus) rewrite, because a frozen segment whose hi reaches past
-      // the rewrite boundary is invalidated WHOLE. With the cap, a rollback
-      // re-writes at most (span - 1) clean buckets plus the genuinely
-      // invalidated ones; steady-state tip advances still freeze exactly
-      // one bucket per segment. Absolute alignment (window = bucket/span)
-      // keeps window boundaries stable across persists.
-      if (fps.keys.exists(b => b >= freezeLo && b < tipBucket)) {
-        val lo = math.max(freezeLo, fps.keys.min.toLong).toInt
-        (lo / FrozenSegmentSpan to (tipBucket - 1) / FrozenSegmentSpan).foreach { w =>
+      if (fpsX.keys.exists(b => b >= freezeLo && b < tipX)) {
+        val lo = math.max(freezeLo, fpsX.keys.min.toLong).toInt
+        (lo / FrozenSegmentSpan to (tipX - 1) / FrozenSegmentSpan).foreach { w =>
           val clipLo = math.max(lo, w * FrozenSegmentSpan)
-          val clipHi = math.min(tipBucket - 1, (w + 1) * FrozenSegmentSpan - 1)
-          if (fps.keys.exists(b => b >= clipLo && b <= clipHi)) {
+          val clipHi = math.min(tipX - 1, (w + 1) * FrozenSegmentSpan - 1)
+          if (fpsX.keys.exists(b => b >= clipLo && b <= clipHi)) {
             val rel = s"segments/$name/s$version-f$w"
-            TableStore.writeFactSegment(df, s"$dir/$rel", clipLo, clipHi, sortCol = sortCol)
+            TableStore.writeBucketSegment(df, s"$dir/$rel", bucketCol, clipLo, clipHi, sortCols)
             refs += SegmentRef(name, rel, clipLo, clipHi, frozen = true)
           }
         }
       }
       // tip segment: rewritten every persist (squash/rollback may mutate it)
-      if (tipBucket >= 0) {
+      if (tipX >= 0) {
         val rel = s"segments/$name/s$version-t"
-        TableStore.writeFactSegment(df, s"$dir/$rel", tipBucket, tipBucket, sortCol = sortCol)
-        refs += SegmentRef(name, rel, tipBucket, tipBucket, frozen = false)
+        TableStore.writeBucketSegment(df, s"$dir/$rel", bucketCol, tipX, tipX, sortCols)
+        refs += SegmentRef(name, rel, tipX, tipX, frozen = false)
       }
       onTableWritten(name)
       refs.result()
     }
+
+    def writeSegments(name: String, df: DataFrame, sortCol: String): Seq[SegmentRef] =
+      planSegments(name, df, fps, tipBucket, keptByTable.getOrElse(name, Nil),
+        (col("height") / TableStore.HeightBucketSize).cast("int"),
+        Seq(col("height"), col(sortCol)))
 
     // one-row sync_meta carries everything not recoverable from the tables:
     // the uid-generator cursor (so a resume at the same height CONTINUES the
@@ -417,14 +430,40 @@ object ChainSync {
       val sortCol = if (df.columns.contains("uid")) "uid" else "tx_uid" // children key on tx_uid
       segs ++= writeSegments(name, df, sortCol)
     }
-    state.candles.write.mode("overwrite").parquet(s"$vdir/candles")
-    onTableWritten("candles")
+    // Candles: the same incremental machinery keyed by time_start WEEK.
+    // The fold mutates candles only from a recent cut-off (recomputeSince/
+    // rollback), so history weeks freeze exactly like passed height
+    // buckets; per-week fingerprints in the manifest detect any rewrite of
+    // an older week (a deep rollback's recompute) and invalidate from
+    // there. Without this the candle history — O(pairs × minutes), which
+    // grows without bound — would be rewritten whole every persist.
+    val cBucketCol = floor(unix_millis(col("time_start")) / lit(CandleBucketMs)).cast("int")
+    val cfpRows = state.candles
+      .groupBy(cBucketCol.as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(xxhash64(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
+          .cast("decimal(38,0)")).as("h"))
+      .collect()
+    val cfps: Map[Int, (Long, BigDecimal)] =
+      cfpRows.map(r => r.getInt(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    val cTip = if (cfps.isEmpty) -1 else cfps.keys.max
+    val prevCfps = prevManifest.map(_.candleFingerprints).getOrElse(Map.empty[Int, (Long, BigDecimal)])
+    val cDirty: Long =
+      if (prevManifest.isEmpty) Long.MinValue
+      else (prevCfps.keySet ++ cfps.keySet).filter(b => prevCfps.get(b) != cfps.get(b))
+        .minOption.map(_.toLong).getOrElse(Long.MaxValue)
+    val cBoundary = math.min(cDirty, cTip.toLong)
+    val cKept = prevManifest.map(_.segments.filter(s =>
+      s.table == "candles" && s.frozen && s.hi < cBoundary)).getOrElse(Nil)
+    segs ++= planSegments("candles", state.candles, cfps, cTip, cKept, cBucketCol,
+      Seq(col("time_start"), col("interval"), col("amount_asset_id"),
+        col("price_asset_id"), col("matcher_address")))
     state.assetUpdates.sort("asset_id", "uid").write.mode("overwrite").parquet(s"$vdir/asset_updates")
     state.assetTickers.sort("asset_id", "uid").write.mode("overwrite").parquet(s"$vdir/asset_tickers")
     state.assetOrigins.sort("asset_id").write.mode("overwrite").parquet(s"$vdir/asset_origins")
     state.wavesData.sort("height").write.mode("overwrite").parquet(s"$vdir/waves_data")
     onTableWritten("waves_data")
-    writeManifest(spark, vdir, fps, segs.result())
+    writeManifest(spark, vdir, fps, cfps, segs.result())
     publishVersion(spark, dir, version)
     cleanupVersions(spark, dir, current = version)
   }
@@ -436,6 +475,10 @@ object ChainSync {
     * amplification of a sub-tip rollback at O(span), not O(history)). */
   private[graft] val FrozenSegmentSpan = 8
 
+  /** Candle history segments by `time_start` week (the candle analog of the
+    * height bucket: the fold only mutates candles from a recent cut-off). */
+  private[graft] val CandleBucketMs = 7L * 86400000L
+
   /** One immutable fact segment: rows of `table` whose height bucket lies
     * in [lo, hi], written once at some version, referenced (not rewritten)
     * by later manifests while frozen. The tip segment (frozen = false) is
@@ -443,18 +486,29 @@ object ChainSync {
   private[graft] final case class SegmentRef(
       table: String, relPath: String, lo: Int, hi: Int, frozen: Boolean)
 
-  /** Per-version manifest: the blocks table's per-bucket (count, Σ hash)
-    * fingerprints — used by the NEXT persist to detect rollback-invalidated
-    * buckets — and the full segment list per fact table. */
+  /** Per-version manifest: the blocks table's per-height-bucket and the
+    * candles table's per-time-bucket (count, Σ hash) fingerprints — used by
+    * the NEXT persist to detect rollback-invalidated buckets — and the full
+    * segment list per table. `candleSegmented` distinguishes a manifest
+    * written by this layout (candles live in segments, possibly zero of
+    * them) from an older full-rewrite manifest (candles live in the
+    * version directory). */
   private[graft] final case class Manifest(
       fingerprints: Map[Int, (Long, BigDecimal)],
-      segments: Seq[SegmentRef])
+      candleFingerprints: Map[Int, (Long, BigDecimal)],
+      segments: Seq[SegmentRef],
+      candleSegmented: Boolean)
 
   private def writeManifest(spark: SparkSession, vdir: String,
-      fps: Map[Int, (Long, BigDecimal)], segs: Seq[SegmentRef]): Unit = {
+      fps: Map[Int, (Long, BigDecimal)],
+      cfps: Map[Int, (Long, BigDecimal)], segs: Seq[SegmentRef]): Unit = {
     val sb = new StringBuilder
+    sb.append("cseg 1\n")
     fps.toSeq.sortBy(_._1).foreach { case (b, (n, h)) =>
       sb.append(s"fp $b $n ${h.toBigInt}\n")
+    }
+    cfps.toSeq.sortBy(_._1).foreach { case (b, (n, h)) =>
+      sb.append(s"cfp $b $n ${h.toBigInt}\n")
     }
     segs.foreach { s =>
       sb.append(s"seg ${s.table} ${s.relPath} ${s.lo} ${s.hi} ${if (s.frozen) 1 else 0}\n")
@@ -479,17 +533,21 @@ object ChainSync {
           new String(bos.toByteArray, "UTF-8")
         } finally in.close()
       val fps = Map.newBuilder[Int, (Long, BigDecimal)]
+      val cfps = Map.newBuilder[Int, (Long, BigDecimal)]
       val segs = Seq.newBuilder[SegmentRef]
+      var cseg = false
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         line.split(' ') match {
+          case Array("cseg", "1") => cseg = true
           case Array("fp", b, n, h) => fps += b.toInt -> ((n.toLong, BigDecimal(h)))
+          case Array("cfp", b, n, h) => cfps += b.toInt -> ((n.toLong, BigDecimal(h)))
           case Array("seg", t, p, lo, hi, fz) =>
             segs += SegmentRef(t, p, lo.toInt, hi.toInt, fz == "1")
           case other => throw new IllegalStateException(
             s"corrupt manifest line in $vdir: ${other.mkString(" ")}")
         }
       }
-      Some(Manifest(fps.result(), segs.result()))
+      Some(Manifest(fps.result(), cfps.result(), segs.result(), cseg))
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
@@ -590,7 +648,8 @@ object ChainSync {
     val (lastHeight, nextIdx, _) = readMeta(spark, dir)
     def read(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
       manifest match {
-        case Some(m) if path.startsWith("txs_") || path == "blocks_microblocks" =>
+        case Some(m) if path.startsWith("txs_") || path == "blocks_microblocks" ||
+            (path == "candles" && m.candleSegmented) =>
           val paths = m.segments.filter(_.table == path).map(s => s"$dir/${s.relPath}")
           if (paths.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -48,11 +48,24 @@ object TableStore {
       loBucket: Int,
       hiBucket: Int,
       heightCol: String = "height",
-      sortCol: String = "uid"): Unit = {
-    val bucket = (col(heightCol) / HeightBucketSize).cast("int")
-    df.filter(bucket.between(loBucket, hiBucket))
-      .repartitionByRange(math.max(1, hiBucket - loBucket + 1), col(heightCol))
-      .sortWithinPartitions(col(heightCol), col(sortCol))
+      sortCol: String = "uid"): Unit =
+    writeBucketSegment(df, path,
+      (col(heightCol) / HeightBucketSize).cast("int"), loBucket, hiBucket,
+      Seq(col(heightCol), col(sortCol)))
+
+  /** [[writeFactSegment]] generalized to ANY integer bucketing expression —
+    * the candle history segments by `time_start` week the same way fact
+    * tables segment by height bucket. */
+  def writeBucketSegment(
+      df: DataFrame,
+      path: String,
+      bucketCol: org.apache.spark.sql.Column,
+      loBucket: Int,
+      hiBucket: Int,
+      sortCols: Seq[org.apache.spark.sql.Column]): Unit = {
+    df.filter(bucketCol.between(loBucket, hiBucket))
+      .repartitionByRange(math.max(1, hiBucket - loBucket + 1), sortCols.head)
+      .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite")
       .parquet(path)
   }

@@ -189,10 +189,15 @@ class ReplaySpec extends SparkSpec {
     ChainSync.persist(s1, dir)
     val after1 = segFiles(dir)
     val m1 = ChainSync.readManifest(spark, s"$dir/v1").get
-    val frozen1 = m1.segments.filter(_.frozen)
-    // buckets 0..1 froze (tip = bucket 2); the tip segment is separate
+    // height-keyed tables freeze buckets 0..1 (tip = bucket 2); candle
+    // segments are keyed by time_start week and asserted separately
+    val heightSegs1 = m1.segments.filterNot(_.table == "candles")
+    val frozen1 = heightSegs1.filter(_.frozen)
     assert(frozen1.nonEmpty && frozen1.forall(s => s.lo == 0 && s.hi == 1), s"$frozen1")
-    assert(m1.segments.filterNot(_.frozen).forall(s => s.lo == 2 && s.hi == 2))
+    assert(heightSegs1.filterNot(_.frozen).forall(s => s.lo == 2 && s.hi == 2))
+    // the minute-spaced trades land in ONE candle week: a single tip segment
+    val cSegs1 = m1.segments.filter(_.table == "candles")
+    assert(cSegs1.size == 1 && !cSegs1.head.frozen, s"$cSegs1")
 
     // append at the SAME tip bucket: every frozen segment is reused by
     // reference, and the only files written belong to the new tip segments
@@ -240,7 +245,8 @@ class ReplaySpec extends SparkSpec {
     val rolled = fold(s1, RawRollback("h2"))
     ChainSync.persist(rolled, dir)
     val m2 = ChainSync.readManifest(spark, s"$dir/v2").get
-    assert(m2.segments.forall(_.hi <= 1), s"rolled-back bucket still referenced: ${m2.segments}")
+    assert(m2.segments.filterNot(_.table == "candles").forall(_.hi <= 1),
+      s"rolled-back bucket still referenced: ${m2.segments}")
     val loaded = ChainSync.load(spark, dir)
     same(loaded.blocks, rolled.blocks, "post-rollback blocks")
     same(loaded.facts("txs_7"), rolled.facts("txs_7"), "post-rollback txs_7")
@@ -281,6 +287,55 @@ class ReplaySpec extends SparkSpec {
     same(loaded.facts("txs_7"), rolled.facts("txs_7"), "span-cap txs_7")
     val clean = fold(ChainSync.emptyState(spark), blocks.take(9): _*)
     same(loaded.blocks, clean.blocks, "span-cap blocks vs clean replay")
+  }
+
+  test("incremental persist: candle history freezes by week; tip-week appends reuse frozen weeks") {
+    // Candles segment by time_start week the way facts segment by height
+    // bucket — but the fold's recompute cut snaps to the CURRENT MONTH
+    // start (the 1M ladder edge), so every append legitimately dirties the
+    // week holding the month's first day: frozen reuse stabilizes for
+    // weeks OLDER than the current month (O(month) rewrite per persist,
+    // never O(history)). Three blocks ~5 weeks apart (Jan / Feb / Mar
+    // 2024); an append in March must reuse the frozen segment that holds
+    // the January+February weeks untouched.
+    val week = 7 * 24 * 60 // bucketBlock's tsOffset unit is minutes
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-cw-").toString
+    val s1 = fold(ChainSync.emptyState(spark),
+      bucketBlock("cw1", 100, 0, "cx1"), bucketBlock("cw2", 200, 5 * week, "cx2"),
+      bucketBlock("cw3", 300, 10 * week, "cx3"))
+    ChainSync.persist(s1, dir)
+    val m1 = ChainSync.readManifest(spark, s"$dir/v1").get
+    val c1 = m1.segments.filter(_.table == "candles")
+    assert(c1.count(_.frozen) >= 2 && c1.count(!_.frozen) == 1,
+      s"candle weeks did not freeze: $c1")
+    val marchStartWeek = (1709251200000L / ChainSync.CandleBucketMs).toInt // 2024-03-01
+    val janFebSegs = c1.filter(s => s.frozen && s.hi < marchStartWeek)
+    assert(janFebSegs.nonEmpty, s"$c1")
+    val after1 = segFiles(dir)
+
+    // append another block in mid-March: the recompute cut snaps to Mar 1,
+    // so the Jan+Feb frozen weeks are reused by reference and no candle
+    // file below the March window is rewritten
+    val s2 = fold(s1, bucketBlock("cw4", 400, 10 * week + 30, "cx4"))
+    ChainSync.persist(s2, dir)
+    val m2 = ChainSync.readManifest(spark, s"$dir/v2").get
+    assert(janFebSegs.forall(m2.segments.contains),
+      s"pre-March frozen candle weeks not reused:\n${m2.segments.filter(_.table == "candles")}\nvs kept\n$janFebSegs")
+    val newCandleFiles = (segFiles(dir) -- after1).filter(_.startsWith("segments/candles/"))
+    assert(newCandleFiles.nonEmpty && newCandleFiles.forall(f =>
+      f.contains("/s2-t/") || f.contains(s"/s2-f${marchStartWeek / ChainSync.FrozenSegmentSpan}/")),
+      s"candle history below March rewritten on tip append: $newCandleFiles")
+    same(ChainSync.load(spark, dir).candles, s2.candles, "tip-append candles")
+
+    // rollback to the February block: March candles disappear, the
+    // fingerprint diff invalidates from the cut, and load matches the fold
+    val rolled = fold(s2, RawRollback("cw2"))
+    ChainSync.persist(rolled, dir)
+    val loaded = ChainSync.load(spark, dir)
+    same(loaded.candles, rolled.candles, "post-rollback candles")
+    val clean = fold(ChainSync.emptyState(spark),
+      bucketBlock("cw1", 100, 0, "cx1"), bucketBlock("cw2", 200, 5 * week, "cx2"))
+    same(loaded.candles, clean.candles, "post-rollback candles vs clean replay")
   }
 
   test("incremental persist: crash between segment write and publish keeps the previous state") {
