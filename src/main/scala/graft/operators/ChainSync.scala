@@ -461,8 +461,19 @@ object ChainSync {
     state.assetUpdates.sort("asset_id", "uid").write.mode("overwrite").parquet(s"$vdir/asset_updates")
     state.assetTickers.sort("asset_id", "uid").write.mode("overwrite").parquet(s"$vdir/asset_tickers")
     state.assetOrigins.sort("asset_id").write.mode("overwrite").parquet(s"$vdir/asset_origins")
-    state.wavesData.sort("height").write.mode("overwrite").parquet(s"$vdir/waves_data")
-    onTableWritten("waves_data")
+    // waves_data: append-only by CONSTRUCTION (insert-ignore keyed by
+    // height; rollback never deletes it — first-writer wins on re-append),
+    // so every previously frozen segment is reusable unconditionally and
+    // no fingerprints are needed; only the tip bucket is rewritten.
+    val wBucketCol = (col("height") / TableStore.HeightBucketSize).cast("int")
+    val wBuckets: Map[Int, (Long, BigDecimal)] = state.wavesData
+      .groupBy(wBucketCol.as("b")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), BigDecimal(0)))).toMap
+    val wTip = if (wBuckets.isEmpty) -1 else wBuckets.keys.max
+    val wKept = prevManifest.map(_.segments.filter(s =>
+      s.table == "waves_data" && s.frozen)).getOrElse(Nil)
+    segs ++= planSegments("waves_data", state.wavesData, wBuckets, wTip, wKept,
+      wBucketCol, Seq(col("height")))
     writeManifest(spark, vdir, fps, cfps, segs.result())
     publishVersion(spark, dir, version)
     cleanupVersions(spark, dir, current = version)
@@ -497,13 +508,15 @@ object ChainSync {
       fingerprints: Map[Int, (Long, BigDecimal)],
       candleFingerprints: Map[Int, (Long, BigDecimal)],
       segments: Seq[SegmentRef],
-      candleSegmented: Boolean)
+      candleSegmented: Boolean,
+      wavesSegmented: Boolean)
 
   private def writeManifest(spark: SparkSession, vdir: String,
       fps: Map[Int, (Long, BigDecimal)],
       cfps: Map[Int, (Long, BigDecimal)], segs: Seq[SegmentRef]): Unit = {
     val sb = new StringBuilder
     sb.append("cseg 1\n")
+    sb.append("wseg 1\n")
     fps.toSeq.sortBy(_._1).foreach { case (b, (n, h)) =>
       sb.append(s"fp $b $n ${h.toBigInt}\n")
     }
@@ -536,9 +549,11 @@ object ChainSync {
       val cfps = Map.newBuilder[Int, (Long, BigDecimal)]
       val segs = Seq.newBuilder[SegmentRef]
       var cseg = false
+      var wseg = false
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         line.split(' ') match {
           case Array("cseg", "1") => cseg = true
+          case Array("wseg", "1") => wseg = true
           case Array("fp", b, n, h) => fps += b.toInt -> ((n.toLong, BigDecimal(h)))
           case Array("cfp", b, n, h) => cfps += b.toInt -> ((n.toLong, BigDecimal(h)))
           case Array("seg", t, p, lo, hi, fz) =>
@@ -547,7 +562,7 @@ object ChainSync {
             s"corrupt manifest line in $vdir: ${other.mkString(" ")}")
         }
       }
-      Some(Manifest(fps.result(), cfps.result(), segs.result(), cseg))
+      Some(Manifest(fps.result(), cfps.result(), segs.result(), cseg, wseg))
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
@@ -649,7 +664,8 @@ object ChainSync {
     def read(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
       manifest match {
         case Some(m) if path.startsWith("txs_") || path == "blocks_microblocks" ||
-            (path == "candles" && m.candleSegmented) =>
+            (path == "candles" && m.candleSegmented) ||
+            (path == "waves_data" && m.wavesSegmented) =>
           val paths = m.segments.filter(_.table == path).map(s => s"$dir/${s.relPath}")
           if (paths.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

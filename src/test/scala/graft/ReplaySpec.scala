@@ -289,6 +289,46 @@ class ReplaySpec extends SparkSpec {
     same(loaded.blocks, clean.blocks, "span-cap blocks vs clean replay")
   }
 
+  test("incremental persist: waves_data segments are append-only frozen; rollback never rewrites them") {
+    // waves_data is insert-ignore keyed by height and SURVIVES rollback
+    // (first-writer wins on re-append), so its frozen segments are
+    // reusable unconditionally — persist must never rewrite one, even
+    // across a rollback that rewrites the block/fact history.
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-wd-").toString
+    def wb(id: String, h: Int, off: Int, q: Long): RawBlock =
+      RawBlock(id, h, Some(t0 + off * 60000L), Some(q), Nil)
+    val s1 = fold(ChainSync.emptyState(spark),
+      wb("wd1", 100, 0, 1L), wb("wd2", 1100, 1, 2L), wb("wd3", 2100, 2, 3L))
+    ChainSync.persist(s1, dir)
+    val m1 = ChainSync.readManifest(spark, s"$dir/v1").get
+    val w1 = m1.segments.filter(_.table == "waves_data")
+    assert(w1.count(_.frozen) == 1 && w1.count(!_.frozen) == 1, s"$w1")
+    val after1 = segFiles(dir)
+
+    // tip advance: previous frozen waves segments reused, bucket 2 freezes
+    val s2 = fold(s1, wb("wd4", 3100, 3, 4L))
+    ChainSync.persist(s2, dir)
+    val m2 = ChainSync.readManifest(spark, s"$dir/v2").get
+    assert(w1.filter(_.frozen).forall(m2.segments.contains), s"${m2.segments.filter(_.table == "waves_data")}")
+    val newW2 = (segFiles(dir) -- after1).filter(_.startsWith("segments/waves_data/"))
+    assert(newW2.forall(f => f.contains("/s2-f") || f.contains("/s2-t/")), s"$newW2")
+    val after2 = segFiles(dir)
+
+    // rollback rewrites blocks/facts but waves_data survives WHOLE: every
+    // frozen waves segment stays referenced, only the tip is rewritten
+    val rolled = fold(s2, RawRollback("wd2"))
+    ChainSync.persist(rolled, dir)
+    val m3 = ChainSync.readManifest(spark, s"$dir/v3").get
+    assert(m3.segments.filter(s => s.table == "waves_data" && s.frozen) ==
+      m2.segments.filter(s => s.table == "waves_data" && s.frozen),
+      s"rollback rewrote append-only waves segments: ${m3.segments.filter(_.table == "waves_data")}")
+    val newW3 = (segFiles(dir) -- after2).filter(_.startsWith("segments/waves_data/"))
+    assert(newW3.forall(_.contains("/s3-t/")), s"$newW3")
+    val loaded = ChainSync.load(spark, dir)
+    same(loaded.wavesData, rolled.wavesData, "post-rollback waves_data")
+    same(loaded.wavesData, s2.wavesData, "waves_data survives rollback")
+  }
+
   test("incremental persist: candle history freezes by week; tip-week appends reuse frozen weeks") {
     // Candles segment by time_start week the way facts segment by height
     // bucket — but the fold's recompute cut snaps to the CURRENT MONTH
@@ -386,6 +426,7 @@ class ReplaySpec extends SparkSpec {
       same(loaded.facts("txs_7"), expect.facts("txs_7"), s"$label txs_7")
       same(loaded.candles, expect.candles, s"$label candles")
       same(loaded.assetUpdates, expect.assetUpdates, s"$label asset_updates")
+      same(loaded.wavesData, expect.wavesData, s"$label waves_data")
       assert(ChainSync.lastAppliedBatch(spark, dir) == expectBatch, label)
     }
 
