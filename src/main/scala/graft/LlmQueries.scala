@@ -155,6 +155,83 @@ object LlmQueries {
          |    FROM ${out}m GROUP BY cell_id) m USING (cell_id))""".stripMargin
   }
 
+  /** CTE chains for the product-quantization oracles — the
+    * [[graft.llm.Pq]] train/encode contract replayed per subspace: the
+    * shared xxhash64 seed pick sliced into each subspace, two L2 Lloyd
+    * steps with float-rounded means (empty cells keep their centroid),
+    * final squared-Euclidean code assignment. The L2 argmin orders by
+    * `‖c‖² − 2·dot(v,c)` ASC — the kernel ranks by its exact negation, so
+    * order and ties (→ lower code) are bit-identical. */
+  private object PqSql {
+    val dim = 64; val m = 16; val ks = 16
+    private val subLen = dim / m
+
+    private def assign(s: Int, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, vs, cell_id FROM (
+         |    SELECT e.vec_id, e.vs, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(c.v, c.v) - 2*list_dot_product(e.vs, c.v) ASC, c.cell_id) AS rn
+         |    FROM es_$s e CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+
+    private def lloyd(prev: String, asg: String, out: String): String =
+      s"""${out}m AS (
+         |  SELECT cell_id, u.pos, avg(u.val) AS mn
+         |  FROM $asg, LATERAL (SELECT unnest(range(1, len(vs)+1)) AS pos, unnest(vs) AS val) u
+         |  GROUP BY cell_id, u.pos),
+         |$out AS (
+         |  SELECT p.cell_id, coalesce(mm.arr, p.v) AS v
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell_id, (list(mn ORDER BY pos)::REAL[])::DOUBLE[] AS arr
+         |    FROM ${out}m GROUP BY cell_id) mm USING (cell_id))""".stripMargin
+
+    private def subspaceChain(s: Int): String =
+      s"""es_$s AS (SELECT vec_id, v[${s * subLen + 1}:${(s + 1) * subLen}] AS vs FROM e),
+         |cent0_$s AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id, vs AS v
+         |  FROM es_$s JOIN xx USING (vec_id) ORDER BY h, vec_id LIMIT $ks),
+         |${assign(s, s"cent0_$s", s"a1_$s")},
+         |${lloyd(s"cent0_$s", s"a1_$s", s"cent1_$s")},
+         |${assign(s, s"cent1_$s", s"a2_$s")},
+         |${lloyd(s"cent1_$s", s"a2_$s", s"cent2_$s")},
+         |${assign(s, s"cent2_$s", s"af_$s")}""".stripMargin
+
+    /** `e`/`xx` + every subspace chain + `ca(vec_id, sub, cell_id)` codes
+      * + `ct(sub, cell_id, v)` trained centroids. */
+    val base: String = {
+      val chains = (0 until m).map(subspaceChain).mkString(",\n")
+      val ca = (0 until m).map(s => s"SELECT vec_id, $s AS sub, cell_id FROM af_$s")
+        .mkString("ca AS (", " UNION ALL ", ")")
+      val ct = (0 until m).map(s => s"SELECT $s AS sub, cell_id, v FROM cent2_$s")
+        .mkString("ct AS (", " UNION ALL ", ")")
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${IvfSql.xxhashCtes},
+         |$chains,
+         |$ca,
+         |$ct""".stripMargin
+    }
+
+    /** Reconstructions x̂ (+ their norms) per code row. */
+    val xhCtes: String =
+      s"""xh AS (
+         |  SELECT ca.vec_id, flatten(list(ct.v ORDER BY ca.sub)) AS xh
+         |  FROM ca JOIN ct ON ct.sub = ca.sub AND ct.cell_id = ca.cell_id
+         |  GROUP BY ca.vec_id),
+         |xn AS (SELECT vec_id, xh, sqrt(list_dot_product(xh, xh)) AS nx FROM xh)""".stripMargin
+
+    /** x̂ CTEs + ADC scores of queries (vec_id < 100) against every code
+      * row — mirrors `Pq.adcTopK`'s dot/(‖q‖·‖x̂‖). */
+    val adcScored: String =
+      s"""$xhCtes,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, x.xh)
+         |      / (sqrt(list_dot_product(q.v, q.v)) * x.nx) AS sc
+         |  FROM e q, xn x
+         |  WHERE q.vec_id < 100 AND q.vec_id <> x.vec_id)""".stripMargin
+  }
+
   /** Shared CTE base for the vector-LSH oracles: the xorshift hyperplane
     * STATES inlined as BIGINTs (value = state / Long.MaxValue, divided in
     * SQL so the doubles stay bit-identical — the llm_lsh_buckets
@@ -1389,5 +1466,118 @@ object LlmQueries {
       },
       Some("""SELECT doc_id AS asset_id,
              |  CAST(floor((greatest(CAST(floor(octet_length(encode(text)) / 256) AS BIGINT), 1) - 1) / 4) AS BIGINT) + 1 AS n_sampled
-             |FROM documents ORDER BY asset_id""".stripMargin)))
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // product quantization: the trained codes (vector compression — m
+    // subspaces × ks-centroid codebooks, squared-Euclidean encode). The
+    // whole train (deterministic seeds + two float-rounded L2 Lloyd steps)
+    // is replayed per subspace in SQL
+    QueryDef("llm_pq_codes",
+      (s, dir) => {
+        import graft.llm.Pq
+        val emb = Tables.embeddings(s, dir)
+        val cb = Pq.train(emb, dim = PqSql.dim, m = PqSql.m, ks = PqSql.ks, iterations = 2)
+        Pq.encode(emb, cb)
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+          .orderBy("vec_id", "subspace")
+      },
+      Some(s"""WITH ${PqSql.base}
+              |SELECT vec_id, CAST(sub AS INT) AS subspace, CAST(cell_id AS INT) AS code
+              |FROM ca ORDER BY vec_id, subspace""".stripMargin)),
+
+    // PQ ADC top-k: exact queries ranked against code reconstructions —
+    // the compressed-scan search (recall vs brute force in LlmSpec)
+    QueryDef("llm_pq_topk",
+      (s, dir) => {
+        import graft.llm.Pq
+        val emb = Tables.embeddings(s, dir)
+        val cb = Pq.train(emb, dim = PqSql.dim, m = PqSql.m, ks = PqSql.ks, iterations = 2)
+        val codes = Pq.encode(emb, cb)
+        Pq.adcTopK(emb.filter(col("vec_id") < 100), codes, cb, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("adc_cosine"), 6).as("adc_cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${PqSql.base},
+              |${PqSql.adcScored}
+              |SELECT query_id, neighbor_id, round(sc, 6) AS adc_cosine, rank FROM (
+              |  SELECT query_id, neighbor_id, sc,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS INT) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // PQ two-stage search: ADC shortlist of 50, exact-cosine rerank to
+    // top-5 — the standard refinement (exact reads stay Q·rerank, not Q·N)
+    QueryDef("llm_pq_rerank",
+      (s, dir) => {
+        import graft.llm.Pq
+        val emb = Tables.embeddings(s, dir)
+        val cb = Pq.train(emb, dim = PqSql.dim, m = PqSql.m, ks = PqSql.ks, iterations = 2)
+        val codes = Pq.encode(emb, cb)
+        Pq.adcRerankTopK(emb.filter(col("vec_id") < 100), codes, emb, cb, k = 5, rerank = 50)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${PqSql.base},
+              |${PqSql.adcScored},
+              |shortlist AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn
+              |    FROM scored)
+              |  WHERE rn <= 50),
+              |ex AS (
+              |  SELECT sl.query_id, sl.neighbor_id,
+              |    list_dot_product(q.v, c.v)
+              |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cs
+              |  FROM shortlist sl
+              |  JOIN e q ON q.vec_id = sl.query_id
+              |  JOIN e c ON c.vec_id = sl.neighbor_id)
+              |SELECT query_id, neighbor_id, round(cs, 6) AS cosine, rank FROM (
+              |  SELECT query_id, neighbor_id, cs,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rank
+              |  FROM ex)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF-PQ: coarse cosine cells (the llm_ann_ivf machinery) restrict the
+    // ADC scan to nprobe cells of compressed codes — the billion-scale
+    // search layout (faiss IndexIVFPQ); one map-only pass indexes cell +
+    // codes per corpus row
+    QueryDef("llm_pq_ivf",
+      (s, dir) => {
+        import graft.llm.Pq
+        val emb = Tables.embeddings(s, dir)
+        val cb = Pq.train(emb, dim = PqSql.dim, m = PqSql.m, ks = PqSql.ks, iterations = 2)
+        Pq.ivfAdcTopK(emb.filter(col("vec_id") < 100), emb, cb, k = 5, numCells = 16, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("adc_cosine"), 6).as("adc_cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${PqSql.base},
+              |${PqSql.xhCtes},
+              |centc AS (
+              |  SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id
+              |  FROM e JOIN xx USING (vec_id) ORDER BY h, vec_id LIMIT 16),
+              |${IvfSql.assign("centc", "casgc")},
+              |probesc AS (
+              |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
+              |    SELECT e.vec_id, e.v, c.cell_id,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell_id) AS rn
+              |    FROM e CROSS JOIN centc c WHERE e.vec_id < 100)
+              |  WHERE rn <= 4),
+              |scoredc AS (
+              |  SELECT p.query_id, a.vec_id AS neighbor_id,
+              |    list_dot_product(p.qv, x.xh)
+              |      / (sqrt(list_dot_product(p.qv, p.qv)) * x.nx) AS sc
+              |  FROM probesc p
+              |  JOIN casgc a ON a.cell_id = p.cell_id
+              |  JOIN xn x ON x.vec_id = a.vec_id
+              |  WHERE p.query_id <> a.vec_id)
+              |SELECT query_id, neighbor_id, round(sc, 6) AS adc_cosine, rank FROM (
+              |  SELECT query_id, neighbor_id, sc,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS INT) AS rank
+              |  FROM scoredc)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)))
 }

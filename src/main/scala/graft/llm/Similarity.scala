@@ -84,7 +84,7 @@ object Similarity {
     * bounded driver-side collection every assignment/broadcast needed
     * anyway (numCells × dim doubles). Ascending cell id is the kernel's
     * tie-break order. */
-  private def collectedCentroids(centroids: DataFrame): (IndexedSeq[Int], IndexedSeq[IndexedSeq[Double]]) = {
+  private[llm] def collectedCentroids(centroids: DataFrame): (IndexedSeq[Int], IndexedSeq[IndexedSeq[Double]]) = {
     val rows = centroids.select(col("cell_id").cast("int"), col("centroid").cast("array<double>"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
@@ -93,7 +93,7 @@ object Similarity {
   }
 
   /** `n` nearest cells of a vector, row-locally ([[graft.plans.NearestCells]]). */
-  private def nearestCells(centroids: DataFrame, vec: Column, n: Int): Column = {
+  private[llm] def nearestCells(centroids: DataFrame, vec: Column, n: Int): Column = {
     val (ids, mats) = collectedCentroids(centroids)
     graft.plans.GraftExtensions.nearestCells(vec, ids, mats, n)
   }

@@ -79,4 +79,8 @@ object GraftExtensions {
   def nearestCells(vec: Column, cellIds: IndexedSeq[Int],
       centroids: IndexedSeq[IndexedSeq[Double]], n: Int): Column =
     GraftColumnBridge.column(NearestCells(GraftColumnBridge.expression(vec), cellIds, centroids, n))
+  /** Same kernel under the squared-Euclidean metric — the PQ encode rule. */
+  def nearestCellsL2(vec: Column, cellIds: IndexedSeq[Int],
+      centroids: IndexedSeq[IndexedSeq[Double]], n: Int): Column =
+    GraftColumnBridge.column(NearestCells(GraftColumnBridge.expression(vec), cellIds, centroids, n, l2 = true))
 }

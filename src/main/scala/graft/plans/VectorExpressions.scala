@@ -98,12 +98,21 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   * double accumulation as [[VectorDot]], so scores are bit-identical to
   * the replaced plan's. Null input → null (embedding columns are non-null
   * by construction, as for [[VectorDot]]).
+  *
+  * `l2 = true` switches the metric to squared-Euclidean argmin — the
+  * product-quantization encode rule (codewords minimize RECONSTRUCTION
+  * error, so magnitude matters; cosine would ignore it). The kernel ranks
+  * by `2·dot(v,c) − ‖c‖²` — exactly `−(‖c‖² − 2·dot)`, the negation of
+  * the distance-sans-‖v‖² the SQL oracle orders ascending; negation is
+  * exact in IEEE754, so ties and order are bit-identical to the oracle's
+  * `ORDER BY cc − 2·dot ASC, cell_id`.
   */
 case class NearestCells(
     child: Expression,
     cellIds: IndexedSeq[Int],
     centroids: IndexedSeq[IndexedSeq[Double]],
-    n: Int) extends UnaryExpression {
+    n: Int,
+    l2: Boolean = false) extends UnaryExpression {
   require(centroids.nonEmpty && centroids.length == cellIds.length && n >= 1,
     s"need >=1 centroids matching cellIds and n>=1: ${centroids.length}/${cellIds.length}/$n")
   require(cellIds.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
@@ -124,22 +133,23 @@ case class NearestCells(
   }
   @transient private lazy val mats: Array[Array[Double]] =
     centroids.map(_.toArray).toArray
+  /** cosine: ‖c‖ per cell; l2: ‖c‖² per cell. */
   @transient private lazy val cnorms: Array[Double] = mats.map { c =>
     var acc = 0.0; var i = 0
     while (i < c.length) { acc += c(i) * c(i); i += 1 }
-    math.sqrt(acc)
+    if (l2) acc else math.sqrt(acc)
   }
   @transient private lazy val ids: Array[Int] = cellIds.toArray
 
   override protected def nullSafeEval(a: Any): Any =
-    NearestCells.topCells(a.asInstanceOf[ArrayData], isFloat, mats, cnorms, ids, n)
+    NearestCells.topCells(a.asInstanceOf[ArrayData], isFloat, mats, cnorms, ids, n, l2)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("centroids", mats, "double[][]")
     val cn = ctx.addReferenceObj("cnorms", cnorms, "double[]")
     val ci = ctx.addReferenceObj("cellIds", ids, "int[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.NearestCells.topCells($c, $isFloat, $m, $cn, $ci, $n);")
+      s"${ev.value} = graft.plans.NearestCells.topCells($c, $isFloat, $m, $cn, $ci, $n, $l2);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
@@ -159,14 +169,17 @@ object NearestCells {
       cents: Array[Array[Double]],
       cnorms: Array[Double],
       cellIds: Array[Int],
-      n: Int): ArrayData = {
+      n: Int,
+      l2: Boolean = false): ArrayData = {
     val vn = v.numElements()
     var nv = 0.0
     var i = 0
-    if (isFloat) while (i < vn) {
-      if (!v.isNullAt(i)) { val x = v.getFloat(i).toDouble; nv += x * x }; i += 1
-    } else while (i < vn) {
-      if (!v.isNullAt(i)) { val x = v.getDouble(i); nv += x * x }; i += 1
+    if (!l2) { // ‖v‖ only feeds the cosine denominator
+      if (isFloat) while (i < vn) {
+        if (!v.isNullAt(i)) { val x = v.getFloat(i).toDouble; nv += x * x }; i += 1
+      } else while (i < vn) {
+        if (!v.isNullAt(i)) { val x = v.getDouble(i); nv += x * x }; i += 1
+      }
     }
     val normV = math.sqrt(nv)
     val k = cents.length
@@ -187,7 +200,9 @@ object NearestCells {
       } else while (t < m) {
         if (!v.isNullAt(t)) acc += v.getDouble(t) * c(t); t += 1
       }
-      val sim = acc / (normV * cnorms(j))
+      // l2: rank by 2·dot − ‖c‖² (== −(squared distance − ‖v‖²): the
+      // per-row ‖v‖² offset is constant, so the argsort is the L2 one)
+      val sim = if (l2) 2.0 * acc - cnorms(j) else acc / (normV * cnorms(j))
       if (selN < take || cmp(sim, selSim(selN - 1)) > 0) {
         var pos = if (selN < take) selN else take - 1
         while (pos > 0 && cmp(sim, selSim(pos - 1)) > 0) {

@@ -283,6 +283,91 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("PQ: ADC recall vs brute force, rerank refines monotonically, full rerank IS brute force") {
+    import graft.llm.Pq
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 40)
+    val cb = Pq.train(emb, dim = 64, m = 16, ks = 16, iterations = 2)
+    val codes = Pq.encode(emb, cb)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(s: Set[(Long, Long)]) = exact.intersect(s).size.toDouble / exact.size
+    val adc = Pq.adcTopK(queries, codes, cb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcRecall = recallOf(adc)
+    assert(adcRecall >= 0.2, s"ADC recall $adcRecall") // sf0.01 measures 0.336
+    // a larger exact-rerank shortlist can only help: a true top-k member in
+    // the shortlist always survives exact ranking (at most k-1 vectors beat
+    // it anywhere), so recall is monotone in `rerank`
+    val recalls = Seq(10, 50, 150).map { r =>
+      recallOf(Pq.adcRerankTopK(queries, codes, emb, cb, k = 5, rerank = r)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet)
+    }
+    recalls.sliding(2).foreach {
+      case Seq(r1, r2) => assert(r2 >= r1, s"rerank recall not monotone: $recalls")
+      case _ => ()
+    }
+    assert(recalls(1) >= adcRecall, s"rerank-50 ${recalls(1)} < ADC $adcRecall")
+    assert(recalls(1) >= 0.6, s"rerank-50 recall ${recalls(1)}") // sf0.01 measures 0.908
+    // shortlisting EVERYTHING reduces to exact ranks — any encode/ADC bug
+    // that drops or duplicates a candidate breaks this set equality
+    val full = Pq.adcRerankTopK(queries, codes, emb, cb, k = 5, rerank = 499)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exactRanks = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exactRanks,
+      s"full rerank != brute force: missing ${exactRanks -- full}, extra ${full -- exactRanks}")
+  }
+
+  test("IVF-PQ: recall monotone in nprobe, probing ALL cells IS the full ADC scan") {
+    import graft.llm.Pq
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 40)
+    val cb = Pq.train(emb, dim = 64, m = 16, ks = 16, iterations = 2)
+    val codes = Pq.encode(emb, cb)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recalls = Seq(2, 4, 8, 16).map { nprobe =>
+      val s = Pq.ivfAdcTopK(queries, emb, cb, k = 5, numCells = 16, nprobe = nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (nprobe, s, exact.intersect(s).size.toDouble / exact.size)
+    }
+    recalls.sliding(2).foreach {
+      case Seq((p1, _, r1), (p2, _, r2)) =>
+        assert(r2 >= r1, s"IVF-PQ recall not monotone: nprobe $p1->$p2 recall $r1->$r2")
+      case _ => ()
+    }
+    assert(recalls.last._3 >= 0.15, s"nprobe=16 recall ${recalls.last._3}") // sf0.01 nprobe=4 measures 0.26
+    // probing every cell removes the coarse filter entirely — any cell
+    // assignment or probe bug breaks equality with the pure compressed scan
+    val fullAdc = Pq.adcTopK(queries, codes, cb, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val allProbes = Pq.ivfAdcTopK(queries, emb, cb, k = 5, numCells = 16, nprobe = 16)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(allProbes == fullAdc,
+      s"nprobe=numCells != full ADC: missing ${fullAdc -- allProbes}, extra ${allProbes -- fullAdc}")
+  }
+
+  test("PQ: codes in range, encode deterministic, codebook round-trips its table form") {
+    import graft.llm.Pq
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Pq.train(emb, dim = 64, m = 8, ks = 16, iterations = 2)
+    assert(cb.subLen == 8 && cb.cents.length == 8 && cb.cents.forall(_.length == 16))
+    val codes = Pq.encode(emb, cb).collect()
+    assert(codes.length == 500)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16), s"bad codes $cs")
+    }
+    // re-encoding yields byte-identical codes (plan-constant codebook, no
+    // nondeterminism anywhere in the path)
+    val again = Pq.encode(emb, cb).collect()
+    assert(codes.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // table form round-trip (the persistable index artifact)
+    val rt = Pq.codebookFromTable(Pq.codebookTable(spark, cb), dim = 64)
+    assert(rt == cb)
+  }
+
   test("refineCentroids: Lloyd step keeps cell count, dimension, and empty-cell fallback") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .withColumn("embedding", col("embedding").cast("array<double>"))

@@ -117,6 +117,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("nearest_cells"), s"native kernel missing:\n$plan")
   }
 
+  test("PQ encode is map-only: NO exchange between corpus scan and the code projection") {
+    // the per-batch compression pass of the PQ path — one projection of m
+    // L2 nearest_cells kernel calls over the scan, plan-constant codebook
+    val emb = Tables.embeddings(spark, dir)
+    val cb = graft.llm.Pq.train(emb, dim = 64, m = 8, ks = 16, iterations = 1)
+    val codes = graft.llm.Pq.encode(emb, cb)
+    val plan = executed(codes)
+    assert(exchanges(codes) == 0, s"PQ encode shuffles:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"expanded argmin in the encode path:\n$plan")
+    assert(plan.contains("nearest_cells"), s"native kernel missing:\n$plan")
+  }
+
   test("s3 typed decode parses JSON exactly once and pushes the presence filter to the scan") {
     val q = SparkEntry.queries("s3_decode_typed")(spark, dir)
     val plan = executed(q)
@@ -196,7 +210,10 @@ class PlanShapeSpec extends SparkSpec {
     val spOk = Set("a4_scalar_minmax", "llm_curation_report", "llm_lm_score",
       "llm_mixture", "llm_tfidf", "view_assets")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
-      "llm_lm_score", "llm_mixture", "llm_tfidf", "view_assets")
+      "llm_lm_score", "llm_mixture", "llm_tfidf", "view_assets",
+      // the PQ ADC scan is a DELIBERATE Q×N — that is the operator's trade:
+      // the broadcast side is queries, the scan side is m-byte codes
+      "llm_pq_topk", "llm_pq_rerank")
     // Skip ONLY the queries whose lambda runs work at build time (streaming
     // replays, the chain-fold fixture, DSv2 replay, driver fixtures) — an
     // explicit list, not a prefix: the old `startsWith("s")` silently

@@ -189,4 +189,41 @@ class PlansSpec extends SparkSpec {
     assert(top(Array(0.0, 0.0), finite, 2) == Seq(0, 1), "zero vector: all-NaN ties → cell order")
     assert(top(Array(1.0, 0.5), finite :+ Seq(0.0, 0.0), 1) == Seq(2), "zero centroid's NaN outranks finite cosines")
   }
+
+  test("nearest_cells l2 mode: squared-Euclidean argmin — magnitude matters, ties to lower cell") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def topL2(v: Array[Double], cs: Seq[Seq[Double]], n: Int): Seq[Int] = {
+      val arr = graft.plans.NearestCells.topCells(
+        new GenericArrayData(v), isFloat = false,
+        cs.map(_.toArray).toArray,
+        cs.map(_.map(x => x * x).sum).toArray, // l2 passes ‖c‖², not ‖c‖
+        cs.indices.toArray, n, l2 = true)
+      arr.toIntArray().toSeq
+    }
+    // cosine would pick cell 0 (same direction); L2 must pick cell 1
+    // (closer in space): v=(1,0), c0=(10,0) dist²=81, c1=(0,1) dist²=2
+    assert(topL2(Array(1.0, 0.0), Seq(Seq(10.0, 0.0), Seq(0.0, 1.0)), 1) == Seq(1),
+      "L2 must respect magnitude (cosine would pick the collinear far centroid)")
+    // exact nearest wins; full ordering is by ascending distance
+    assert(topL2(Array(2.0, 2.0), Seq(Seq(0.0, 0.0), Seq(2.0, 2.0), Seq(3.0, 3.0)), 3) == Seq(1, 2, 0))
+    // equidistant centroids tie to the lower cell id
+    assert(topL2(Array(0.0, 0.0), Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0)), 3) == Seq(0, 1, 2),
+      "ties must resolve to ascending cell id")
+    // the DataFrame-level mode matches a literal argmin reconstruction
+    val rnd = new scala.util.Random(7)
+    val cents2 = (0 until 6).map(j => (j, IndexedSeq.fill(4)(rnd.nextGaussian())))
+    val vecs2 = (0 until 40).map(i => (i.toLong, Seq.fill(4)(rnd.nextGaussian())))
+    import spark.implicits._
+    val vdf2 = vecs2.toDF("vec_id", "embedding")
+    val kernel = vdf2.select(col("vec_id"),
+        graft.plans.GraftExtensions.nearestCellsL2(col("embedding"),
+          cents2.map(_._1), cents2.map(_._2), 1).getItem(0).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    vecs2.foreach { case (id, v) =>
+      val expect = cents2.minBy { case (_, c) =>
+        v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }._1
+      assert(kernel(id) == expect, s"vec $id: kernel ${kernel(id)} != argmin $expect")
+    }
+  }
 }
