@@ -213,11 +213,43 @@ object Pq {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val centroids = Similarity.seedCentroids(corpus, numCells, idCol, vecCol)
-    // one map-only pass: coarse cell + PQ codes + reconstruction per row
-    val indexed = corpus.select(
-      col(idCol).as("neighbor_id"),
+    searchIndex(queries, ivfPqIndex(corpus, centroids, cb, idCol, vecCol),
+      centroids, cb, k, nprobe, idCol, vecCol)
+  }
+
+  /** The persistable IVF-PQ corpus index — (id, cell_id, codes), ONE
+    * map-only projection per corpus row. Write it with
+    * `TableStore.writeBucketedIndex(_, table, joinKeys = Seq("cell_id"))`
+    * and every later [[searchIndex]] probe join co-locates on the bucket
+    * (SinksSpec pins the exchange-count differential). The codebook and
+    * coarse centroids persist alongside via [[codebookTable]] /
+    * `Similarity` centroid frames — together they are the whole index
+    * artifact. */
+  def ivfPqIndex(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      cb: Codebook,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(
+      col(idCol).as("id"),
       Similarity.nearestCells(centroids, col(vecCol), 1).getItem(0).as("cell_id"),
-      reconstructCol(cb, encodeCol(cb, col(vecCol))).as("__xh"))
+      encodeCol(cb, col(vecCol)).as("codes"))
+
+  /** ADC top-k of a query batch against an [[ivfPqIndex]] (in-memory or
+    * loaded from its bucketed table): batch-sized probe work against a
+    * corpus-sized compressed index — the rolling-ingest ANN search. */
+  def searchIndex(
+      queries: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      cb: Codebook,
+      k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val indexed = index.select(col("id").as("neighbor_id"), col("cell_id"),
+      reconstructCol(cb, col("codes")).as("__xh"))
       .withColumn("__xn", Similarity.norm(col("__xh")))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv"),
       explode(Similarity.nearestCells(centroids, col(vecCol), nprobe)).as("cell_id"))

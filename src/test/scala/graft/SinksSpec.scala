@@ -104,4 +104,42 @@ class SinksSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
+
+  test("bucketed IVF-PQ index: probe join co-locates on the cell bucket, results unchanged") {
+    // the vector twin of the signature-index test: persist (id, cell,
+    // codes) bucketed on cell_id; a later query batch's probe join reads
+    // the compressed index co-located — batch-sized search work against a
+    // corpus-sized index
+    import graft.llm.{Pq, Similarity}
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Pq.train(emb, dim = 64, m = 16, ks = 16, iterations = 1)
+    val centroids = Similarity.seedCentroids(emb, numCells = 16)
+    val idx = Pq.ivfPqIndex(emb, centroids, cb)
+    val table = "graft_test_pq_index"
+    TableStore.writeBucketedIndex(idx, table, joinKeys = Seq("cell_id"), buckets = 8)
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try {
+      val queries = emb.filter(col("vec_id") < 25)
+      val viaTable = Pq.searchIndex(queries, spark.table(table), centroids, cb, k = 5, nprobe = 4)
+      val plan = viaTable.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.toString.linesIterator.count(_.contains("Exchange "))
+      val viaFrame = Pq.searchIndex(queries, idx, centroids, cb, k = 5, nprobe = 4)
+      assert(exchanges(viaTable) == exchanges(viaFrame) - 1,
+        s"bucketed=${exchanges(viaTable)} plain=${exchanges(viaFrame)}:\n$plan")
+      // identical results through either path, and both equal the
+      // one-shot composition
+      val a = viaTable.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+      val b = viaFrame.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+      val c = Pq.ivfAdcTopK(queries, emb, cb, k = 5, numCells = 16, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+      assert(a == b && b == c && a.nonEmpty)
+    } finally {
+      spark.conf.set(bcKey, prevBc)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
 }
