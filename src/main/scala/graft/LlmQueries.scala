@@ -1083,6 +1083,42 @@ object LlmQueries {
              |  round(-avg(lp) / ln(2), 6) AS bits_per_token
              |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style perplexity buckets: head/middle/tail at the cross-entropy
+    // terciles (Wenzek et al. LREC 2020) — the LM scoring chain + exact
+    // percentile cuts, all replayed in SQL
+    QueryDef("llm_lm_buckets",
+      (s, dir) => {
+        import graft.llm.CorpusStats
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val lm = CorpusStats.unigramLm(docs.filter(col("doc_id") % 2 === 0))
+        CorpusStats.lmBuckets(docs, lm).orderBy("doc_id")
+      },
+      Some("""WITH rw AS (
+             |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |c AS (SELECT word, count(*) AS c FROM rw GROUP BY word),
+             |t AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
+             |dw AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             |  FROM documents),
+             |s AS (
+             |  SELECT dw.doc_id,
+             |    coalesce(ln((c.c + 1.0) / (t.n + t.v + 1.0)), ln(1.0 / (t.n + t.v + 1.0))) AS lp
+             |  FROM dw LEFT JOIN c ON dw.word = c.word CROSS JOIN t),
+             |sc AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    round(-avg(lp) / ln(2), 6) AS bits_per_token
+             |  FROM s GROUP BY doc_id),
+             |cuts AS (
+             |  SELECT quantile_cont(bits_per_token, 1.0/3) AS t1,
+             |    quantile_cont(bits_per_token, 2.0/3) AS t2
+             |  FROM sc)
+             |SELECT doc_id, n_tokens, bits_per_token,
+             |  CASE WHEN bits_per_token <= t1 THEN 'head'
+             |       WHEN bits_per_token <= t2 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM sc CROSS JOIN cuts ORDER BY doc_id""".stripMargin)),
+
     // exact per-language token-count quantiles (linear interpolation both
     // engines; approx_percentile is the documented 100 TB path)
     QueryDef("llm_length_quantiles",

@@ -159,6 +159,39 @@ object CorpusStats {
     u(text)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020 —
+    * public method): split the corpus into `head`/`middle`/`tail` at the
+    * TERCILES of its unigram-LM cross-entropy. CCNet keeps head+middle and
+    * down-samples tail; the bucket column composes with
+    * [[graft.llm.Sampling]] for exactly that.
+    *
+    * Scale shape: scoring is [[lmScore]] (broadcast vocab probe, one
+    * per-document re-aggregation); the two cut points are ONE scalar
+    * aggregate broadcast back over the scored frame — never a global sort.
+    * Exact `percentile` here (the correctness baseline, `p·(n−1)`
+    * interpolation — quantile_cont-equal, the [[lengthQuantiles]]
+    * convention); a 100 TB run swaps in `approx_percentile`, same plan
+    * shape. */
+  def lmBuckets(
+      docs: DataFrame,
+      lm: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val scored = lmScore(docs, lm, idCol, textCol)
+    // the literal text "1.0/3" parses to the same IEEE double in Spark SQL
+    // and DuckDB, so the interpolated cuts match the oracle bit-wise
+    val cuts = broadcast(scored.agg(
+      expr("percentile(bits_per_token, 1.0/3)").as("__t1"),
+      expr("percentile(bits_per_token, 2.0/3)").as("__t2")))
+    scored.crossJoin(cuts)
+      .withColumn("bucket",
+        when(col("bits_per_token") <= col("__t1"), lit("head"))
+          .when(col("bits_per_token") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__t1", "__t2")
+  }
+
   /** Exactly `split(lower(trim(s)), '\s+')` — the [[words]] tokenization.
     * Java's `String.trim` strips every char ≤ U+0020 while SQL `trim`
     * strips spaces only, and Java's 1-arg `split` drops trailing empty

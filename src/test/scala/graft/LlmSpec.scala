@@ -283,6 +283,31 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("CCNet perplexity buckets: tercile cuts, score-ordered, exhaustive") {
+    import graft.llm.CorpusStats
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val lm = CorpusStats.unigramLm(docs.filter(col("doc_id") % 2 === 0))
+    val rows = CorpusStats.lmBuckets(docs, lm)
+      .select("doc_id", "bits_per_token", "bucket")
+      .as[(Long, Double, String)].collect()
+    val n = docs.count()
+    assert(rows.length == n, "every document must land in exactly one bucket")
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // buckets are score-ordered: ties at a cut all fall to the lower side
+    assert(byBucket("head").max <= byBucket("middle").min,
+      "head must end at or below middle's start")
+    assert(byBucket("middle").max <= byBucket("tail").min,
+      "middle must end at or below tail's start")
+    // tercile cuts: each bucket holds ~n/3 (exact split depends on ties
+    // and the p·(n−1) interpolation landing between values)
+    byBucket.foreach { case (b, xs) =>
+      assert(math.abs(xs.length - n / 3.0) <= n * 0.05,
+        s"bucket $b holds ${xs.length} of $n — not a tercile")
+    }
+  }
+
   test("PQ: ADC recall vs brute force, rerank refines monotonically, full rerank IS brute force") {
     import graft.llm.Pq
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

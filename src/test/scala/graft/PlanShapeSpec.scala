@@ -208,9 +208,9 @@ class PlanShapeSpec extends SparkSpec {
     // all-pairs) plans as BroadcastNestedLoopJoin. Anything new joining
     // these lists needs the same justification.
     val spOk = Set("a4_scalar_minmax", "llm_curation_report", "llm_lm_score",
-      "llm_mixture", "llm_tfidf", "view_assets")
+      "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
-      "llm_lm_score", "llm_mixture", "llm_tfidf", "view_assets",
+      "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
       // the PQ ADC scan is a DELIBERATE Q×N — that is the operator's trade:
       // the broadcast side is queries, the scan side is m-byte codes
       "llm_pq_topk", "llm_pq_rerank")
