@@ -141,12 +141,14 @@ object LlmQueries {
          |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell_id) AS rn
          |    FROM e CROSS JOIN $cents c $where)
          |  WHERE rn = 1)""".stripMargin
-    /** One Lloyd step: per-(cell, pos) means over assignment `asg`,
-      * float-rounded, empty cells keep `prev`'s centroid. */
-    def lloyd(prev: String, asg: String, out: String): String =
+    /** One Lloyd step: per-(cell, pos) means over assignment `asg`
+      * (vectors in column `vcol`), float-rounded, empty cells keep
+      * `prev`'s centroid. ONE definition of the round-through-REAL
+      * convention — the PQ oracles reuse it per subspace. */
+    def lloyd(prev: String, asg: String, out: String, vcol: String = "v"): String =
       s"""${out}m AS (
          |  SELECT cell_id, u.pos, avg(u.val) AS m
-         |  FROM $asg, LATERAL (SELECT unnest(range(1, len(v)+1)) AS pos, unnest(v) AS val) u
+         |  FROM $asg, LATERAL (SELECT unnest(range(1, len($vcol)+1)) AS pos, unnest($vcol) AS val) u
          |  GROUP BY cell_id, u.pos),
          |$out AS (
          |  SELECT p.cell_id, coalesce(m.arr, p.v) AS v
@@ -176,15 +178,7 @@ object LlmQueries {
          |  WHERE rn = 1)""".stripMargin
 
     private def lloyd(prev: String, asg: String, out: String): String =
-      s"""${out}m AS (
-         |  SELECT cell_id, u.pos, avg(u.val) AS mn
-         |  FROM $asg, LATERAL (SELECT unnest(range(1, len(vs)+1)) AS pos, unnest(vs) AS val) u
-         |  GROUP BY cell_id, u.pos),
-         |$out AS (
-         |  SELECT p.cell_id, coalesce(mm.arr, p.v) AS v
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT cell_id, (list(mn ORDER BY pos)::REAL[])::DOUBLE[] AS arr
-         |    FROM ${out}m GROUP BY cell_id) mm USING (cell_id))""".stripMargin
+      IvfSql.lloyd(prev, asg, out, vcol = "vs")
 
     private def subspaceChain(s: Int): String =
       s"""es_$s AS (SELECT vec_id, v[${s * subLen + 1}:${(s + 1) * subLen}] AS vs FROM e),

@@ -179,11 +179,13 @@ object CorpusStats {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val scored = lmScore(docs, lm, idCol, textCol)
-    // the literal text "1.0/3" parses to the same IEEE double in Spark SQL
-    // and DuckDB, so the interpolated cuts match the oracle bit-wise
+    // percentage as a Scala-computed double: Spark SQL would parse a
+    // "1.0/3" literal under DECIMAL semantics (≈0.333333333333000…), while
+    // DuckDB's `/` divides as doubles — lit(1.0/3) pins BOTH engines to
+    // the same IEEE 1/3 so the interpolated cuts match bit-wise
     val cuts = broadcast(scored.agg(
-      expr("percentile(bits_per_token, 1.0/3)").as("__t1"),
-      expr("percentile(bits_per_token, 2.0/3)").as("__t2")))
+      percentile(col("bits_per_token"), lit(1.0 / 3)).as("__t1"),
+      percentile(col("bits_per_token"), lit(2.0 / 3)).as("__t2")))
     scored.crossJoin(cuts)
       .withColumn("bucket",
         when(col("bits_per_token") <= col("__t1"), lit("head"))

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
@@ -68,7 +67,7 @@ object Pq {
       iterations: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Codebook = {
-    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    // shape invariants live in the Codebook constructor
     val subLen = dim / m
     // the seedCentroids pick: smallest xxhash64(id), sliced per subspace.
     // TakeOrderedAndProject — a per-partition top-ks merge, never a global
@@ -102,7 +101,7 @@ object Pq {
       .groupBy("__s", "__c", "__p")
       .agg(avg(col("__x")).as("__m"))
       .collect()
-    val next = Array.tabulate(cb.m, cb.ks)((s, j) => cb.cents(s)(j).toArray.clone())
+    val next = Array.tabulate(cb.m, cb.ks)((s, j) => cb.cents(s)(j).toArray)
     meanRows.foreach { r =>
       // float-round each mean — absorbs engine summation-order noise, and
       // is exactly the oracle's (::REAL[])::DOUBLE[] per-iteration cast
@@ -157,11 +156,7 @@ object Pq {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_cosine", Similarity.dot(col("__qv"), col("__xh")) / (col("__qn") * col("__xn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    Similarity.topKPerQuery(scored, "adc_cosine", k)
   }
 
   /** Two-stage PQ search: ADC shortlist of `rerank` candidates from the
@@ -186,11 +181,7 @@ object Pq {
       Similarity.norm(col(vecCol)).as("__cn"))
     val scored = cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("cosine", Similarity.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    Similarity.topKPerQuery(scored, "cosine", k)
   }
 
   /** IVF-PQ: coarse cells restrict the ADC scan — the billion-scale layout
@@ -257,11 +248,7 @@ object Pq {
     val scored = probes.join(indexed, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_cosine", Similarity.dot(col("__qv"), col("__xh")) / (col("__qn") * col("__xn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    Similarity.topKPerQuery(scored, "adc_cosine", k)
   }
 
   /** Codebook ⇄ DataFrame (subspace, cell_id, centroid) — the persistable

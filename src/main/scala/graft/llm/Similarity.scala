@@ -28,6 +28,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The shared tail of every top-k search: rank `scored` per query_id by
+    * (`scoreCol` desc, neighbor_id asc), keep rank ≤ k. ONE definition of
+    * the tie-break contract every search oracle pins — a drifted copy in
+    * one variant would silently diverge the others. */
+  private[llm] def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col(scoreCol).desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", scoreCol, "rank")
+  }
+
   /** Brute-force cosine top-k: every query row against the full corpus,
     * ranked per query. Exact; O(|Q|·|C|) — the oracle for ANN variants.
     * Norms are precomputed per row, not per pair — the per-pair work is one
@@ -46,11 +58,7 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKPerQuery(scored, "cosine", k)
   }
 
   /** Deterministic pseudo-centroids: the `numCells` corpus vectors with the
@@ -180,11 +188,7 @@ object Similarity {
     val scored = probes.join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKPerQuery(scored, "cosine", k)
   }
 
   /** K-means topic clustering over the embedding column: deterministic

@@ -344,7 +344,7 @@ class LlmSpec extends SparkSpec {
       s"full rerank != brute force: missing ${exactRanks -- full}, extra ${full -- exactRanks}")
   }
 
-  test("IVF-PQ: recall monotone in nprobe, probing ALL cells IS the full ADC scan") {
+  test("IVF-PQ: candidate coverage monotone in nprobe, probing ALL cells IS the full ADC scan") {
     import graft.llm.Pq
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 40)
@@ -352,17 +352,35 @@ class LlmSpec extends SparkSpec {
     val codes = Pq.encode(emb, cb)
     val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recalls = Seq(2, 4, 8, 16).map { nprobe =>
-      val s = Pq.ivfAdcTopK(queries, emb, cb, k = 5, numCells = 16, nprobe = nprobe)
+    // NOTE: top-k RECALL is deliberately not asserted monotone in nprobe —
+    // a wider probe can admit a candidate whose ADC (reconstruction) score
+    // beats a true neighbor's and evicts it from the ADC top-k. What IS
+    // monotone is candidate COVERAGE: the probed candidate set only grows
+    // with nprobe (nearestCells lists are prefixes of each other), so the
+    // fraction of true pairs that are even rankable is non-decreasing.
+    val centroids = Similarity.seedCentroids(emb, numCells = 16)
+    val cells = Similarity.assignCells(emb, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("cell_id"))
+    val cm = centroids.select(col("cell_id").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).sortBy(_._1)
+    val coverages = Seq(2, 4, 8, 16).map { nprobe =>
+      val probed = queries.select(col("vec_id").as("query_id"),
+          explode(graft.plans.GraftExtensions.nearestCells(col("embedding"),
+            cm.map(_._1).toIndexedSeq, cm.map(_._2).toIndexedSeq, nprobe)).as("cell_id"))
+        .join(cells, Seq("cell_id"))
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-      (nprobe, s, exact.intersect(s).size.toDouble / exact.size)
+      exact.intersect(probed).size.toDouble / exact.size
     }
-    recalls.sliding(2).foreach {
-      case Seq((p1, _, r1), (p2, _, r2)) =>
-        assert(r2 >= r1, s"IVF-PQ recall not monotone: nprobe $p1->$p2 recall $r1->$r2")
+    coverages.sliding(2).foreach {
+      case Seq(c1, c2) => assert(c2 >= c1, s"candidate coverage not monotone: $coverages")
       case _ => ()
     }
-    assert(recalls.last._3 >= 0.15, s"nprobe=16 recall ${recalls.last._3}") // sf0.01 nprobe=4 measures 0.26
+    assert(coverages.last == 1.0, "probing every cell must cover every true pair")
+    // recall floor at the gate's operating point (sf0.01 measures 0.26)
+    val r4 = Pq.ivfAdcTopK(queries, emb, cb, k = 5, numCells = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.intersect(r4).size.toDouble / exact.size >= 0.1,
+      s"nprobe=4 recall ${exact.intersect(r4).size.toDouble / exact.size}")
     // probing every cell removes the coarse filter entirely — any cell
     // assignment or probe bug breaks equality with the pure compressed scan
     val fullAdc = Pq.adcTopK(queries, codes, cb, k = 5)

@@ -210,16 +210,17 @@ class PlanShapeSpec extends SparkSpec {
     val spOk = Set("a4_scalar_minmax", "llm_curation_report", "llm_lm_score",
       "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
-      "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
-      // the PQ ADC scan is a DELIBERATE Q×N — that is the operator's trade:
-      // the broadcast side is queries, the scan side is m-byte codes
-      "llm_pq_topk", "llm_pq_rerank")
+      "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets")
     // Skip ONLY the queries whose lambda runs work at build time (streaming
     // replays, the chain-fold fixture, DSv2 replay, driver fixtures) — an
     // explicit list, not a prefix: the old `startsWith("s")` silently
     // excluded ~24 pure batch builders (s2..s10, scd2_*) from the audit
     // (ADVICE r5).
-    val skipExact = Set("s1b_dsv2_size_close", "convert_txs_union", "extract_tickers")
+    val skipExact = Set("s1b_dsv2_size_close", "convert_txs_union", "extract_tickers",
+      // the PQ builders RUN codebook training (seed + Lloyd collects) at
+      // plan-build time; their shapes are pinned by the dedicated tests
+      // (map-only encode here, bucketed-probe differential in SinksSpec)
+      "llm_pq_codes", "llm_pq_topk", "llm_pq_rerank", "llm_pq_ivf")
     val skip = (n: String) => n.startsWith("st") || n.startsWith("chain_fold") ||
       n.contains("stream") || skipExact(n)
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
