@@ -1609,5 +1609,74 @@ object LlmQueries {
               |  SELECT query_id, neighbor_id, sc,
               |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS INT) AS rank
               |  FROM scoredc)
-              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)))
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // exact-substring dedup (Lee et al. ACL 2022, shingle-granular): every
+    // >=8-word span repeated verbatim across the corpus is removed from
+    // all but its first occurrence. The oracle replays the whole kernel —
+    // FNV word/shingle hashes with start positions, per-hash keeper argmin,
+    // coverage mask, whitespace-normalized rebuild
+    QueryDef("llm_exact_substr",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // plant cross-document passage copies: 12 leading words of every
+        // 23rd doc grafted onto shared filler (the filler itself repeats
+        // across plants, so its spans dedup too — intended: boilerplate)
+        val planted = docs.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            concat(
+              array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " "),
+              lit(" unrelated filler alpha beta gamma delta epsilon zeta eta theta")).as("text"))
+        Dedup.removeRepeatedSpans(docs.unionByName(planted), k = 8)
+          .orderBy("doc_id")
+      },
+      Some {
+        import HashSql.fnvRed
+        s"""WITH d AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 800000 AS doc_id,
+           |    list_aggr(ws[1:12], 'string_agg', ' ') || ' unrelated filler alpha beta gamma delta epsilon zeta eta theta' AS text
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           |        FROM documents WHERE doc_id % 23 = 0)),
+           |w AS (
+           |  SELECT doc_id, u.pos, u.word
+           |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM d),
+           |       LATERAL (SELECT unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS word) u
+           |  WHERE u.word <> ''),
+           |wi AS (
+           |  SELECT doc_id, word,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS widx
+           |  FROM w),
+           |wh AS (
+           |  SELECT doc_id, widx,
+           |    ${fnvRed("[CAST(unicode(lower(word)[i:i]) AS UBIGINT) FOR i IN range(1, len(word)+1)]")} AS h
+           |  FROM wi),
+           |hl AS (SELECT doc_id, list(h ORDER BY widx) AS hs FROM wh GROUP BY doc_id),
+           |sh AS (
+           |  SELECT doc_id, u.i - 1 AS start, ${fnvRed("hs[u.i:u.i+7]")} AS h
+           |  FROM hl, LATERAL (SELECT unnest(range(1, len(hs) - 6)) AS i) u),
+           |occ AS (
+           |  SELECT doc_id, start, h,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn,
+           |    count(*) OVER (PARTITION BY h) AS copies
+           |  FROM sh),
+           |rem AS (
+           |  SELECT DISTINCT doc_id, start + u.j AS widx
+           |  FROM occ, LATERAL (SELECT unnest(range(0, 8)) AS j) u
+           |  WHERE copies >= 2 AND rn > 1),
+           |keptw AS (
+           |  SELECT wi.doc_id, wi.widx, wi.word
+           |  FROM wi ANTI JOIN rem ON rem.doc_id = wi.doc_id AND rem.widx = wi.widx),
+           |agg AS (
+           |  SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS clean_text,
+           |    count(*) AS n_kept
+           |  FROM keptw GROUP BY doc_id),
+           |tot AS (SELECT doc_id, count(*) AS n_words FROM wi GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(a.clean_text, '') AS clean_text,
+           |  coalesce(t.n_words, 0) - coalesce(a.n_kept, 0) AS n_removed_words
+           |FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN tot t USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }))
 }

@@ -614,4 +614,117 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** All k-word shingles of a document WITH their 0-based start word index
+    * — (start, hash) structs in document order. Same FNV-1a word/shingle
+    * hashing as [[shingleHashes]]/[[winnowingFingerprints]] (lowercased
+    * chars, whitespace word breaks), so the DuckDB transliteration of
+    * those kernels covers this one too. */
+  private[llm] def shinglesWithStart(text: Column, k: Int): Column = {
+    val u = udf { (s: String) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      if (s != null) {
+        val ring = new Array[Long](k)
+        var wordCount = 0
+        var wh = 0xcbf29ce484222325L
+        var inWord = false
+        var idx = 0
+        val n = s.length
+        def closeWord(): Unit = if (inWord) {
+          ring(wordCount % k) = wh
+          wordCount += 1
+          wh = 0xcbf29ce484222325L
+          inWord = false
+          if (wordCount >= k) {
+            var sh = 0xcbf29ce484222325L
+            var j = wordCount - k
+            while (j < wordCount) { sh = (sh ^ ring(j % k)) * 0x100000001b3L; j += 1 }
+            out += ((wordCount - k, sh))
+          }
+        }
+        while (idx < n) {
+          val c = s.charAt(idx)
+          if (Character.isWhitespace(c)) closeWord()
+          else { wh ^= Character.toLowerCase(c).toLong; wh *= 0x100000001b3L; inWord = true }
+          idx += 1
+        }
+        closeWord()
+      }
+      out.toSeq
+    }
+    u(text)
+  }
+
+  /** Exact-substring dedup, shingle-granular (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — public
+    * method): remove every ≥`k`-word span that appears verbatim
+    * `minCopies`+ times across the corpus, KEEPING the first occurrence
+    * (lowest (doc_id, start) per shingle — the paper keeps one copy so
+    * content survives dedup). The suffix-array construction the paper uses
+    * is replaced by the k-shingle approximation that the rest of this
+    * engine's dedup family builds on: every k-window of a duplicated
+    * longer span is itself duplicated, so removal is exact at k-word
+    * granularity (spans duplicated for fewer than k words are below the
+    * threshold by definition).
+    *
+    * Returns (idCol, clean_text, n_removed_words) for EVERY input doc —
+    * clean_text is whitespace-NORMALIZED (single spaces, the shingle
+    * tokenization's word sequence) for touched and untouched docs alike,
+    * which is what makes the operator's output deterministic and
+    * SQL-replayable.
+    *
+    * Scale shape: shingling is map-only; occurrences shuffle ONCE keyed on
+    * the 64-bit shingle hash (count + keeper argmin in the same
+    * aggregation); only duplicated hashes flow back (a join keyed on hash,
+    * broadcast when the duplicated set is small); removal positions
+    * re-aggregate per doc (collect_set bounded by words-per-doc) and the
+    * rebuild is row-local. No suffix array, no global sort. */
+  def removeRepeatedSpans(
+      docs: DataFrame,
+      k: Int = 8,
+      minCopies: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minCopies >= 2, s"need k>=1, minCopies>=2: $k/$minCopies")
+    val occ = docs.select(col(idCol),
+        explode(shinglesWithStart(col(textCol), k)).as("sh"))
+      .select(col(idCol), col("sh._1").as("__start"), col("sh._2").as("__h"))
+    // one aggregation: copy count + first occurrence per shingle
+    val dups = occ.groupBy("__h")
+      .agg(count(lit(1)).as("__copies"),
+        min(struct(col(idCol), col("__start"))).as("__keep"))
+      .filter(col("__copies") >= minCopies)
+      .select(col("__h"), col("__keep"))
+    val removals = occ.join(dups, Seq("__h"))
+      .filter(!(col(idCol) === col(s"__keep.$idCol") && col("__start") === col("__keep.__start")))
+      .select(col(idCol), explode(sequence(col("__start"), col("__start") + (k - 1))).as("__w"))
+      .distinct()
+      .groupBy(idCol)
+      .agg(collect_set(col("__w")).as("__removed"))
+    val rebuild = udf { (s: String, removed: Seq[Int]) =>
+      val rs: Set[Int] = if (removed == null) Set.empty else removed.toSet
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var widx = 0
+      if (s != null) {
+        var idx = 0
+        var wstart = -1
+        val n = s.length
+        def closeWord(end: Int): Unit = if (wstart >= 0) {
+          if (!rs(widx)) kept += s.substring(wstart, end)
+          widx += 1
+          wstart = -1
+        }
+        while (idx < n) {
+          if (Character.isWhitespace(s.charAt(idx))) closeWord(idx)
+          else if (wstart < 0) wstart = idx
+          idx += 1
+        }
+        closeWord(n)
+      }
+      (kept.mkString(" "), (widx - kept.length).toLong)
+    }
+    docs.join(removals, Seq(idCol), "left")
+      .withColumn("__rb", rebuild(col(textCol), col("__removed")))
+      .select(col(idCol), col("__rb._1").as("clean_text"), col("__rb._2").as("n_removed_words"))
+  }
 }

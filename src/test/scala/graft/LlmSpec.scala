@@ -283,6 +283,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("exact-substring dedup: repeated spans removed from copies, first occurrence kept") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"intro words here $passage trailing tail words"),
+      (2L, s"$passage completely different ending sentence tokens"),
+      (3L, passage), // a doc that IS the duplicated span
+      (4L, "totally unrelated document with enough words to shingle beyond k")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, k = 10, minCopies = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 holds the first occurrence — untouched (output is whitespace-
+    // normalized for every doc, so equality against the source holds here)
+    assert(out(1L) == ((s"intro words here $passage trailing tail words", 0L)))
+    assert(out(2L) == (("completely different ending sentence tokens", 10L)))
+    assert(out(3L) == (("", 10L)), "a doc that is entirely a duplicated span empties")
+    assert(out(4L)._2 == 0L)
+    // within-document repetition: the second copy of the span is removed
+    val rep = Seq((9L, s"$passage $passage tail")).toDF("doc_id", "text")
+    val repOut = Dedup.removeRepeatedSpans(rep, k = 10, minCopies = 2).collect().head
+    assert(repOut.getString(1) == s"$passage tail" && repOut.getLong(2) == 10L)
+    // below the copy threshold nothing moves (the passage appears 3×:
+    // docs 1, 2, and 3 — so minCopies=4 is the first non-firing setting)
+    val strict = Dedup.removeRepeatedSpans(docs, k = 10, minCopies = 4)
+      .agg(sum(col("n_removed_words"))).collect().head.getLong(0)
+    assert(strict == 0L, "minCopies=4 must leave a 3-copy span alone")
+  }
+
   test("CCNet perplexity buckets: tercile cuts, score-ordered, exhaustive") {
     import graft.llm.CorpusStats
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
