@@ -1611,6 +1611,69 @@ object LlmQueries {
               |  FROM scoredc)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Gopher rule-set filter (Rae et al. 2021 §A1.1.2): the canonical
+    // rule-based document quality gate — all builtin arithmetic, 1:1 in
+    // SQL. The fixture prose has <2 English stop words (all 500 docs fail
+    // the stopword rule — honest), so three engineered plants exercise
+    // the pass branch and the line-level rules: a passing doc, a
+    // bullet-list doc, a duplicated-lines doc
+    QueryDef("llm_gopher_rules",
+      (s, dir) => {
+        import s.implicits._
+        val planted = Seq(
+          (900001L, ("the data and that have with " * 9).trim),
+          (900002L, Array.fill(10)("- item").mkString("\n")),
+          (900003L, Array.fill(10)("same line").mkString("\n"))
+        ).toDF("doc_id", "text")
+        TextAnalysis.gopherSignals(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")).unionByName(planted))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 900001, trim(repeat('the data and that have with ', 9))
+             |  UNION ALL SELECT 900002, repeat('- item' || chr(10), 9) || '- item'
+             |  UNION ALL SELECT 900003, repeat('same line' || chr(10), 9) || 'same line')
+             |SELECT doc_id,
+             |  CAST(n_words AS INT) AS n_words,
+             |  round(nchars / nwd, 6) AS mean_word_len,
+             |  round((nhash + nell) / nwd, 6) AS symbol_word_ratio,
+             |  round(nbul / nld, 6) AS bullet_line_frac,
+             |  round(nelll / nld, 6) AS ellipsis_line_frac,
+             |  round(nalpha / nwd, 6) AS alpha_word_frac,
+             |  CAST(nstop AS INT) AS stopword_hits,
+             |  round(ndup / nld, 6) AS dup_line_frac,
+             |  (n_words BETWEEN 50 AND 100000
+             |    AND round(nchars / nwd, 6) BETWEEN 3.0 AND 10.0
+             |    AND round((nhash + nell) / nwd, 6) <= 0.1
+             |    AND round(nbul / nld, 6) < 0.9
+             |    AND round(nelll / nld, 6) < 0.3
+             |    AND round(nalpha / nwd, 6) >= 0.8
+             |    AND nstop >= 2
+             |    AND round(ndup / nld, 6) <= 0.3) AS gopher_pass
+             |FROM (
+             |  SELECT doc_id,
+             |    len(ws) AS n_words,
+             |    CAST(greatest(len(ws), 1) AS DOUBLE) AS nwd,
+             |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS nchars,
+             |    length(text) - length(regexp_replace(text, '#', '', 'g')) AS nhash,
+             |    (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+             |      + (length(text) - length(regexp_replace(text, '…', '', 'g'))) AS nell,
+             |    CAST(greatest(len(ls), 1) AS DOUBLE) AS nld,
+             |    len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+             |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS nbul,
+             |    len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+             |      OR ends_with(rtrim(l), '…'))) AS nelll,
+             |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+             |    len(list_intersect(list_transform(ws, w -> lower(w)),
+             |      ['the','be','to','of','and','that','have','with'])) AS nstop,
+             |    CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) AS ndup
+             |  FROM (SELECT doc_id, text,
+             |          string_split_regex(trim(text), '\s+') AS ws,
+             |          string_split(text, chr(10)) AS ls
+             |        FROM d))
+             |ORDER BY doc_id""".stripMargin)),
+
     // exact-substring dedup (Lee et al. ACL 2022, shingle-granular): every
     // >=8-word span repeated verbatim across the corpus is removed from
     // all but its first occurrence. The oracle replays the whole kernel —

@@ -193,4 +193,64 @@ object TextAnalysis {
   }
 
   def fingerprint(text: Column): Column = fingerprintUdf(lower(trim(text)))
+
+  /** The Gopher rule-set document filter (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021
+    * §A1.1.2 — public method; also the RedPajama/Dolma "Gopher rules"):
+    * per-document signals plus the canonical accept thresholds —
+    *
+    *  - 50 ≤ word count ≤ 100,000
+    *  - 3 ≤ mean word length ≤ 10
+    *  - symbol-to-word ratio (`#` or `...`/`…`) ≤ 0.1
+    *  - < 90% of lines start with a bullet; < 30% end with an ellipsis
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 of the 8 English stop words {the, be, to, of, and, that,
+    *    have, with} appear
+    *  - duplicate-line fraction ≤ 0.3 (the doc-level repetition rule;
+    *    the finer n-gram repetition rules are [[repetitionSignals]])
+    *
+    * Everything is builtin-function arithmetic over one row — map-only,
+    * whole-stage codegen, no UDF — and transliterates 1:1 to the DuckDB
+    * oracle. Ratios round to 6 dp; denominators clamp at 1 on both sides
+    * so empty docs score 0 rather than null. */
+  def gopherSignals(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val nWords = size(words)
+    val nWordsD = greatest(nWords, lit(1)).cast("double")
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines)
+    val nLinesD = greatest(nLines, lit(1)).cast("double")
+    val nHash = length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))
+    val nEllipsis =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3 +
+        (length(col(textCol)) - length(regexp_replace(col(textCol), "…", "")))
+    val bulletLines = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
+    val ellipsisLines = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stopHits = size(array_intersect(
+      transform(words, w => lower(w)),
+      typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))))
+    val dupLines = (nLines - size(array_distinct(lines))).cast("double") / nLinesD
+    df.select(
+        col(idCol),
+        nWords.as("n_words"),
+        round(length(regexp_replace(trim(col(textCol)), "\\s+", "")) / nWordsD, 6).as("mean_word_len"),
+        round((nHash + nEllipsis) / nWordsD, 6).as("symbol_word_ratio"),
+        round(bulletLines / nLinesD, 6).as("bullet_line_frac"),
+        round(ellipsisLines / nLinesD, 6).as("ellipsis_line_frac"),
+        round(alphaWords / nWordsD, 6).as("alpha_word_frac"),
+        stopHits.as("stopword_hits"),
+        round(dupLines, 6).as("dup_line_frac"))
+      .withColumn("gopher_pass",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_line_frac") < 0.9 &&
+          col("ellipsis_line_frac") < 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("stopword_hits") >= 2 &&
+          col("dup_line_frac") <= 0.3)
+  }
 }

@@ -283,6 +283,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("Gopher rules: each signal fires on its engineered violation, a clean doc passes") {
+    val docs = Seq(
+      (1L, ("the data and that have with " * 9).trim), // 54 words, 5 stop hits
+      (2L, Array.fill(10)("- item").mkString("\n")), // all-bullet lines
+      (3L, Array.fill(4)("see more ...").mkString("\n")), // ellipsis line ends
+      (4L, ("12 34 56 " * 20).trim), // zero alphabetic words
+      (5L, "short doc"), // below the 50-word floor
+      (6L, Array.fill(10)("same line").mkString("\n")) // 90% duplicate lines
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_pass"), s"clean doc must pass: ${out(1L)}")
+    assert(out(1L).getAs[Int]("stopword_hits") == 5)
+    assert(out(2L).getAs[Double]("bullet_line_frac") == 1.0 && !out(2L).getAs[Boolean]("gopher_pass"))
+    assert(out(3L).getAs[Double]("ellipsis_line_frac") == 1.0)
+    assert(out(4L).getAs[Double]("alpha_word_frac") == 0.0)
+    assert(out(5L).getAs[Int]("n_words") == 2 && !out(5L).getAs[Boolean]("gopher_pass"))
+    assert(out(6L).getAs[Double]("dup_line_frac") == 0.9)
+  }
+
   test("exact-substring dedup: repeated spans removed from copies, first occurrence kept") {
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
