@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
   *
-  * The `events.ts` column is physically INT64 TIMESTAMP(NANOS), which Spark 4
-  * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` — set at
-  * runtime here so it also holds in the driver's own smoke session. The
-  * nanos Long is normalized to a microsecond TimestampType column, matching
-  * DuckDB's microsecond truncation of the same file.
+  * The fixtures have shipped `events.ts` under two physical encodings across
+  * regenerations: INT64 TIMESTAMP(NANOS) (reads as Long under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, set here so it also holds in
+  * the driver's own smoke session) and plain `timestamp[us]` (reads as
+  * TIMESTAMP_NTZ under Spark 4's NTZ inference). [[events]] branches on the
+  * type it actually read and normalizes both to a session-UTC TimestampType
+  * column with microsecond values — exactly what DuckDB sees for the same
+  * file, so oracle hashes are invariant to the fixture's physical encoding.
   */
 object Tables {
 
@@ -18,10 +21,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events` with `ts` as TimestampType (µs, truncated from nanos). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events` with `ts` normalized to TimestampType (µs) regardless of the
+    * fixture's physical encoding (INT64-nanos or timestamp[us]/NTZ). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP_NTZ (or already TZ): wall-clock µs; UTC session cast
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
