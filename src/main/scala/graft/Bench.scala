@@ -47,12 +47,22 @@ object Bench {
         // .count() would let column pruning skip every projected column a
         // map-only query exists to compute (a 38 s/row-pass operator once
         // benched as 0.2 s this way — NOTES.md round 4)
-        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            // a swallowed throw "runs" in ~0.05 s and corrupts every
+            // downstream median (VERDICT r6 #3) — record the failure
+            System.err.println(s"BENCH FAILED $name: ${e.toString.linesIterator.next()}")
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       if (verbose) System.err.println(s"BENCHREP $name ${times.map(t => f"$t%.2f").mkString(" ")}")
-      name -> median(times)
+      name -> (if (times.contains(-1.0)) -1.0 else median(times))
     }
+    val failedNames = results.collect { case (n, v) if v < 0 => n }.toSeq
+    if (failedNames.nonEmpty)
+      System.err.println(s"BENCH ${failedNames.size} FAILED queries: ${failedNames.mkString(", ")}")
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def jsonLine(qs: Map[String, Double]): String = {
       val body = qs.toSeq.sortBy(_._1)
@@ -71,8 +81,10 @@ object Bench {
     val histPath = Paths.get("bench_history.jsonl")
     val thisRun = jsonLine(results)
     // dev subset runs (BENCH_ONLY) stay out of the history — a 4-query
-    // warm-JVM sample would contaminate the full run's cross-run medians
-    if (only.isEmpty) {
+    // warm-JVM sample would contaminate the full run's cross-run medians —
+    // and so does ANY run with failures: r6's history carried 57 ~0.05 s
+    // "timings" of queries that threw at analysis (VERDICT r6 #3)
+    if (only.isEmpty && failedNames.isEmpty) {
       try Files.write(histPath, (thisRun + "\n").getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       catch { case e: java.io.IOException => System.err.println(s"bench_history append failed: $e") }
@@ -86,15 +98,19 @@ object Bench {
             .map(parseQueries)
             // only runs over the SAME query set are comparable samples
             .filter(_.keySet == results.keySet)
-            .dropRight(1).takeRight(2) // this run is already on disk; window = 3 runs
+            // a failing run was never appended, so this run is on disk only
+            // when it was clean; window = 3 runs either way
+            .dropRight(if (failedNames.isEmpty) 1 else 0).takeRight(2)
         } else Nil
       } catch { case _: java.io.IOException => Nil }
     val merged = results.map { case (name, v) =>
-      name -> median(priorRuns.flatMap(_.get(name)) :+ v)
+      // a failure stays a visible -1 — merging it into clean prior medians
+      // would hide the breakage from the driver's artifact
+      name -> (if (v < 0) -1.0 else median(priorRuns.flatMap(_.get(name)).filter(_ >= 0) :+ v))
     }
     val line = jsonLine(merged)
-    // bench_out.json is the artifact of record — only FULL runs replace it
-    if (only.isEmpty) {
+    // bench_out.json is the artifact of record — only clean FULL runs replace it
+    if (only.isEmpty && failedNames.isEmpty) {
       try Files.write(Paths.get("bench_out.json"), (line + "\n").getBytes("UTF-8"))
       catch { case e: java.io.IOException => System.err.println(s"bench_out.json write failed: $e") }
     }

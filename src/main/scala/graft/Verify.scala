@@ -17,15 +17,33 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (comma-separated names); the driver runs unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // A crashed query must leave a loud, per-gate trace — round 6 shipped a
+    // 57-gate silent collapse because failures only went to stderr and the
+    // driver's compare never saw the query at all (VERDICT r6 #2). On
+    // failure: write `<name>/_ERROR` (so the gate shows up as err, not
+    // absent), print a FAILED line, and summarize at the end.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        // clear any stale parquet from a previous run so the driver can't
+        // read old results for a now-broken query
+        Option(d.listFiles()).foreach(_.filterNot(_.getName == "_ERROR").foreach(_.delete()))
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+          s"$name failed:\n${e.toString}\n")
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED gates: ${failed.mkString(", ")}")
+    else
+      System.err.println(s"[verify] all gates wrote output")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
