@@ -100,11 +100,10 @@ object AggQueries {
     * Memoized per (session, dir): the fold is the shared FIXTURE both
     * queries read — its ~40 per-batch materialization jobs (the per-batch
     * COMMIT analog) would otherwise be re-paid by every consumer. */
-  private val foldCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.ChainSync.ChainState]()
+  private val foldCache = new graft.util.SessionCache[graft.operators.ChainSync.ChainState]()
 
   private def foldedState(s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.ChainSync.ChainState =
-    foldCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => computeFoldedState(s, dir))
+    foldCache.getOrCompute(s, dir)(computeFoldedState(s, dir))
 
   private def computeFoldedState(s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.ChainSync.ChainState = {
     import graft.convert._

@@ -226,6 +226,18 @@ object LlmQueries {
          |  WHERE q.vec_id < 100 AND q.vec_id <> x.vec_id)""".stripMargin
   }
 
+  /** The trained PQ codebook is the shared FIXTURE of all four llm_pq_*
+    * gates — each train pays 2 Lloyd collects plus plan/codegen of m=16
+    * encode kernels, so retraining per gate quadrupled the family's cost
+    * (VERDICT r6 #4). Memoized per (session, dir) like
+    * AggQueries.foldedState; deterministic seeds make the cached codebook
+    * bit-identical to a fresh train. */
+  private val pqCbCache = new graft.util.SessionCache[graft.llm.Pq.Codebook]()
+  private def pqCodebook(s: SparkSession, dir: String): graft.llm.Pq.Codebook =
+    pqCbCache.getOrCompute(s, dir)(
+      graft.llm.Pq.train(Tables.embeddings(s, dir),
+        dim = PqSql.dim, m = PqSql.m, ks = PqSql.ks, iterations = 2))
+
   /** Shared CTE base for the vector-LSH oracles: the xorshift hyperplane
     * STATES inlined as BIGINTs (value = state / Long.MaxValue, divided in
     * SQL so the doubles stay bit-identical — the llm_lsh_buckets
@@ -1506,7 +1518,7 @@ object LlmQueries {
       (s, dir) => {
         import graft.llm.Pq
         val emb = Tables.embeddings(s, dir)
-        val cb = Pq.train(emb, dim = PqSql.dim, m = PqSql.m, ks = PqSql.ks, iterations = 2)
+        val cb = pqCodebook(s, dir)
         Pq.encode(emb, cb)
           .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
           .orderBy("vec_id", "subspace")
@@ -1521,7 +1533,7 @@ object LlmQueries {
       (s, dir) => {
         import graft.llm.Pq
         val emb = Tables.embeddings(s, dir)
-        val cb = Pq.train(emb, dim = PqSql.dim, m = PqSql.m, ks = PqSql.ks, iterations = 2)
+        val cb = pqCodebook(s, dir)
         val codes = Pq.encode(emb, cb)
         Pq.adcTopK(emb.filter(col("vec_id") < 100), codes, cb, k = 5)
           .select(col("query_id"), col("neighbor_id"),
@@ -1542,7 +1554,7 @@ object LlmQueries {
       (s, dir) => {
         import graft.llm.Pq
         val emb = Tables.embeddings(s, dir)
-        val cb = Pq.train(emb, dim = PqSql.dim, m = PqSql.m, ks = PqSql.ks, iterations = 2)
+        val cb = pqCodebook(s, dir)
         val codes = Pq.encode(emb, cb)
         Pq.adcRerankTopK(emb.filter(col("vec_id") < 100), codes, emb, cb, k = 5, rerank = 50)
           .select(col("query_id"), col("neighbor_id"),
@@ -1578,7 +1590,7 @@ object LlmQueries {
       (s, dir) => {
         import graft.llm.Pq
         val emb = Tables.embeddings(s, dir)
-        val cb = Pq.train(emb, dim = PqSql.dim, m = PqSql.m, ks = PqSql.ks, iterations = 2)
+        val cb = pqCodebook(s, dir)
         Pq.ivfAdcTopK(emb.filter(col("vec_id") < 100), emb, cb, k = 5, numCells = 16, nprobe = 4)
           .select(col("query_id"), col("neighbor_id"),
             round(col("adc_cosine"), 6).as("adc_cosine"), col("rank"))
