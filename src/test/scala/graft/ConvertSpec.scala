@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
 
 import graft.convert._
 import graft.functions.{Base58, Waves}
@@ -213,13 +214,28 @@ class ConvertSpec extends SparkSpec {
     assert(txs.select("tx_type").distinct().as[Short].collect().toSet == Set(1, 4, 7, 12, 8, 9, 16))
   }
 
-  test("every produced table matches its registry schema's column names") {
+  test("every produced table matches its registry schema's columns AND types") {
     tables.foreach { case (name, df) =>
-      val expected = ReferenceSchemas.tables(name).fieldNames.toSeq
-      val actual = df.columns.toSeq
+      val expected = ReferenceSchemas.tables(name)
+        .fields.map(f => f.name -> f.dataType).toMap
       // txs_9 carries the transient lease_id used by resolveLeaseUids
-      val normalized = if (name == "txs_9") actual.filterNot(_ == "lease_id") else actual
-      assert(normalized.sorted == expected.sorted, s"$name columns: $actual vs $expected")
+      val actual = df.schema.fields
+        .filterNot(f => name == "txs_9" && f.name == "lease_id")
+        .map(f => f.name -> f.dataType).toMap
+      assert(actual.keySet == expected.keySet,
+        s"$name columns: ${actual.keySet} vs ${expected.keySet}")
+      for ((col, dt) <- expected) {
+        // ArrayType containsNull is writer-dependent — compare erased
+        val got = actual(col) match {
+          case ArrayType(e, _) => ArrayType(e)
+          case o => o
+        }
+        val want = dt match {
+          case ArrayType(e, _) => ArrayType(e)
+          case o => o
+        }
+        assert(got == want, s"$name.$col: produced ${actual(col)}, registry $dt")
+      }
     }
   }
 }
