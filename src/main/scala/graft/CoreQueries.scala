@@ -97,6 +97,54 @@ object CoreQueries {
              |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
              |ORDER BY event_id""".stripMargin)),
 
+    // S3b — protobuf wire ingestion end-to-end (updates.rs:154-263): each
+    // event row becomes a one-tx BlockchainUpdated message ENCODED to real
+    // protobuf wire bytes, then DECODED back through UpdatesProto into the
+    // RawTx IR. Encode+decode are row-local inside one Dataset.map — on a
+    // cluster this is a map-only stage over a binary column, no shuffle —
+    // and the oracle recomputes every projected field from the raw table,
+    // so any wire-layer corruption breaks the hash.
+    QueryDef("s3b_wire_decode",
+      (s, dir) => {
+        import s.implicits._
+        import graft.convert._
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+          .as[(Long, Long, Long)]
+          .map { case (eid, uid, ms) =>
+            val assetId =
+              if (uid % 2 == 0) Array.emptyByteArray else s"A${uid % 4}".getBytes("UTF-8")
+            val tx = RawTx(id = eid.toString.getBytes("UTF-8"), txType = 4,
+              senderPublicKey = s"PK$uid".getBytes("UTF-8"),
+              fee = eid % 1000, timeStampMs = ms,
+              txVersion = Some(2), feeAssetId = Some(Array.emptyByteArray),
+              assetId = Some(assetId), amount = Some(eid % 100),
+              attachment = Some(Array.emptyByteArray))
+            val meta = UpdatesProto.TxMeta(
+              senderAddress = s"S$uid".getBytes("UTF-8"),
+              recipientAddress = Some(s"R${eid % 7}".getBytes("UTF-8")))
+            val wire = UpdatesProto.encodeBlock(
+              RawBlock(s"b$eid", (uid % 1000).toInt, Some(ms), None, Seq(tx)), Seq(meta))
+            val (upd, _) = UpdatesProto.decode(wire)
+            val b = upd.asInstanceOf[RawBlock]
+            val t = b.txs.head
+            (new String(t.id, "UTF-8"), b.height, t.timeStampMs, t.amount.get, t.fee,
+              t.assetId.filter(_.nonEmpty).map(new String(_, "UTF-8")).getOrElse("WAVES"),
+              new String(t.recipient.get, "UTF-8"))
+          }
+          .toDF("tx_id", "height", "ts_ms", "amount", "fee", "asset", "recipient")
+          .orderBy("tx_id")
+      },
+      Some("""SELECT CAST(event_id AS VARCHAR) AS tx_id,
+             |  CAST(user_id % 1000 AS INT) AS height,
+             |  epoch_ms(ts) AS ts_ms,
+             |  event_id % 100 AS amount,
+             |  event_id % 1000 AS fee,
+             |  CASE WHEN user_id % 2 = 0 THEN 'WAVES'
+             |       ELSE 'A' || CAST(user_id % 4 AS VARCHAR) END AS asset,
+             |  'R' || CAST(event_id % 7 AS VARCHAR) AS recipient
+             |FROM events ORDER BY tx_id""".stripMargin)),
+
     // S4 — chunked bulk-insert sizing (pg.rs:31-32, 841-872); lineitem has 11 cols
     QueryDef("s4_chunked_insert",
       (s, dir) => {
