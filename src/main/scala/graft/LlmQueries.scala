@@ -288,6 +288,26 @@ object LlmQueries {
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
+  /** Fixture docs restructured into multi-line "pages": 7-word lines (a
+    * counting regex inserts the breaks), terminal '.' appended to lines
+    * whose char length isn't divisible by 3 — deterministic,
+    * content-derived, mirrored 1:1 by [[multilineSql]]. The fixture text
+    * is single-line word soup; the C4 / paragraph-dedup operators act on
+    * LINES, so the line structure is derived rather than synthesized. */
+  private def multilineDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        transform(split(regexp_replace(col("text"), "((?:\\S+ ){6}\\S+) ", "$1\n"), "\n"),
+          l => when(length(l) % 3 =!= 0, concat(l, lit("."))).otherwise(l))).as("text"))
+
+  private val multilineSql: String =
+    """ml AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(
+      |      string_split(regexp_replace(text, '((?:\S+ ){6}\S+) ', '\1' || chr(10), 'g'), chr(10)),
+      |      l -> CASE WHEN length(l) % 3 <> 0 THEN l || '.' ELSE l END), chr(10)) AS text
+      |  FROM documents)""".stripMargin
+
   val all: Vector[QueryDef] = Vector(
 
     // exact dedup: hash-groupBy, keep lowest id
@@ -1753,5 +1773,100 @@ object LlmQueries {
            |  coalesce(t.n_words, 0) - coalesce(a.n_kept, 0) AS n_removed_words
            |FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN tot t USING (doc_id)
            |ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // C4 cleaning rules (Raffel et al. JMLR 2020 §2.2): line retention
+    // (terminal punctuation, >=5 words, no "javascript") + page drops
+    // (<3 kept lines, bad word, "lorem ipsum", curly bracket) over
+    // line-structured pages derived from the fixture docs, plus planted
+    // pages exercising each page rule individually
+    QueryDef("llm_c4_clean",
+      (s, dir) => {
+        import s.implicits._
+        import graft.llm.C4
+        val planted = Seq(
+          (910001L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nthis line calls javascript somewhere now.\nanother good sentence with many words?"),
+          (910002L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nanother good sentence with many words?\nlorem ipsum dolor sit amet consectetur."),
+          (910003L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nanother good sentence with many words?\nfunction foo() { return one; }."),
+          (910004L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nanother good sentence with many words?\nthis line has badword present here."),
+          (910005L, "only two good lines here today.\nthe second good line sits here.")
+        ).toDF("doc_id", "text")
+        C4.clean(multilineDocs(s, dir).unionByName(planted)).orderBy("doc_id")
+      },
+      Some(s"""WITH $multilineSql,
+              |d AS (
+              |  SELECT * FROM ml
+              |  UNION ALL SELECT 910001, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'this line calls javascript somewhere now.' || chr(10) || 'another good sentence with many words?'
+              |  UNION ALL SELECT 910002, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'another good sentence with many words?' || chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+              |  UNION ALL SELECT 910003, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'another good sentence with many words?' || chr(10) || 'function foo() { return one; }.'
+              |  UNION ALL SELECT 910004, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'another good sentence with many words?' || chr(10) || 'this line has badword present here.'
+              |  UNION ALL SELECT 910005, 'only two good lines here today.' || chr(10) || 'the second good line sits here.'),
+              |x AS (
+              |  SELECT doc_id, text,
+              |    string_split(text, chr(10)) AS ls,
+              |    list_filter(string_split(text, chr(10)), l ->
+              |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+              |        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+              |      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+              |      AND NOT contains(lower(l), 'javascript')) AS kept
+              |  FROM d)
+              |SELECT doc_id,
+              |  CAST(len(ls) AS INT) AS n_lines,
+              |  CAST(len(kept) AS INT) AS n_kept,
+              |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+              |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+              |  contains(text, '{') AS has_curly,
+              |  len(list_intersect(
+              |    list_transform(string_split_regex(trim(text), '\\s+'), w -> lower(w)),
+              |    ['badword', 'nsfwtoken'])) > 0 AS has_badword,
+              |  (len(kept) >= 3
+              |    AND NOT contains(lower(text), 'lorem ipsum')
+              |    AND NOT contains(text, '{')
+              |    AND NOT len(list_intersect(
+              |      list_transform(string_split_regex(trim(text), '\\s+'), w -> lower(w)),
+              |      ['badword', 'nsfwtoken'])) > 0) AS c4_pass
+              |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // corpus-global paragraph dedup: first occurrence (lowest doc_id,
+    // position) of every line survives, later copies are dropped; full-copy
+    // pages (+700000) must empty out, the planted boilerplate line must
+    // survive only in the lowest doc_id carrying it
+    QueryDef("llm_paragraph_dedup",
+      (s, dir) => {
+        val ml = multilineDocs(s, dir)
+        val withBoiler = ml.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\nsubscribe to our newsletter today.")))
+            .otherwise(col("text")).as("text"))
+        val planted = withBoiler.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+        Dedup.paragraphDedup(withBoiler.unionByName(planted)).orderBy("doc_id")
+      },
+      Some(s"""WITH $multilineSql,
+              |wb AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 5 = 0
+              |      THEN text || chr(10) || 'subscribe to our newsletter today.'
+              |      ELSE text END AS text
+              |  FROM ml),
+              |d AS (
+              |  SELECT * FROM wb
+              |  UNION ALL SELECT doc_id + 700000 AS doc_id, text FROM wb WHERE doc_id % 17 = 0),
+              |ex AS (
+              |  SELECT doc_id, u.pos, u.par
+              |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+              |       LATERAL (SELECT unnest(range(1, len(ls)+1)) AS pos, unnest(ls) AS par) u),
+              |k AS (
+              |  SELECT doc_id, pos, par,
+              |    row_number() OVER (PARTITION BY par ORDER BY doc_id, pos) AS rn
+              |  FROM ex),
+              |agg AS (
+              |  SELECT doc_id, string_agg(par, chr(10) ORDER BY pos) AS clean_text,
+              |    count(*) AS nk
+              |  FROM k WHERE rn = 1 GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(a.clean_text, '') AS clean_text,
+              |  CAST(len(string_split(d.text, chr(10))) - coalesce(a.nk, 0) AS BIGINT) AS n_removed_lines
+              |FROM d LEFT JOIN agg a USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)))
 }

@@ -727,4 +727,49 @@ object Dedup {
       .withColumn("__rb", rebuild(col(textCol), col("__removed")))
       .select(col(idCol), col("__rb._1").as("clean_text"), col("__rb._2").as("n_removed_words"))
   }
+
+  /** Corpus-global paragraph dedup (the Dolma/RefinedWeb practice next to
+    * document-level dedup): every paragraph (`sep`-delimited line) that
+    * appears anywhere else in the corpus keeps only its FIRST occurrence —
+    * lowest (doc_id, position) — and every later copy is dropped;
+    * documents are rebuilt from their surviving paragraphs in order.
+    * Returns (idCol, clean_text, n_removed_lines) for every input doc
+    * (fully-boilerplate docs come back with empty text, not silently
+    * vanished). Complements [[graft.llm.Curation.stripBoilerplate]]
+    * (frequency-threshold within a stratum) — this is exact,
+    * first-occurrence-keeps, corpus-global.
+    *
+    * Scale shape: explode is row-local; the keeper argmin is ONE
+    * aggregation keyed on the 64-bit paragraph hash (map-side partial
+    * min — skew-proof even for boilerplate repeated millions of times,
+    * unlike a `row_number` window which would funnel every copy of a hot
+    * paragraph through one task); survivors semi-join on the same key and
+    * the rebuild re-aggregates per doc. Hash collisions conflate
+    * paragraphs at 2^-64; the join carries only the hash, exactly like
+    * [[exact]] trusts md5. */
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val ex = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    val keepers = ex.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
+      .select(col("__h"), col(s"__keep.$idCol").as(idCol), col("__keep.__pos").as("__pos"))
+    val kept = ex.join(keepers, Seq("__h", idCol, "__pos"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), sep).as("clean_text"),
+        count(lit(1)).as("__kept"))
+    docs.select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep))).cast("long").as("__total"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_removed_lines"))
+  }
 }

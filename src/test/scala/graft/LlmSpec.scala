@@ -949,6 +949,48 @@ class LlmSpec extends SparkSpec {
     assert(out(5L) == "shared footer\nother source")
   }
 
+  test("C4 clean: line rules and each page rule fire independently") {
+    import graft.llm.C4
+    val docs = Seq(
+      (1L, "a good sentence with five words.\nshort line.\nno terminal punctuation here at all\nthe second keeper line stands here!\nthe third keeper line sits here?"),
+      (2L, "a good sentence with five words.\nthe second keeper line stands here!\nthis line mentions JavaScript code today.\nthe third keeper line sits here?"),
+      (3L, "a good sentence with five words.\nthe second keeper line stands here!\nthe third keeper line sits here?\nlorem ipsum dolor sit amet friend."),
+      (4L, "a good sentence with five words.\nthe second keeper line stands here!\nthe third keeper line sits here?\ncode uses { braces } here friend."),
+      (5L, "a good sentence with five words.\nthe second keeper line stands here!\nthe third keeper line sits here?\nthis page contains badword right here."),
+      (6L, "only one good line sits here.")
+    ).toDF("doc_id", "text")
+    val out = C4.clean(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: the <5-word line and the unpunctuated line drop; 3 keepers → pass
+    assert(out(1L).getAs[Int]("n_kept") == 3 && out(1L).getAs[Boolean]("c4_pass"))
+    assert(out(1L).getAs[String]("clean_text") ==
+      "a good sentence with five words.\nthe second keeper line stands here!\nthe third keeper line sits here?")
+    // doc 2: the javascript line drops (case-insensitive), page survives on 3 keepers
+    assert(out(2L).getAs[Int]("n_kept") == 3 && out(2L).getAs[Boolean]("c4_pass"))
+    // docs 3/4/5: page-level drops, each via exactly its own flag
+    assert(out(3L).getAs[Boolean]("has_lorem") && !out(3L).getAs[Boolean]("c4_pass"))
+    assert(out(4L).getAs[Boolean]("has_curly") && !out(4L).getAs[Boolean]("c4_pass"))
+    assert(out(5L).getAs[Boolean]("has_badword") && !out(5L).getAs[Boolean]("c4_pass"))
+    // doc 6: one keeper < minLines → fails with no page flag set
+    assert(!out(6L).getAs[Boolean]("c4_pass") && !out(6L).getAs[Boolean]("has_lorem"))
+    val kept = C4.filterCorpus(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("paragraph dedup: first occurrence survives, later copies drop, emptied docs remain") {
+    val docs = Seq(
+      (1L, "alpha one\nshared footer\nbeta two"),
+      (2L, "gamma three\nshared footer"),
+      (3L, "shared footer"),                       // everything duplicated → emptied, not dropped
+      (4L, "delta four\ndelta four\nepsilon five") // within-doc dup: first copy kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("alpha one\nshared footer\nbeta two", 0L)))
+    assert(out(2L) == (("gamma three", 1L)))
+    assert(out(3L) == (("", 1L)))
+    assert(out(4L) == (("delta four\nepsilon five", 1L)))
+  }
+
   test("mixture sampling: integer share math, scarcest stratum binds, reproducible") {
     import graft.llm.Sampling
     val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")

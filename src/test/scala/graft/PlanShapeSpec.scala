@@ -185,6 +185,8 @@ class PlanShapeSpec extends SparkSpec {
       "PII redaction added a shuffle")
     assert(exchanges(graft.llm.TextAnalysis.qualityScore(docs)) == 0,
       "quality scoring added a shuffle")
+    assert(exchanges(graft.llm.C4.clean(docs)) == 0,
+      "C4 cleaning added a shuffle — it must stay a pure projection")
   }
 
   test("single-partition windows are banned from query plans") {
