@@ -443,6 +443,30 @@ object LlmQueries {
              |  WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id)
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // hard-negative mining (DPR/ANCE): top-k per query INSIDE a similarity
+    // band — exact variant is the oracle; the IVF composition is
+    // recall-dependent and spec-covered. Band [0.15, 0.35) sits in the
+    // fixture embeddings' upper similarity tail (cosines center on 0)
+    QueryDef("llm_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 100), emb, k = 5,
+            simLo = 0.15, simHi = 0.35)
+          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine,
+             |    row_number() OVER (PARTITION BY a.vec_id
+             |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id
+             |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.15
+             |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 0.35)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ANN scale path: IVF-bucketed search (approximate vs brute force —
     // recall asserted in LlmSpec — but DETERMINISTIC, so oracle-checkable:
     // the seed pick is xxhash64 order, transliterated in IvfSql, and the

@@ -171,7 +171,22 @@ object Similarity {
       nprobe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      kmeansIterations: Int = 0): DataFrame = {
+      kmeansIterations: Int = 0): DataFrame =
+    topKPerQuery(
+      ivfScored(queries, corpus, numCells, nprobe, idCol, vecCol, kmeansIterations),
+      "cosine", k)
+
+  /** The IVF probe-and-score subtree shared by [[ivfTopK]] and
+    * [[hardNegativesIvf]]: (query_id, neighbor_id, cosine) for every
+    * candidate in the probed cells. */
+  private def ivfScored(
+      queries: DataFrame,
+      corpus: DataFrame,
+      numCells: Int,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String,
+      kmeansIterations: Int): DataFrame = {
     val seeded = seedCentroids(corpus, numCells, idCol, vecCol)
     val centroids =
       if (kmeansIterations > 0) refineCentroids(corpus, seeded, kmeansIterations, idCol, vecCol)
@@ -185,11 +200,58 @@ object Similarity {
         norm(col(vecCol)).as("__qn"),
         explode(nearestCells(centroids, col(vecCol), nprobe)).as("cell_id"))
 
-    val scored = probes.join(corpusCells, Seq("cell_id"))
+    probes.join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+  }
+
+  /** Hard-negative mining for contrastive/retrieval training (DPR,
+    * Karpukhin et al. EMNLP 2020; ANCE, Xiong et al. ICLR 2021 — public
+    * methods): for each query, the top `k` corpus items whose cosine lies
+    * in [simLo, simHi) — similar enough to be informative negatives, below
+    * the near-duplicate band that would make them false negatives. Exact
+    * (brute-force) variant — the oracle; ranked by cosine DESC within the
+    * band so the hardest negatives come first. */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      simLo: Double = 0.5,
+      simHi: Double = 0.9,
+      queryIdCol: String = "vec_id",
+      corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .filter(col("cosine") >= simLo && col("cosine") < simHi)
     topKPerQuery(scored, "cosine", k)
   }
+
+  /** [[hardNegatives]] at corpus scale: the ANCE shape — candidates come
+    * from the IVF index (probed cells only, shuffle keyed on cell_id),
+    * then the similarity band filters them. Widen `nprobe` to reach
+    * deeper into the mid-similarity band (the negatives live further from
+    * the query's own cell than its nearest neighbors do). */
+  def hardNegativesIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      simLo: Double = 0.5,
+      simHi: Double = 0.9,
+      numCells: Int = 16,
+      nprobe: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      kmeansIterations: Int = 0): DataFrame =
+    topKPerQuery(
+      ivfScored(queries, corpus, numCells, nprobe, idCol, vecCol, kmeansIterations)
+        .filter(col("cosine") >= simLo && col("cosine") < simHi),
+      "cosine", k)
 
   /** K-means topic clustering over the embedding column: deterministic
     * seeds → `iterations` Lloyd steps ([[refineCentroids]]) → final

@@ -283,6 +283,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: confined to the band, hardest first, full-probe IVF equals exact") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") < 40)
+    val exact = Similarity.hardNegatives(queries, emb, k = 5, simLo = 0.1, simHi = 0.3).collect()
+    assert(exact.nonEmpty)
+    exact.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length),
+        s"query $q ranks not contiguous")
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos.forall(c => c >= 0.1 && c < 0.3), s"query $q out of band: $cos")
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"query $q not hardest-first")
+    }
+    // false-negative guard: near-duplicate-grade neighbors (above the band)
+    // never surface as negatives
+    val negPairs = exact.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val tooClose = Similarity.bruteForceTopK(queries, emb, k = 1)
+      .filter(col("cosine") >= 0.3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(tooClose.intersect(negPairs).isEmpty, "an above-band neighbor leaked into the negatives")
+    // probing ALL cells makes the IVF composition exactly the brute-force band
+    val full = Similarity.hardNegativesIvf(queries, emb, k = 5, simLo = 0.1, simHi = 0.3,
+        numCells = 16, nprobe = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == negPairs, "full-probe IVF banded negatives must equal the exact set")
+  }
+
   test("Gopher rules: each signal fires on its engineered violation, a clean doc passes") {
     val docs = Seq(
       (1L, ("the data and that have with " * 9).trim), // 54 words, 5 stop hits
