@@ -119,6 +119,13 @@ object Bench {
     // BENCH_r05's tail captured the line head-truncated (VERDICT r5 #3)
     spark.stop()
     println(line)
+    // The full per-query line is ~8 KB at 140+ queries and overflows the
+    // driver's tail capture, which then starts mid-line and fails to parse
+    // (BENCH_r05..r07 all have "parsed": null — VERDICT r7 #3). The driver
+    // parses the FINAL stdout line, so emit a short summary line last; the
+    // full per-query map stays above (and in bench_out.json / history).
+    val total = merged.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","nq":${merged.size},"failed":${failedNames.size}}""")
     System.out.flush()
   }
 }

@@ -1812,8 +1812,16 @@ object LlmQueries {
           (910001L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nthis line calls javascript somewhere now.\nanother good sentence with many words?"),
           (910002L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nanother good sentence with many words?\nlorem ipsum dolor sit amet consectetur."),
           (910003L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nanother good sentence with many words?\nfunction foo() { return one; }."),
-          (910004L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nanother good sentence with many words?\nthis line has badword present here."),
-          (910005L, "only two good lines here today.\nthe second good line sits here.")
+          // punctuation-adjacent bad word: word-boundary tokenization must
+          // still catch 'badword,' (ADVICE r7)
+          (910004L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nanother good sentence with many words?\nthis line has badword, present here."),
+          (910005L, "only two good lines here today.\nthe second good line sits here."),
+          // ellipsis teaser line must be dropped though it ends in '.';
+          // page still passes on its three real sentences (ADVICE r7)
+          (910006L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nanother good sentence with many words?\nread much more about this topic..."),
+          // offending content ('{' and lorem) confined to lines the line
+          // rules drop: the page must be KEPT (flags read the kept lines)
+          (910007L, "one fine sentence with five words.\nthe quick brown fox jumps today!\nanother good sentence with many words?\n{ lorem ipsum }")
         ).toDF("doc_id", "text")
         C4.clean(multilineDocs(s, dir).unionByName(planted)).orderBy("doc_id")
       },
@@ -1823,33 +1831,38 @@ object LlmQueries {
               |  UNION ALL SELECT 910001, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'this line calls javascript somewhere now.' || chr(10) || 'another good sentence with many words?'
               |  UNION ALL SELECT 910002, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'another good sentence with many words?' || chr(10) || 'lorem ipsum dolor sit amet consectetur.'
               |  UNION ALL SELECT 910003, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'another good sentence with many words?' || chr(10) || 'function foo() { return one; }.'
-              |  UNION ALL SELECT 910004, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'another good sentence with many words?' || chr(10) || 'this line has badword present here.'
-              |  UNION ALL SELECT 910005, 'only two good lines here today.' || chr(10) || 'the second good line sits here.'),
+              |  UNION ALL SELECT 910004, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'another good sentence with many words?' || chr(10) || 'this line has badword, present here.'
+              |  UNION ALL SELECT 910005, 'only two good lines here today.' || chr(10) || 'the second good line sits here.'
+              |  UNION ALL SELECT 910006, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'another good sentence with many words?' || chr(10) || 'read much more about this topic...'
+              |  UNION ALL SELECT 910007, 'one fine sentence with five words.' || chr(10) || 'the quick brown fox jumps today!' || chr(10) || 'another good sentence with many words?' || chr(10) || '{ lorem ipsum }'),
               |x AS (
               |  SELECT doc_id, text,
               |    string_split(text, chr(10)) AS ls,
               |    list_filter(string_split(text, chr(10)), l ->
               |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
               |        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+              |      AND NOT ends_with(trim(l), '...')
               |      AND len(string_split_regex(trim(l), '\\s+')) >= 5
               |      AND NOT contains(lower(l), 'javascript')) AS kept
-              |  FROM d)
+              |  FROM d),
+              |y AS (
+              |  SELECT doc_id, text, ls, kept,
+              |    coalesce(array_to_string(kept, chr(10)), '') AS ct
+              |  FROM x)
               |SELECT doc_id,
               |  CAST(len(ls) AS INT) AS n_lines,
               |  CAST(len(kept) AS INT) AS n_kept,
-              |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
-              |  contains(lower(text), 'lorem ipsum') AS has_lorem,
-              |  contains(text, '{') AS has_curly,
-              |  len(list_intersect(
-              |    list_transform(string_split_regex(trim(text), '\\s+'), w -> lower(w)),
+              |  ct AS clean_text,
+              |  contains(lower(ct), 'lorem ipsum') AS has_lorem,
+              |  contains(ct, '{') AS has_curly,
+              |  len(list_intersect(string_split_regex(lower(text), '\\W+'),
               |    ['badword', 'nsfwtoken'])) > 0 AS has_badword,
               |  (len(kept) >= 3
-              |    AND NOT contains(lower(text), 'lorem ipsum')
-              |    AND NOT contains(text, '{')
-              |    AND NOT len(list_intersect(
-              |      list_transform(string_split_regex(trim(text), '\\s+'), w -> lower(w)),
+              |    AND NOT contains(lower(ct), 'lorem ipsum')
+              |    AND NOT contains(ct, '{')
+              |    AND NOT len(list_intersect(string_split_regex(lower(text), '\\W+'),
               |      ['badword', 'nsfwtoken'])) > 0) AS c4_pass
-              |FROM x ORDER BY doc_id""".stripMargin)),
+              |FROM y ORDER BY doc_id""".stripMargin)),
 
     // corpus-global paragraph dedup: first occurrence (lowest doc_id,
     // position) of every line survives, later copies are dropped; full-copy

@@ -985,7 +985,13 @@ class LlmSpec extends SparkSpec {
       (3L, "a good sentence with five words.\nthe second keeper line stands here!\nthe third keeper line sits here?\nlorem ipsum dolor sit amet friend."),
       (4L, "a good sentence with five words.\nthe second keeper line stands here!\nthe third keeper line sits here?\ncode uses { braces } here friend."),
       (5L, "a good sentence with five words.\nthe second keeper line stands here!\nthe third keeper line sits here?\nthis page contains badword right here."),
-      (6L, "only one good line sits here.")
+      (6L, "only one good line sits here."),
+      // punctuation-adjacent bad word — word-boundary tokenization must hit
+      (7L, "a good sentence with five words.\nthe second keeper line stands here!\nthe third keeper line sits here?\nthis page contains badword, right here."),
+      // ellipsis teaser drops though it ends with '.'; page passes on 3 keepers
+      (8L, "a good sentence with five words.\nthe second keeper line stands here!\nthe third keeper line sits here?\nread much more about this topic..."),
+      // lorem + curly confined to a line the line rules drop → page KEPT
+      (9L, "a good sentence with five words.\nthe second keeper line stands here!\nthe third keeper line sits here?\n{ lorem ipsum }")
     ).toDF("doc_id", "text")
     val out = C4.clean(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     // doc 1: the <5-word line and the unpunctuated line drop; 3 keepers → pass
@@ -1000,8 +1006,16 @@ class LlmSpec extends SparkSpec {
     assert(out(5L).getAs[Boolean]("has_badword") && !out(5L).getAs[Boolean]("c4_pass"))
     // doc 6: one keeper < minLines → fails with no page flag set
     assert(!out(6L).getAs[Boolean]("c4_pass") && !out(6L).getAs[Boolean]("has_lorem"))
+    // doc 7: 'badword,' hits through the comma (word-boundary tokenization)
+    assert(out(7L).getAs[Boolean]("has_badword") && !out(7L).getAs[Boolean]("c4_pass"))
+    // doc 8: '...' line is rejected despite ending in '.'; page passes
+    assert(out(8L).getAs[Int]("n_kept") == 3 && out(8L).getAs[Boolean]("c4_pass"))
+    assert(!out(8L).getAs[String]("clean_text").contains("..."))
+    // doc 9: lorem/curly sit only in a dropped line → flags clear, page kept
+    assert(!out(9L).getAs[Boolean]("has_lorem") && !out(9L).getAs[Boolean]("has_curly")
+      && out(9L).getAs[Boolean]("c4_pass"))
     val kept = C4.filterCorpus(docs).select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(1L, 2L))
+    assert(kept == Set(1L, 2L, 8L, 9L))
   }
 
   test("paragraph dedup: first occurrence survives, later copies drop, emptied docs remain") {

@@ -212,7 +212,13 @@ class PlanShapeSpec extends SparkSpec {
     val spOk = Set("a4_scalar_minmax", "llm_curation_report", "llm_lm_score",
       "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
-      "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets")
+      "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
+      // llm_hard_negatives is a deliberate bounded brute-force oracle: the
+      // query side is capped (<100 rows) before the crossJoin
+      // (Similarity.hardNegativesExact), so BNLJ is the intended shape; the
+      // corpus-scale path is the cell-keyed equi-join hardNegativesIvf
+      // (gated separately as llm_hard_negatives_ivf).
+      "llm_hard_negatives")
     // Skip ONLY the queries whose lambda runs work at build time (streaming
     // replays, the chain-fold fixture, DSv2 replay, driver fixtures) — an
     // explicit list, not a prefix: the old `startsWith("s")` silently
