@@ -17,6 +17,20 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (comma-separated names); the driver runs unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Gate-set completeness: a registration bug (dropped `++` operand, a
+    // deleted QueryDef) must fail the WHOLE verify run loudly, not shrink
+    // the artifact silently (VERDICT r7 task 6). Checked before any query
+    // runs; skipped only under the dev-only subset filter.
+    if (only.isEmpty) {
+      val missing = GateManifest.expected -- SparkEntry.queries.keySet
+      if (missing.nonEmpty) {
+        System.err.println(
+          s"[verify] FATAL: ${missing.size} manifest gates missing from SparkEntry.queries: " +
+            missing.toSeq.sorted.mkString(", "))
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     // A crashed query must leave a loud, per-gate trace — round 6 shipped a
     // 57-gate silent collapse because failures only went to stderr and the
     // driver's compare never saw the query at all (VERDICT r6 #2). On

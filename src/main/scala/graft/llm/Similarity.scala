@@ -131,7 +131,17 @@ object Similarity {
     * sort_array(collect_list) over at most `dim` elements per group. No
     * driver-side math beyond the (numCells × dim) collect that the
     * downstream broadcast performs anyway. Empty cells keep their previous
-    * centroid (the standard Lloyd degenerate-cell rule). */
+    * centroid (the standard Lloyd degenerate-cell rule).
+    *
+    * Each iteration's output is MATERIALIZED to a local (numCells × dim)
+    * table before the next: iteration i's `assignCells` collects the
+    * current centroids eagerly anyway (the kernel embeds them as a plan
+    * constant), but the returned lazy join-plan would re-execute every
+    * prior iteration's corpus aggregation each time IT is collected —
+    * quadratic corpus passes in `iterations` (VERDICT r7 task 5's
+    * redundancy class). Materializing pins the cost at exactly one corpus
+    * aggregation per Lloyd step; values are the same collected doubles, so
+    * results are bit-identical. */
   def refineCentroids(
       corpus: DataFrame,
       centroids: DataFrame,
@@ -150,11 +160,36 @@ object Similarity {
       // degenerate (empty) cells fall back to their previous centroid so the
       // cell count never shrinks
       val vecType = centroids.schema("centroid").dataType
-      cur.select(col("cell_id"), col("centroid").as("__prev"))
-        .join(means, Seq("cell_id"), "left")
-        .select(col("cell_id"),
-          coalesce(col("centroid").cast(vecType), col("__prev")).as("centroid"))
+      materializeCentroids(
+        cur.select(col("cell_id"), col("centroid").as("__prev"))
+          .join(means, Seq("cell_id"), "left")
+          .select(col("cell_id"),
+            coalesce(col("centroid").cast(vecType), col("__prev")).as("centroid")))
     }
+
+  /** Collect a centroid table (bounded: numCells × dim) into a 1-partition
+    * local DataFrame — the same shape [[seedCentroids]] emits. Exact row
+    * round-trip, so downstream arithmetic is unchanged. */
+  private[llm] def materializeCentroids(centroids: DataFrame): DataFrame = {
+    val spark = centroids.sparkSession
+    val schema = centroids.schema
+    val rows = centroids.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Seed + optional Lloyd refinement, materialized — the one-stop centroid
+    * build gate code memoizes per (session, corpus) so the IVF/k-means
+    * family trains once instead of once per query (VERDICT r7 task 5,
+    * same class as the PQ codebook memo). */
+  def trainCentroids(
+      corpus: DataFrame,
+      numCells: Int,
+      iterations: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val seeded = seedCentroids(corpus, numCells, idCol, vecCol)
+    if (iterations > 0) refineCentroids(corpus, seeded, iterations, idCol, vecCol) else seeded
+  }
 
   /** IVF-bucketed ANN top-k with `nprobe` cells per query: join query cells
     * to corpus cells (shuffle keyed on cell_id), rank within candidates.
@@ -171,14 +206,17 @@ object Similarity {
       nprobe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      kmeansIterations: Int = 0): DataFrame =
+      kmeansIterations: Int = 0,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame =
     topKPerQuery(
-      ivfScored(queries, corpus, numCells, nprobe, idCol, vecCol, kmeansIterations),
+      ivfScored(queries, corpus, numCells, nprobe, idCol, vecCol, kmeansIterations,
+        precomputedCentroids),
       "cosine", k)
 
   /** The IVF probe-and-score subtree shared by [[ivfTopK]] and
     * [[hardNegativesIvf]]: (query_id, neighbor_id, cosine) for every
-    * candidate in the probed cells. */
+    * candidate in the probed cells. `precomputedCentroids` (when supplied,
+    * e.g. a memoized [[trainCentroids]]) skips the per-call train. */
   private def ivfScored(
       queries: DataFrame,
       corpus: DataFrame,
@@ -186,11 +224,10 @@ object Similarity {
       nprobe: Int,
       idCol: String,
       vecCol: String,
-      kmeansIterations: Int): DataFrame = {
-    val seeded = seedCentroids(corpus, numCells, idCol, vecCol)
-    val centroids =
-      if (kmeansIterations > 0) refineCentroids(corpus, seeded, kmeansIterations, idCol, vecCol)
-      else seeded
+      kmeansIterations: Int,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+    val centroids = precomputedCentroids.getOrElse(
+      trainCentroids(corpus, numCells, kmeansIterations, idCol, vecCol))
     val corpusCells = assignCells(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"), col("cell_id"))
 
@@ -247,9 +284,11 @@ object Similarity {
       nprobe: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      kmeansIterations: Int = 0): DataFrame =
+      kmeansIterations: Int = 0,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame =
     topKPerQuery(
-      ivfScored(queries, corpus, numCells, nprobe, idCol, vecCol, kmeansIterations)
+      ivfScored(queries, corpus, numCells, nprobe, idCol, vecCol, kmeansIterations,
+        precomputedCentroids)
         .filter(col("cosine") >= simLo && col("cosine") < simHi),
       "cosine", k)
 
@@ -267,9 +306,10 @@ object Similarity {
       k: Int,
       iterations: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val centroids = refineCentroids(corpus, seedCentroids(corpus, k, idCol, vecCol),
-      iterations, idCol, vecCol)
+      vecCol: String = "embedding",
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+    val centroids = precomputedCentroids.getOrElse(
+      trainCentroids(corpus, k, iterations, idCol, vecCol))
     assignCells(corpus, centroids, idCol, vecCol)
       .select(col(idCol), col("cell_id").as("cluster_id"))
   }
@@ -298,9 +338,10 @@ object Similarity {
       iterations: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val centroids = refineCentroids(corpus, seedCentroids(corpus, k, idCol, vecCol),
-      iterations, idCol, vecCol)
+      maxCluster: Int = Dedup.DefaultMaxBucket,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+    val centroids = precomputedCentroids.getOrElse(
+      trainCentroids(corpus, k, iterations, idCol, vecCol))
     val assigned = assignCells(corpus, centroids, idCol, vecCol)
     val cands = Dedup.expandBuckets(
       assigned.groupBy(col("cell_id")).agg(sort_array(collect_set(col(idCol))).as("ids")),
@@ -325,8 +366,7 @@ object Similarity {
       iterations: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val centroids = refineCentroids(corpus, seedCentroids(corpus, k, idCol, vecCol),
-      iterations, idCol, vecCol)
+    val centroids = trainCentroids(corpus, k, iterations, idCol, vecCol)
     assignCells(corpus, centroids, idCol, vecCol)
       .join(broadcast(centroids), Seq("cell_id"))
       .withColumn("__sim", cosine(col(vecCol), col("centroid")))

@@ -309,6 +309,22 @@ class LlmSpec extends SparkSpec {
         numCells = 16, nprobe = 16)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(full == negPairs, "full-probe IVF banded negatives must equal the exact set")
+    // the gate's corpus-scale point (nprobe = 8, the llm_hard_negatives_ivf
+    // parameters): the pruned candidate set still recovers most of the
+    // exact band's top-k, and every surfaced pair is genuinely in-band
+    // (the band filter is exact arithmetic — IVF only prunes candidates)
+    val gate = Similarity.hardNegativesIvf(queries, emb, k = 5, simLo = 0.1, simHi = 0.3,
+        numCells = 16, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = gate.intersect(negPairs).size.toDouble / negPairs.size
+    assert(recall >= 0.6, s"hard-negative recall@5 at nprobe=8: $recall")
+    // precomputed centroids (the gates' session-memo path) are the SAME
+    // deterministic seeds — results must be identical to the inline train
+    val cents = Similarity.trainCentroids(emb, numCells = 16)
+    val memo = Similarity.hardNegativesIvf(queries, emb, k = 5, simLo = 0.1, simHi = 0.3,
+        numCells = 16, nprobe = 8, precomputedCentroids = Some(cents))
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(memo == gate, "memoized centroids changed the hard-negative set")
   }
 
   test("Gopher rules: each signal fires on its engineered violation, a clean doc passes") {
