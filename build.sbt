@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the FINAL stdout line of `sbt runMain` as JSON.
+// Two sbt decorations break that: the `[info] ` prefix LoggedOutput puts
+// on forked-process output, and the trailing `[success] Total time` line.
+// StdoutOutput pipes the forked process's stdout through unprefixed, and
+// showSuccess drops the success trailer — so Bench's compact summary line
+// is genuinely the last thing on stdout (VERDICT r8 task 2).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Classifier, Dedup, Dsir, Multimodal, Quantize, Similarity, TextAnalysis, Web}
 import graft.sources.Tables
 
 /** Training-data-pipeline queries: dedup, similarity search, text analysis,
@@ -37,6 +37,32 @@ object LlmQueries {
     def fnvRed(lst: String): String =
       s"list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), $lst), " +
         "(h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % " + M + " AS UBIGINT))"
+    /** CTE chain for the DSIR hashed n-gram features over a (doc_id, text)
+      * CTE named `src`: per-word FNV hashes in position order, unigram
+      * buckets `h mod 1024`, bigram buckets from the FNV fold of each
+      * adjacent word-hash pair — `<p>feats` = (doc_id, bucket), one row per
+      * feature OCCURRENCE. Unsigned mod matches the kernel's
+      * `Long.remainderUnsigned`. */
+    def dsirCtes(src: String, p: String): String =
+      s"""${p}w AS (
+         |  SELECT doc_id, u.pos, lower(u.word) AS word
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM $src),
+         |       LATERAL (SELECT unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS word) u
+         |  WHERE u.word <> ''),
+         |${p}wh AS (
+         |  SELECT doc_id, pos,
+         |    ${fnvRed("[CAST(unicode(word[i:i]) AS UBIGINT) FOR i IN range(1, len(word)+1)]")} AS h
+         |  FROM ${p}w),
+         |${p}hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM ${p}wh GROUP BY doc_id),
+         |${p}uni AS (SELECT doc_id, CAST(h % 1024 AS INT) AS bucket FROM ${p}wh),
+         |${p}bi AS (
+         |  SELECT doc_id, CAST(sh % 1024 AS INT) AS bucket FROM (
+         |    SELECT doc_id, unnest([${fnvRed("hs[j:j+1]")} FOR j IN range(1, len(hs))]) AS sh
+         |    FROM ${p}hl WHERE len(hs) >= 2)),
+         |${p}feats AS (
+         |  SELECT doc_id, bucket FROM ${p}uni
+         |  UNION ALL SELECT doc_id, bucket FROM ${p}bi)""".stripMargin
+
     /** Reinterpret a UBIGINT expression as the kernel's signed Long. */
     def signed(e: String): String =
       s"(CASE WHEN $e >= CAST(9223372036854775808 AS UBIGINT) " +
@@ -240,18 +266,70 @@ object LlmQueries {
     * per session. Keyed by (dir, corpus tag, cells, iterations);
     * deterministic seeds make the cached table bit-identical to a fresh
     * train, so oracle hashes are unchanged. */
-  private val ivfCentCache = new graft.util.SessionCache[DataFrame]()
+  // Cache plain data (schema + collected rows), NOT the DataFrame: a cached
+  // DataFrame strongly references its SparkSession — the WeakHashMap key —
+  // so entries for stopped sessions would never be released (value-to-key
+  // pinning, ADVICE r8). The table is bounded (numCells × dim) and the
+  // downstream assignCells/nearestCells collect it anyway, so rebuilding a
+  // LocalRelation per call costs nothing and makes that collect driver-local.
+  private val ivfCentCache =
+    new graft.util.SessionCache[(org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
   private def cachedCentroids(
       s: SparkSession, dir: String, corpus: DataFrame,
-      tag: String, numCells: Int, iterations: Int): DataFrame =
-    ivfCentCache.getOrCompute(s, s"$dir|$tag|c=$numCells|i=$iterations")(
-      Similarity.trainCentroids(corpus, numCells, iterations))
+      tag: String, numCells: Int, iterations: Int): DataFrame = {
+    val (schema, rows) =
+      ivfCentCache.getOrCompute(s, s"$dir|$tag|c=$numCells|i=$iterations") {
+        val df = Similarity.trainCentroids(corpus, numCells, iterations)
+        (df.schema, df.collect().toSeq)
+      }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
 
   private val pqCbCache = new graft.util.SessionCache[graft.llm.Pq.Codebook]()
   private def pqCodebook(s: SparkSession, dir: String): graft.llm.Pq.Codebook =
     pqCbCache.getOrCompute(s, dir)(
       graft.llm.Pq.train(Tables.embeddings(s, dir),
         dim = PqSql.dim, m = PqSql.m, ks = PqSql.ks, iterations = 2))
+
+  /** Memoized int8 per-dimension ranges — shared by llm_int8_codes and
+    * llm_int8_parity (the PQ-codebook redundancy class). Plain data, so the
+    * WeakHashMap eviction holds. */
+  private val int8Cache = new graft.util.SessionCache[Quantize.Ranges]()
+  private def int8Ranges(s: SparkSession, dir: String): Quantize.Ranges =
+    int8Cache.getOrCompute(s, dir)(Quantize.trainRanges(Tables.embeddings(s, dir)))
+
+  /** Synthetic per-document URL fixture for the web-curation gates — the
+    * documents table has no URL column, so one is DERIVED deterministically
+    * from (doc_id, source, lang) with the noise classes canonicalization
+    * must undo: scheme case, a www. label, the :443 default port, utm
+    * tracking params (with an occasional real `id` param that must
+    * survive), fragments, and trailing slashes. The oracle does NOT
+    * transliterate the regex chain — it derives each URL's canonical form
+    * from the same ground truth directly ([[urlFixtureCanonicalSql]]), so
+    * the gate independently verifies the whole normalization. */
+  private def urlFixture: org.apache.spark.sql.Column =
+    concat(
+      when(col("doc_id") % 5 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".com"),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/"), col("lang"), lit("/page"), (col("doc_id") % 5).cast("string"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("/?utm_source=feed&utm_campaign=c"), (col("doc_id") % 9).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("&id="), (col("doc_id") % 3).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+
+  /** Ground-truth canonical form of [[urlFixture]] (scheme+host lowered, no
+    * www/port/tracking/fragment/trailing-slash; the real `id` param kept). */
+  private val urlFixtureCanonicalSql: String =
+    "'https://' || source || '.com/' || lang || '/page' || CAST(doc_id % 5 AS VARCHAR)" +
+      " || CASE WHEN doc_id % 6 = 0 THEN '?id=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END"
+
+  /** Blocklist for the domain-filter gate (fixture domains). */
+  private val blockedDomains = Seq("src3.com", "src7.com", "src12.com")
 
   /** Shared CTE base for the vector-LSH oracles: the xorshift hyperplane
     * STATES inlined as BIGINTs (value = state / Long.MaxValue, divided in
@@ -466,8 +544,12 @@ object LlmQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
           .withColumn("embedding", col("embedding").cast("array<double>"))
+        // bandScale=6 on the engine and round(...,6) in the oracle's band
+        // predicate: both sides quantize the cosine before the [lo, hi)
+        // membership test, so a sub-ulp summation-order difference for a
+        // pair AT a band edge can't flip gate membership (ADVICE r8)
         Similarity.hardNegatives(emb.filter(col("vec_id") < 100), emb, k = 5,
-            simLo = 0.15, simHi = 0.35)
+            simLo = 0.15, simHi = 0.35, bandScale = 6)
           .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
           .orderBy("query_id", "rank")
       },
@@ -478,8 +560,8 @@ object LlmQueries {
              |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank
              |  FROM embeddings a, embeddings b
              |  WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id
-             |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.15
-             |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 0.35)
+             |    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.15
+             |    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) < 0.35)
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // the corpus-scale hard-negative path (ANCE shape): candidates come
@@ -494,9 +576,11 @@ object LlmQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
           .withColumn("embedding", col("embedding").cast("array<double>"))
+        // bandScale=6 ↔ the oracle's round(cs,6) band predicate (ADVICE r8)
         Similarity.hardNegativesIvf(emb.filter(col("vec_id") < 100), emb, k = 5,
             simLo = 0.15, simHi = 0.35, numCells = 16, nprobe = 8,
-            precomputedCentroids = Some(cachedCentroids(s, dir, emb, "emb", 16, 0)))
+            precomputedCentroids = Some(cachedCentroids(s, dir, emb, "emb", 16, 0)),
+            bandScale = 6)
           .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
           .orderBy("query_id", "rank")
       },
@@ -521,7 +605,7 @@ object LlmQueries {
               |SELECT query_id, neighbor_id, round(cs, 6) AS cosine, rank FROM (
               |  SELECT query_id, neighbor_id, cs,
               |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rank
-              |  FROM scored WHERE cs >= 0.15 AND cs < 0.35)
+              |  FROM scored WHERE round(cs, 6) >= 0.15 AND round(cs, 6) < 0.35)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // ANN scale path: IVF-bucketed search (approximate vs brute force —
@@ -1965,5 +2049,158 @@ object LlmQueries {
               |  coalesce(a.clean_text, '') AS clean_text,
               |  CAST(len(string_split(d.text, chr(10))) - coalesce(a.nk, 0) AS BIGINT) AS n_removed_lines
               |FROM d LEFT JOIN agg a USING (doc_id)
-              |ORDER BY doc_id""".stripMargin)))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- URL/domain web curation (RefinedWeb/Dolma class, r8 VERDICT #5) ----
+
+    // exact URL-level dedup on the canonical form: the oracle derives each
+    // canonical URL from the fixture's ground truth INDEPENDENTLY (no regex
+    // transliteration), so the whole normalization chain is verified
+    QueryDef("llm_url_dedup",
+      (s, dir) => {
+        Web.urlDedup(Tables.documents(s, dir).select(col("doc_id"), urlFixture.as("url")))
+          .orderBy("canonical_url")
+      },
+      Some(s"""SELECT $urlFixtureCanonicalSql AS canonical_url,
+              |  min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // per-domain aggregation + blocklist verdict (the corpus audit table);
+    // domain ground truth is source||'.com' — again an independent check of
+    // canonicalize → host → registrable-domain
+    QueryDef("llm_domain_filter",
+      (s, dir) => {
+        Web.domainStats(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"), urlFixture.as("url")),
+          blockedDomains)
+          .orderBy("domain")
+      },
+      Some(s"""SELECT source || '.com' AS domain,
+              |  count(*) AS n_docs,
+              |  sum(length(text)) AS n_chars,
+              |  (source || '.com') IN (${blockedDomains.map("'" + _ + "'").mkString(", ")}) AS blocked,
+              |  CAST(CASE WHEN (source || '.com') IN (${blockedDomains.map("'" + _ + "'").mkString(", ")})
+              |    THEN 0 ELSE count(*) END AS BIGINT) AS n_kept
+              |FROM documents GROUP BY source ORDER BY domain""".stripMargin)),
+
+    // ---- int8 scalar quantization (pairs with llm_pq_*; r8 VERDICT #3c) ----
+
+    // per-dimension affine codes: bit-reproducible (comparison-exact
+    // min/max; a fixed IEEE expression tree; round half-up == half-away on
+    // the non-negative domain), so the codes oracle-check EXACTLY
+    QueryDef("llm_int8_codes",
+      (s, dir) => {
+        Quantize.encode(Tables.embeddings(s, dir), int8Ranges(s, dir))
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
+          .orderBy("vec_id", "pos")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |x AS (
+             |  SELECT vec_id, u.pos - 1 AS pos, u.val
+             |  FROM e, LATERAL (SELECT unnest(range(1, len(v)+1)) AS pos, unnest(v) AS val) u),
+             |mm AS (SELECT pos, min(val) AS vmin, max(val) AS vmax FROM x GROUP BY pos)
+             |SELECT x.vec_id, CAST(x.pos AS INT) AS pos,
+             |  CASE WHEN mm.vmax = mm.vmin THEN 0
+             |    ELSE greatest(0, least(255, CAST(round((x.val - mm.vmin) * 255.0 / (mm.vmax - mm.vmin)) AS INT)))
+             |  END AS code
+             |FROM x JOIN mm USING (pos) ORDER BY vec_id, pos""".stripMargin)),
+
+    // reconstruction parity per vector: cosine(original, dequantized) + max
+    // per-dimension abs error — the audit that decides whether SQ8 is safe
+    QueryDef("llm_int8_parity",
+      (s, dir) => {
+        Quantize.parity(Tables.embeddings(s, dir), int8Ranges(s, dir))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |x AS (
+             |  SELECT vec_id, u.pos - 1 AS pos, u.val
+             |  FROM e, LATERAL (SELECT unnest(range(1, len(v)+1)) AS pos, unnest(v) AS val) u),
+             |mm AS (SELECT pos, min(val) AS vmin, max(val) AS vmax FROM x GROUP BY pos),
+             |dq AS (
+             |  SELECT x.vec_id, x.pos, x.val,
+             |    mm.vmin + (CASE WHEN mm.vmax = mm.vmin THEN 0
+             |      ELSE greatest(0, least(255, CAST(round((x.val - mm.vmin) * 255.0 / (mm.vmax - mm.vmin)) AS INT)))
+             |    END) * (mm.vmax - mm.vmin) / 255.0 AS dv
+             |  FROM x JOIN mm USING (pos))
+             |SELECT vec_id,
+             |  round(sum(val * dv) / (sqrt(sum(val * val)) * sqrt(sum(dv * dv))), 6) AS cosine_parity,
+             |  round(max(abs(val - dv)), 6) AS max_abs_err
+             |FROM dq GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // ---- NB quality classifier (CCNet/LLaMA filter shape; r8 VERDICT #3b) ----
+
+    // train on the even half labeled lang='en' (a text-correlated fixture
+    // label), score ALL docs; the decision compares the 6-dp-rounded score
+    // so engine and oracle agree at the boundary (the band-edge rule)
+    QueryDef("llm_nb_quality",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = Classifier.nbTrain(
+          docs.filter(col("doc_id") % 2 === 0)
+            .select((col("lang") === "en").as("label"), col("text")))
+        Classifier.nbScore(docs.select(col("doc_id"), col("text")), model)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tr AS (SELECT doc_id, text, (lang = 'en') AS pos FROM documents WHERE doc_id % 2 = 0),
+             |tw AS (SELECT pos, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM tr),
+             |c AS (
+             |  SELECT word,
+             |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+             |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+             |  FROM tw GROUP BY word),
+             |t AS (SELECT CAST(sum(cp) AS DOUBLE) AS np, CAST(sum(cn) AS DOUBLE) AS nn,
+             |  CAST(count(*) AS DOUBLE) AS v FROM c),
+             |dt AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS dp,
+             |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE) AS dn FROM tr),
+             |dw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents),
+             |sc AS (
+             |  SELECT dw.doc_id,
+             |    coalesce(ln((c.cp + 1.0) / (t.np + t.v + 1.0)) - ln((c.cn + 1.0) / (t.nn + t.v + 1.0)),
+             |             ln(1.0 / (t.np + t.v + 1.0)) - ln(1.0 / (t.nn + t.v + 1.0))) AS lo
+             |  FROM dw LEFT JOIN c USING (word) CROSS JOIN t)
+             |SELECT sc.doc_id, count(*) AS n_tokens,
+             |  round(ln(dt.dp / dt.dn) + sum(sc.lo), 6) AS nb_score,
+             |  (round(ln(dt.dp / dt.dn) + sum(sc.lo), 6) > 0.0) AS pred_quality
+             |FROM sc CROSS JOIN dt GROUP BY sc.doc_id, dt.dp, dt.dn ORDER BY doc_id""".stripMargin)),
+
+    // ---- DSIR importance resampling (Xie et al. 2023; r8 VERDICT #3a) ----
+
+    // target = lang='en' docs; hashed unigram+bigram features (the proven
+    // FNV word kernel; bigram = FNV fold of the two word hashes), smoothed
+    // log ratios, Gumbel-top-100 via the portable md5 draw — the full
+    // mod-2^64 pipeline replayed through HashSql in the oracle
+    QueryDef("llm_dsir_resample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val target = Tables.documents(s, dir).filter(col("lang") === "en").select(col("text"))
+        Dsir.resampleTopN(
+            Dsir.logImportanceWeights(docs, target, buckets = 1024),
+            n = 100, seed = "dsir1")
+          .select(col("doc_id"), col("n_features"),
+            round(col("log_weight"), 6).as("log_weight"), col("sample_key"), col("rank"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH src AS (SELECT doc_id, text FROM documents),
+              |${HashSql.dsirCtes("src", "d")},
+              |tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+              |rc AS (SELECT bucket, count(*) AS craw FROM dfeats GROUP BY bucket),
+              |tc AS (SELECT f.bucket, count(*) AS ctgt FROM dfeats f JOIN tgt USING (doc_id) GROUP BY f.bucket),
+              |tot AS (SELECT (SELECT CAST(sum(craw) AS DOUBLE) FROM rc) AS nraw,
+              |  (SELECT CAST(coalesce(sum(ctgt), 0) AS DOUBLE) FROM tc) AS ntgt),
+              |lr AS (
+              |  SELECT rc.bucket,
+              |    ln((coalesce(tc.ctgt, 0) + 1.0) / (tot.ntgt + 1024))
+              |      - ln((rc.craw + 1.0) / (tot.nraw + 1024)) AS log_ratio
+              |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+              |lw AS (
+              |  SELECT f.doc_id, count(*) AS n_features, sum(lr.log_ratio) AS log_weight
+              |  FROM dfeats f JOIN lr USING (bucket) GROUP BY f.doc_id),
+              |g AS (
+              |  SELECT doc_id, n_features, log_weight,
+              |    round(log_weight + -ln(-ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-dsir1'), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)), 6) AS sample_key
+              |  FROM lw)
+              |SELECT doc_id, n_features, round(log_weight, 6) AS log_weight, sample_key,
+              |  CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id) AS INT) AS rank
+              |FROM g QUALIFY rank <= 100 ORDER BY rank""".stripMargin)))
 }

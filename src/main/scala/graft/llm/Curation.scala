@@ -21,8 +21,11 @@ object Curation {
     * `maxBitsPerToken = None` disables the LM-fluency stage (requires an
     * `lm` passed to [[annotate]]/[[curate]]/[[report]]),
     * `maxContamination = None` disables the benchmark-decontamination stage
-    * (requires `evalDocs`), `dedup` ∈ none | exact | minhash |
-    * minhash-clustered. */
+    * (requires `evalDocs`), `blockDomains = None` disables the domain
+    * blocklist stage (requires a `urlCol` passed to
+    * [[annotate]]/[[curate]]/[[report]] — the stage runs FIRST, the
+    * RefinedWeb ordering: URL filtering before any content signal is paid),
+    * `dedup` ∈ none | exact | minhash | minhash-clustered. */
   final case class Config(
       minWords: Int = 5,
       maxWords: Int = 100000,
@@ -32,6 +35,7 @@ object Curation {
       keepLangs: Option[Seq[String]] = None,
       maxBitsPerToken: Option[Double] = None,
       maxContamination: Option[Double] = None,
+      blockDomains: Option[Seq[String]] = None,
       dedup: String = "exact")
 
   /** All signals in one row-local pass: quality score, repetition
@@ -49,7 +53,8 @@ object Curation {
       docs: DataFrame,
       textCol: String = "text",
       lm: Option[DataFrame] = None,
-      evalDocs: Option[DataFrame] = None): DataFrame = {
+      evalDocs: Option[DataFrame] = None,
+      urlCol: Option[String] = None): DataFrame = {
     val base = TextAnalysis.repetitionSignals(TextAnalysis.qualityScore(docs, textCol), textCol)
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
     // LM vocabulary and eval n-gram set both ride broadcast structures —
@@ -57,9 +62,11 @@ object Curation {
     val withLm = lm.map(m =>
       base.withColumn("bits_per_token", CorpusStats.lmScoreColumn(m, col(textCol))))
       .getOrElse(base)
-    evalDocs.map(e => withLm.withColumn("contamination_frac",
+    val withDecon = evalDocs.map(e => withLm.withColumn("contamination_frac",
         Decontaminate.contaminationColumn(e, col(textCol), textCol = textCol)))
       .getOrElse(withLm)
+    // canonical_url + domain are regexp builtins — still one map-only pass
+    urlCol.map(u => Web.withUrlColumns(withDecon, u)).getOrElse(withDecon)
   }
 
   private def materialize(df: DataFrame): DataFrame = {
@@ -77,20 +84,17 @@ object Curation {
       col("top_bigram_frac") <= config.maxTopBigramFrac
     val language = config.keepLangs
       .map(ls => col("lang_pred").isin(ls: _*)).getOrElse(lit(true))
-    val base = Seq(
-      "length" -> length,
-      "quality" -> (length && quality),
-      "repetition" -> (length && quality && repetition),
-      "language" -> (length && quality && repetition && language))
-    val withLm = config.maxBitsPerToken match {
-      case Some(maxBits) => base :+ ("fluency" -> (base.last._2 && col("bits_per_token") <= maxBits))
-      case None => base
-    }
-    config.maxContamination match {
-      case Some(maxC) =>
-        withLm :+ ("decontamination" -> (withLm.last._2 && col("contamination_frac") <= maxC))
-      case None => withLm
-    }
+    // per-stage predicates in pipeline order: the domain blocklist (when
+    // on) runs FIRST — URL filtering is the cheapest signal and gates the
+    // rest (RefinedWeb ordering); the tail stages are opt-in as before
+    val perStage: Seq[(String, Column)] =
+      config.blockDomains.map(bs => "domain" -> !col("domain").isin(bs: _*)).toSeq ++
+        Seq("length" -> length, "quality" -> quality,
+          "repetition" -> repetition, "language" -> language) ++
+        config.maxBitsPerToken.map(m => "fluency" -> (col("bits_per_token") <= m)) ++
+        config.maxContamination.map(m => "decontamination" -> (col("contamination_frac") <= m))
+    // cumulative AND chain: each stage includes every previous condition
+    perStage.tail.scanLeft(perStage.head) { case ((_, acc), (name, c)) => name -> (acc && c) }
   }
 
   /** The curated corpus: annotated, filtered, deduplicated. Survivor rows
@@ -101,8 +105,9 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text",
       lm: Option[DataFrame] = None,
-      evalDocs: Option[DataFrame] = None): DataFrame = {
-    val filtered = materialize(annotate(docs, textCol, lm, evalDocs))
+      evalDocs: Option[DataFrame] = None,
+      urlCol: Option[String] = None): DataFrame = {
+    val filtered = materialize(annotate(docs, textCol, lm, evalDocs, urlCol))
       .filter(stageConditions(config).last._2)
     config.dedup match {
       case "none" => filtered
@@ -309,12 +314,13 @@ object Curation {
       config: Config = Config(),
       textCol: String = "text",
       lm: Option[DataFrame] = None,
-      evalDocs: Option[DataFrame] = None): DataFrame = {
+      evalDocs: Option[DataFrame] = None,
+      urlCol: Option[String] = None): DataFrame = {
     val conds = stageConditions(config)
     val aggs = conds.map { case (name, c) =>
       count(when(c, lit(1))).as(s"after_$name")
     } :+ count_distinct(when(conds.last._2, md5(col(textCol)))).as("after_dedup_exact")
-    materialize(annotate(docs, textCol, lm, evalDocs))
+    materialize(annotate(docs, textCol, lm, evalDocs, urlCol))
       .agg(count(lit(1)).as("total"), aggs: _*)
   }
 }

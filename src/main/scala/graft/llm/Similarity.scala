@@ -249,6 +249,17 @@ object Similarity {
     * the near-duplicate band that would make them false negatives. Exact
     * (brute-force) variant — the oracle; ranked by cosine DESC within the
     * band so the hardest negatives come first. */
+  /** The band-membership comparison, optionally quantized: with
+    * `bandScale >= 0` the cosine is rounded to that many decimals BEFORE
+    * comparing against [simLo, simHi), so an oracle computing the same
+    * cosine with a different summation order can't disagree about a pair
+    * sitting within one ulp of a band edge (ADVICE r8). Ranking still uses
+    * the raw cosine. */
+  private def bandFilter(c: Column, simLo: Double, simHi: Double, bandScale: Int): Column = {
+    val cq = if (bandScale >= 0) round(c, bandScale) else c
+    cq >= simLo && cq < simHi
+  }
+
   def hardNegatives(
       queries: DataFrame,
       corpus: DataFrame,
@@ -257,7 +268,8 @@ object Similarity {
       simHi: Double = 0.9,
       queryIdCol: String = "vec_id",
       corpusIdCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      bandScale: Int = -1): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"),
@@ -265,7 +277,7 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-      .filter(col("cosine") >= simLo && col("cosine") < simHi)
+      .filter(bandFilter(col("cosine"), simLo, simHi, bandScale))
     topKPerQuery(scored, "cosine", k)
   }
 
@@ -285,11 +297,12 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       kmeansIterations: Int = 0,
-      precomputedCentroids: Option[DataFrame] = None): DataFrame =
+      precomputedCentroids: Option[DataFrame] = None,
+      bandScale: Int = -1): DataFrame =
     topKPerQuery(
       ivfScored(queries, corpus, numCells, nprobe, idCol, vecCol, kmeansIterations,
         precomputedCentroids)
-        .filter(col("cosine") >= simLo && col("cosine") < simHi),
+        .filter(bandFilter(col("cosine"), simLo, simHi, bandScale)),
       "cosine", k)
 
   /** K-means topic clustering over the embedding column: deterministic

@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level web-curation operators (the RefinedWeb / Dolma class:
+  * Penedo et al. 2023 §3.1 "URL filtering", Soldaini et al. 2024 — public
+  * methods): canonicalize page URLs, dedup exactly on the canonical form,
+  * aggregate per registrable domain, and gate a corpus on a domain
+  * blocklist/allowlist.
+  *
+  * Everything before the dedup/aggregation is a row-local chain of builtin
+  * `regexp_replace`/`regexp_extract` (codegen'd, map-only at any corpus
+  * size); the only shuffles are keyed on canonical URL (dedup) or domain
+  * (stats) with map-side partial aggregation, so a hot boilerplate URL or a
+  * mega-domain never concentrates rows beyond its partial counts.
+  *
+  * The canonicalization is a DOCUMENTED normal form, not a full RFC 3986
+  * implementation: each step below is a single regex valid in both Java
+  * regex (Spark) and RE2 (the DuckDB oracle — no lookahead/backreferences):
+  *   1. lowercase (scheme+host are case-insensitive; fixture paths are
+  *      already lower, so whole-string lower keeps both engines trivial)
+  *   2. strip the fragment (`#...`)
+  *   3. strip tracking parameters (utm_*, fbclid, gclid) — values only,
+  *      separators cleaned in 4-6
+  *   4. collapse `?&&...` → `?`, 5. collapse `&&...` → `&`,
+  *   6. drop dangling trailing `?`/`&`
+  *   7. drop a path's trailing slash before a query (`/?` → `?`)
+  *   8. strip default ports `:80`/`:443`
+  *   9. strip a leading `www.` host label
+  *  10. drop trailing slashes
+  */
+object Web {
+
+  private def rr(c: Column, pattern: String, replacement: String): Column =
+    regexp_replace(c, pattern, replacement)
+
+  /** The canonical URL normal form (steps documented on the object). */
+  def canonicalizeUrl(url: Column): Column = {
+    var u = lower(url)
+    u = rr(u, "#.*", "")
+    u = rr(u, "(utm_[a-z0-9_]+|fbclid|gclid)=[^&]*", "")
+    u = rr(u, "\\?&+", "?")
+    u = rr(u, "&&+", "&")
+    u = rr(u, "[?&]+$", "")
+    u = rr(u, "/\\?", "?")
+    u = rr(u, ":(80|443)/", "/")
+    u = rr(u, ":(80|443)$", "")
+    u = rr(u, "://www\\.", "://")
+    rr(u, "/+$", "")
+  }
+
+  /** Host portion of a canonical URL (empty string when not a URL). */
+  def host(canonicalUrl: Column): Column =
+    regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
+
+  /** Registrable-domain heuristic: the last two dot-labels of the host
+    * (`a.b.example.com` → `example.com`). A public-suffix list would refine
+    * multi-label TLDs (`co.uk`); heuristic is declared, consistent across
+    * engine and oracle. Hosts with fewer than two labels pass through. */
+  def registrableDomain(hostCol: Column): Column =
+    when(hostCol.rlike("[^.]+\\.[^.]+$"),
+      regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)).otherwise(hostCol)
+
+  /** Canonical URL + domain columns in one map-only projection. */
+  def withUrlColumns(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    df.withColumn("canonical_url", canon)
+      .withColumn("domain", registrableDomain(host(col("canonical_url"))))
+  }
+
+  /** Exact URL-level dedup: one row per canonical URL with the lowest id as
+    * the keeper (recrawls/tracking-variant fetches collapse to one page).
+    * One shuffle keyed on canonical URL; min/count are map-side partial, so
+    * a boilerplate URL crawled millions of times still reduces locally. */
+  def urlDedup(df: DataFrame, urlCol: String = "url", idCol: String = "doc_id"): DataFrame =
+    df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+
+  /** Per-domain aggregation with a blocklist verdict — the corpus-audit
+    * table a web pipeline reviews before a crawl lands in training data.
+    * One domain-keyed shuffle with map-side partials. */
+  def domainStats(
+      df: DataFrame,
+      blockDomains: Seq[String],
+      urlCol: String = "url",
+      textCol: String = "text"): DataFrame =
+    withUrlColumns(df, urlCol)
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).as("n_chars"))
+      .withColumn("blocked", col("domain").isin(blockDomains: _*))
+      .withColumn("n_kept", when(col("blocked"), lit(0L)).otherwise(col("n_docs")))
+
+  /** Corpus gated on the domain blocklist: the filter stage form of
+    * [[domainStats]] — map-only once the url columns are projected (the
+    * blocklist is a literal IN; use a broadcast join for blocklists too big
+    * to inline in a plan). */
+  def filterBlockedDomains(
+      df: DataFrame,
+      blockDomains: Seq[String],
+      urlCol: String = "url"): DataFrame =
+    withUrlColumns(df, urlCol).filter(!col("domain").isin(blockDomains: _*))
+}

@@ -26,7 +26,10 @@ class ManifestSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate gate names (map-collapse hides one): ${dups.mkString(", ")}")
   }
 
-  test("every oracle key has a registered query") {
+  // NOTE: as long as SparkEntry derives oracleSql FROM allQueries this can
+  // never fire (an orphan key is impossible by construction — ADVICE r8);
+  // it stays as a guard for any future refactor that decouples the two maps.
+  test("every oracle key has a registered query (refactor guard)") {
     val registered = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- registered
     assert(orphans.isEmpty, s"oracle SQL without a query: ${orphans.mkString(", ")}")

@@ -34,6 +34,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(c1h) <= 3, s"ladder re-shuffles:\n${executed(c1h)}")
   }
 
+  test("a2/a2b candle-gate plans are pinned at their exact exchange counts") {
+    // The headline candle family had no wall-time tripwire: when the r8
+    // bench window was dirty, a2 read 11× its floor and nothing in the
+    // suite could say whether the PLAN had regressed (VERDICT r8 task 4).
+    // Pin the exact exchange counts of the full gate queries. a2 = 3: the
+    // minute-agg hash exchange, the ONE partitionForLadder co-location
+    // repartition that makes all 12 ladder edges partition-local, and the
+    // gate's deterministic-output range sort. a2b = 5: both its branches
+    // (ladder + calendar) carry the agg+repartition pair, plus the output
+    // sort. Deliberately `==`, not `<=`: removing partitionForLadder
+    // re-shuffles per edge and MUST fail here.
+    val a2 = exchanges(SparkEntry.queries("a2_candles_1h_ladder")(spark, dir))
+    assert(a2 == 3, s"a2 ladder plan shape changed: $a2 exchanges (expected 3)")
+    val a2b = exchanges(SparkEntry.queries("a2b_candles_calendar")(spark, dir))
+    assert(a2b == 5, s"a2b calendar plan shape changed: $a2b exchanges (expected 5)")
+  }
+
   test("dimension joins broadcast; no sort-merge joins in the assets view path") {
     val q = SparkEntry.queries("view_assets")(spark, dir)
     val plan = executed(q)
@@ -210,12 +227,20 @@ class PlanShapeSpec extends SparkSpec {
     // all-pairs) plans as BroadcastNestedLoopJoin. Anything new joining
     // these lists needs the same justification.
     val spOk = Set("a4_scalar_minmax", "llm_curation_report", "llm_lm_score",
-      "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets")
+      "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
+      // nbTrain's token/doc totals are scalar aggregates (one row each)
+      "llm_nb_quality",
+      // DSIR: the distribution totals are scalar aggregates, and the rank
+      // window runs AFTER TakeOrdered bounds the input to n=100 rows
+      "llm_dsir_resample")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
       "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
+      // one-row broadcast composition (smoothing totals / priors crossJoin
+      // onto the probe side) — the llm_lm_score class, never corpus×corpus
+      "llm_nb_quality", "llm_dsir_resample",
       // llm_hard_negatives is a deliberate bounded brute-force oracle: the
       // query side is capped (<100 rows) before the crossJoin
-      // (Similarity.hardNegativesExact), so BNLJ is the intended shape; the
+      // (Similarity.hardNegatives), so BNLJ is the intended shape; the
       // corpus-scale path is the cell-keyed equi-join hardNegativesIvf
       // (gated separately as llm_hard_negatives_ivf).
       "llm_hard_negatives")

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Classifier, Curation, Dsir, Quantize, Similarity, Web}
+
+/** Behavior of the round-9 training-data operators: URL canonicalization /
+  * domain curation, int8 scalar quantization, the NB quality classifier,
+  * and DSIR importance resampling. */
+class TrainingDataOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- Web: URL canonicalization / dedup / domains ----
+
+  test("canonicalizeUrl normalizes every declared noise class") {
+    val cases = Seq(
+      // scheme case + www + default port + tracking + fragment + trailing /
+      ("HTTPS://www.News.Example.com:443/a/b/?utm_source=x&utm_campaign=y#frag",
+        "https://news.example.com/a/b"),
+      // real param survives tracking-param removal
+      ("https://example.com/p/?utm_source=f&utm_campaign=c2&id=7",
+        "https://example.com/p?id=7"),
+      ("http://site.org:80/x/", "http://site.org/x"),
+      ("https://example.com/q?fbclid=abc&gclid=def", "https://example.com/q"),
+      // already canonical stays fixed
+      ("https://example.com/a?id=1", "https://example.com/a?id=1"))
+    val out = cases.map(_._1).toDF("url")
+      .select(Web.canonicalizeUrl(col("url"))).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got == want, s"want $want got $got") }
+  }
+
+  test("urlDedup collapses canonical-equal URLs to the min-id keeper") {
+    val df = Seq(
+      (1L, "https://a.com/x"),
+      (2L, "HTTPS://www.a.com/x/"),
+      (3L, "https://a.com/x?utm_source=t"),
+      (4L, "https://a.com/y")).toDF("doc_id", "url")
+    val out = Web.urlDedup(df).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("https://a.com/x", 1L, 3L), ("https://a.com/y", 4L, 1L)))
+  }
+
+  test("registrableDomain keeps the last two labels; domainStats blocks") {
+    val hosts = Seq("a.b.example.com", "example.com", "localhost").toDF("h")
+      .select(Web.registrableDomain(col("h"))).as[String].collect()
+    assert(hosts.sameElements(Array("example.com", "example.com", "localhost")))
+    val df = Seq(
+      (1L, "https://spam.com/a", "x"),
+      (2L, "https://spam.com/b", "yy"),
+      (3L, "https://ok.com/a", "zzz")).toDF("doc_id", "url", "text")
+    val stats = Web.domainStats(df, Seq("spam.com")).orderBy("domain").collect()
+    assert(stats.map(_.getString(0)).sameElements(Array("ok.com", "spam.com")))
+    assert(stats(1).getAs[Boolean]("blocked") && stats(1).getAs[Long]("n_kept") == 0L)
+    assert(!stats(0).getAs[Boolean]("blocked") && stats(0).getAs[Long]("n_kept") == 1L)
+    val kept = Web.filterBlockedDomains(df, Seq("spam.com")).select("doc_id").as[Long].collect()
+    assert(kept.sameElements(Array(3L)))
+  }
+
+  test("curation funnel: domain blocklist stage runs first and gates the rest") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "https://good.com/1"),
+      (2L, "the quick brown fox jumps over the lazy dog again", "https://bad.com/2"),
+      (3L, "x", "https://good.com/3")) // fails the length stage
+      .toDF("doc_id", "text", "url")
+    val config = Curation.Config(blockDomains = Some(Seq("bad.com")), dedup = "none")
+    val conds = Curation.stageConditions(config)
+    assert(conds.head._1 == "domain" && conds.map(_._1).containsSlice(Seq("length", "quality")))
+    val kept = Curation.curate(docs, config, urlCol = Some("url"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    val rep = Curation.report(docs, config, urlCol = Some("url")).collect().head
+    assert(rep.getAs[Long]("total") == 3L)
+    assert(rep.getAs[Long]("after_domain") == 2L)
+    assert(rep.getAs[Long]("after_length") == 1L)
+  }
+
+  // ---- Quantize: int8 scalar quantization ----
+
+  private lazy val vecs = {
+    // deterministic pseudo-random vectors, dim 8
+    val rows = (0 until 50).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 31 + d * 7).toFloat).toArray)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("int8 codes are in range; dequantized error is within half a step") {
+    val rg = Quantize.trainRanges(vecs)
+    assert(rg.dim == 8)
+    val codes = Quantize.encode(vecs, rg).select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(_.forall(c => c >= 0 && c <= 255)))
+    val par = Quantize.parity(vecs, rg).collect()
+    val maxStep = (0 until 8).map(d => (rg.vmax(d) - rg.vmin(d)) / 255.0 / 2.0).max
+    par.foreach { r =>
+      assert(r.getAs[Double]("max_abs_err") <= maxStep + 1e-6)
+      assert(r.getAs[Double]("cosine_parity") > 0.999)
+    }
+  }
+
+  test("degenerate dimension codes to 0 and reconstructs exactly") {
+    val df = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(2.0f, 5.0f))).toDF("vec_id", "embedding")
+    val rg = Quantize.trainRanges(df)
+    val codes = Quantize.encode(df, rg).select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(_.apply(1) == 0))
+    val deq = Quantize.dequantize(Quantize.encode(df, rg), rg)
+      .select("dequant").as[Seq[Double]].collect()
+    assert(deq.forall(v => math.abs(v(1) - 5.0) < 1e-12))
+  }
+
+  test("int8 top-k recall vs float brute force is high") {
+    val rg = Quantize.trainRanges(vecs)
+    val queries = vecs.filter(col("vec_id") < 5)
+    val dvecs = vecs.withColumn("embedding", col("embedding").cast("array<double>"))
+    val exact = Similarity.bruteForceTopK(
+        dvecs.filter(col("vec_id") < 5), dvecs, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+    val int8 = Quantize.int8TopK(queries, vecs, rg, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = exact.map { case (q, e) =>
+      val got = int8.getOrElse(q, Array.empty).map(_._2).toSet
+      e.count(p => got.contains(p._2)).toDouble / e.length
+    }
+    assert(recalls.sum / recalls.size >= 0.9, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
+  // ---- Classifier: NB quality ----
+
+  test("NB classifier separates disjoint vocabularies and handles OOV") {
+    // 6 words per doc in BOTH classes → equal token totals → the OOV
+    // log-odds is exactly 0, which the all-OOV doc below relies on
+    val good = (0 until 10).map(i => (i.toLong, true, "excellent prose with careful thoughtful editing"))
+    val bad = (10 until 20).map(i => (i.toLong, false, "spam click buy cheap now offer"))
+    val train = (good ++ bad).toDF("doc_id", "label", "text")
+      .select(col("label"), col("text"))
+    val model = Classifier.nbTrain(train)
+    val test_ = Seq(
+      (100L, "careful thoughtful prose"),
+      (101L, "buy cheap spam offer"),
+      (102L, "zzz qqq www")) // all OOV → prior (equal classes) + symmetric OOV = 0 → not > 0
+      .toDF("doc_id", "text")
+    val out = Classifier.nbScore(test_, model).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("pred_quality"))
+    assert(!out(1).getAs[Boolean]("pred_quality"))
+    assert(math.abs(out(2).getAs[Double]("nb_score")) < 1e-6) // symmetric counts → 0
+  }
+
+  // ---- DSIR ----
+
+  test("featureBuckets emits one unigram per word + one bigram per pair, in range") {
+    val out = Seq("alpha beta gamma", "", "solo").toDF("text")
+      .select(Dsir.featureBuckets(col("text"), 1024)).as[Seq[Int]].collect()
+    assert(out(0).length == 5) // 3 unigrams + 2 bigrams
+    assert(out(1).isEmpty && out(2).length == 1)
+    assert(out.flatten.forall(b => b >= 0 && b < 1024))
+    // deterministic
+    val again = Seq("alpha beta gamma").toDF("text")
+      .select(Dsir.featureBuckets(col("text"), 1024)).as[Seq[Int]].collect()
+    assert(again.head == out(0))
+  }
+
+  test("DSIR upweights target-like documents and resamples deterministically") {
+    val target = (0 until 20).map(i => s"science physics research experiment method $i").toDF("text")
+    val raw = ((0 until 20).map(i => (i.toLong, s"science physics research experiment method $i")) ++
+      (100 until 120).map(i => (i.toLong, s"celebrity gossip fashion scandal rumor $i"))).toDF("doc_id", "text")
+    val w = Dsir.logImportanceWeights(raw, target, buckets = 1024)
+    val byId = w.collect().map(r => r.getLong(0) -> r.getAs[Double]("log_weight")).toMap
+    val sciMean = (0 until 20).map(i => byId(i.toLong)).sum / 20
+    val gossipMean = (100 until 120).map(i => byId(i.toLong)).sum / 20
+    assert(sciMean > gossipMean + 1.0, s"sci $sciMean vs gossip $gossipMean")
+    val s1 = Dsir.resampleTopN(w, n = 10, seed = "s").collect()
+    val s2 = Dsir.resampleTopN(w, n = 10, seed = "s").collect()
+    assert(s1.map(_.getLong(0)).sameElements(s2.map(_.getLong(0))))
+    assert(s1.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 10))
+    // the importance weights dominate the Gumbel noise at this separation:
+    // the resample should mostly pick target-like docs
+    assert(s1.count(_.getLong(0) < 100) >= 8)
+  }
+}
