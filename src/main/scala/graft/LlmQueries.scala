@@ -2128,6 +2128,41 @@ object LlmQueries {
              |  round(max(abs(val - dv)), 6) AS max_abs_err
              |FROM dq GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
+    // compressed search over the int8 corpus: exact queries against the
+    // DEQUANTIZED vectors (asymmetric, the ADC convention) — bounded
+    // brute-force (queries capped <100), recall vs float measured in spec
+    QueryDef("llm_int8_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Quantize.int8TopK(emb.filter(col("vec_id") < 100), emb, int8Ranges(s, dir), k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("int8_cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |x AS (
+             |  SELECT vec_id, u.pos - 1 AS pos, u.val
+             |  FROM e, LATERAL (SELECT unnest(range(1, len(v)+1)) AS pos, unnest(v) AS val) u),
+             |mm AS (SELECT pos, min(val) AS vmin, max(val) AS vmax FROM x GROUP BY pos),
+             |dq AS (
+             |  SELECT x.vec_id, x.pos,
+             |    mm.vmin + (CASE WHEN mm.vmax = mm.vmin THEN 0
+             |      ELSE greatest(0, least(255, CAST(round((x.val - mm.vmin) * 255.0 / (mm.vmax - mm.vmin)) AS INT)))
+             |    END) * (mm.vmax - mm.vmin) / 255.0 AS dv
+             |  FROM x JOIN mm USING (pos)),
+             |dvv AS (SELECT vec_id, list(dv ORDER BY pos) AS dv FROM dq GROUP BY vec_id),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, c.dv)
+             |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.dv, c.dv))) AS cs
+             |  FROM e q JOIN dvv c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 100)
+             |SELECT query_id, neighbor_id, round(cs, 6) AS int8_cosine, rank FROM (
+             |  SELECT query_id, neighbor_id, cs,
+             |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rank
+             |  FROM scored)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- NB quality classifier (CCNet/LLaMA filter shape; r8 VERDICT #3b) ----
 
     // train on the even half labeled lang='en' (a text-correlated fixture
@@ -2163,6 +2198,51 @@ object LlmQueries {
              |  round(ln(dt.dp / dt.dn) + sum(sc.lo), 6) AS nb_score,
              |  (round(ln(dt.dp / dt.dn) + sum(sc.lo), 6) > 0.0) AS pred_quality
              |FROM sc CROSS JOIN dt GROUP BY sc.doc_id, dt.dp, dt.dn ORDER BY doc_id""".stripMargin)),
+
+    // the classifier as a curation funnel STAGE (row-local broadcast
+    // kernel, nbScoreColumn): full funnel + NB filter + exact dedup, all
+    // replayed in SQL — the llm_curation_lm pattern with the NB chain
+    QueryDef("llm_curation_nb",
+      (s, dir) => {
+        import graft.llm.Curation
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val labeled = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+          .select((col("lang") === "en").as("label"), col("text"))
+        Curation.curate(docs, Curation.Config(minNbScore = Some(0.0)),
+            nbModel = Some(Classifier.nbTrain(labeled)))
+          .select(col("doc_id"), col("nb_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $curationCtes,
+              |tr AS (SELECT doc_id, text, (lang = 'en') AS pos FROM documents WHERE doc_id % 2 = 0),
+              |tw AS (SELECT pos, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM tr),
+              |c AS (
+              |  SELECT word,
+              |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+              |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+              |  FROM tw GROUP BY word),
+              |t AS (SELECT CAST(sum(cp) AS DOUBLE) AS np, CAST(sum(cn) AS DOUBLE) AS nn,
+              |  CAST(count(*) AS DOUBLE) AS v FROM c),
+              |dt AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS dp,
+              |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE) AS dn FROM tr),
+              |dw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents),
+              |nsc AS (
+              |  SELECT dw.doc_id,
+              |    coalesce(ln((c.cp + 1.0) / (t.np + t.v + 1.0)) - ln((c.cn + 1.0) / (t.nn + t.v + 1.0)),
+              |             ln(1.0 / (t.np + t.v + 1.0)) - ln(1.0 / (t.nn + t.v + 1.0))) AS lo
+              |  FROM dw LEFT JOIN c USING (word) CROSS JOIN t),
+              |nb AS (
+              |  SELECT nsc.doc_id, round(ln(dt.dp / dt.dn) + sum(nsc.lo), 6) AS nb_score
+              |  FROM nsc CROSS JOIN dt GROUP BY nsc.doc_id, dt.dp, dt.dn),
+              |f AS (
+              |  SELECT q.doc_id, q.text, nb.nb_score
+              |  FROM q JOIN r USING (doc_id) JOIN nb USING (doc_id)
+              |  WHERE q.n_words BETWEEN 5 AND 100000 AND q.quality_score >= 0.3
+              |    AND r.dup_word_frac <= 0.9 AND r.top_bigram_frac <= 0.5
+              |    AND nb.nb_score >= 0.0)
+              |SELECT doc_id, nb_score FROM f
+              |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- DSIR importance resampling (Xie et al. 2023; r8 VERDICT #3a) ----
 

@@ -84,4 +84,35 @@ object Classifier {
           .as("nb_score"))
       .withColumn("pred_quality", col("nb_score") > 0.0)
   }
+
+  /** Row-local form of [[nbScore]] for pipeline composition — the
+    * [[CorpusStats.lmScoreColumn]] shape: the model table (bounded by
+    * vocabulary) is collected once and rides the executors as ONE broadcast
+    * hash map; each document scores in a single kernel pass with zero
+    * shuffle, so the classifier slots into the map-only curation funnel.
+    * Same math as [[nbScore]] (prior + Σ log-odds, OOV mass, 6 dp), which
+    * the spec pins by equality. Tokenization is the SQL-split replica
+    * ([[CorpusStats.splitLikeSql]]) so engine and oracle agree on empty
+    * leading/trailing tokens. */
+  def nbScoreColumn(model: DataFrame, text: Column): Column = {
+    val rows = model
+      .select(col("word"), col("log_odds"), col("oov_log_odds"), col("prior_log_odds"))
+      .collect()
+    val odds = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (oov, prior) =
+      if (rows.isEmpty) (0.0, 0.0) else (rows.head.getDouble(2), rows.head.getDouble(3))
+    val oddsB = model.sparkSession.sparkContext.broadcast(odds)
+    val u = udf { (s: String) =>
+      if (s == null) BigDecimal(prior).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else {
+        val words = CorpusStats.splitLikeSql(s)
+        val m = oddsB.value
+        var sum = prior
+        var i = 0
+        while (i < words.length) { sum += m.getOrElse(words(i), oov); i += 1 }
+        BigDecimal(sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    u(text)
+  }
 }

@@ -200,7 +200,7 @@ object CorpusStats {
     * tokens while Spark's keeps them (limit −1) — so text with a leading or
     * trailing tab/newline gains empty OOV tokens under the SQL form that a
     * naive kernel would miss (ADVICE r4). */
-  private def splitLikeSql(s: String): Array[String] = {
+  private[llm] def splitLikeSql(s: String): Array[String] = {
     var b = 0
     var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1

@@ -25,6 +25,8 @@ object Curation {
     * blocklist stage (requires a `urlCol` passed to
     * [[annotate]]/[[curate]]/[[report]] — the stage runs FIRST, the
     * RefinedWeb ordering: URL filtering before any content signal is paid),
+    * `minNbScore = None` disables the NB-classifier stage (requires an
+    * `nbModel` — a [[Classifier.nbTrain]] table),
     * `dedup` ∈ none | exact | minhash | minhash-clustered. */
   final case class Config(
       minWords: Int = 5,
@@ -36,6 +38,7 @@ object Curation {
       maxBitsPerToken: Option[Double] = None,
       maxContamination: Option[Double] = None,
       blockDomains: Option[Seq[String]] = None,
+      minNbScore: Option[Double] = None,
       dedup: String = "exact")
 
   /** All signals in one row-local pass: quality score, repetition
@@ -54,17 +57,22 @@ object Curation {
       textCol: String = "text",
       lm: Option[DataFrame] = None,
       evalDocs: Option[DataFrame] = None,
-      urlCol: Option[String] = None): DataFrame = {
+      urlCol: Option[String] = None,
+      nbModel: Option[DataFrame] = None): DataFrame = {
     val base = TextAnalysis.repetitionSignals(TextAnalysis.qualityScore(docs, textCol), textCol)
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
-    // LM vocabulary and eval n-gram set both ride broadcast structures —
-    // the annotation stays ONE map-only pass however many stages are on
+    // LM vocabulary, NB model, and eval n-gram set all ride broadcast
+    // structures — the annotation stays ONE map-only pass however many
+    // stages are on
     val withLm = lm.map(m =>
       base.withColumn("bits_per_token", CorpusStats.lmScoreColumn(m, col(textCol))))
       .getOrElse(base)
-    val withDecon = evalDocs.map(e => withLm.withColumn("contamination_frac",
-        Decontaminate.contaminationColumn(e, col(textCol), textCol = textCol)))
+    val withNb = nbModel.map(m =>
+      withLm.withColumn("nb_score", Classifier.nbScoreColumn(m, col(textCol))))
       .getOrElse(withLm)
+    val withDecon = evalDocs.map(e => withNb.withColumn("contamination_frac",
+        Decontaminate.contaminationColumn(e, col(textCol), textCol = textCol)))
+      .getOrElse(withNb)
     // canonical_url + domain are regexp builtins — still one map-only pass
     urlCol.map(u => Web.withUrlColumns(withDecon, u)).getOrElse(withDecon)
   }
@@ -92,6 +100,7 @@ object Curation {
         Seq("length" -> length, "quality" -> quality,
           "repetition" -> repetition, "language" -> language) ++
         config.maxBitsPerToken.map(m => "fluency" -> (col("bits_per_token") <= m)) ++
+        config.minNbScore.map(m => "classifier" -> (col("nb_score") >= m)) ++
         config.maxContamination.map(m => "decontamination" -> (col("contamination_frac") <= m))
     // cumulative AND chain: each stage includes every previous condition
     perStage.tail.scanLeft(perStage.head) { case ((_, acc), (name, c)) => name -> (acc && c) }
@@ -106,8 +115,9 @@ object Curation {
       textCol: String = "text",
       lm: Option[DataFrame] = None,
       evalDocs: Option[DataFrame] = None,
-      urlCol: Option[String] = None): DataFrame = {
-    val filtered = materialize(annotate(docs, textCol, lm, evalDocs, urlCol))
+      urlCol: Option[String] = None,
+      nbModel: Option[DataFrame] = None): DataFrame = {
+    val filtered = materialize(annotate(docs, textCol, lm, evalDocs, urlCol, nbModel))
       .filter(stageConditions(config).last._2)
     config.dedup match {
       case "none" => filtered
@@ -315,12 +325,13 @@ object Curation {
       textCol: String = "text",
       lm: Option[DataFrame] = None,
       evalDocs: Option[DataFrame] = None,
-      urlCol: Option[String] = None): DataFrame = {
+      urlCol: Option[String] = None,
+      nbModel: Option[DataFrame] = None): DataFrame = {
     val conds = stageConditions(config)
     val aggs = conds.map { case (name, c) =>
       count(when(c, lit(1))).as(s"after_$name")
     } :+ count_distinct(when(conds.last._2, md5(col(textCol)))).as("after_dedup_exact")
-    materialize(annotate(docs, textCol, lm, evalDocs, urlCol))
+    materialize(annotate(docs, textCol, lm, evalDocs, urlCol, nbModel))
       .agg(count(lit(1)).as("total"), aggs: _*)
   }
 }

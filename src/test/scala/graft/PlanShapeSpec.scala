@@ -238,6 +238,9 @@ class PlanShapeSpec extends SparkSpec {
       // one-row broadcast composition (smoothing totals / priors crossJoin
       // onto the probe side) — the llm_lm_score class, never corpus×corpus
       "llm_nb_quality", "llm_dsir_resample",
+      // bounded brute-force over the dequantized corpus: query side capped
+      // (<100 rows) before the crossJoin, the llm_hard_negatives class
+      "llm_int8_topk",
       // llm_hard_negatives is a deliberate bounded brute-force oracle: the
       // query side is capped (<100 rows) before the crossJoin
       // (Similarity.hardNegatives), so BNLJ is the intended shape; the

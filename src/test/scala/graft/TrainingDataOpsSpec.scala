@@ -145,6 +145,35 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(math.abs(out(2).getAs[Double]("nb_score")) < 1e-6) // symmetric counts → 0
   }
 
+  test("nbScoreColumn (row-local kernel) equals nbScore (join form)") {
+    val labeled = ((0 until 8).map(i => (true, s"alpha beta gamma delta run $i")) ++
+      (0 until 8).map(i => (false, s"omega psi chi phi stop $i"))).toDF("label", "text")
+    val model = Classifier.nbTrain(labeled)
+    val docs = Seq((1L, "alpha beta unknown"), (2L, "omega psi chi"), (3L, "  padded  "))
+      .toDF("doc_id", "text")
+    val joinForm = Classifier.nbScore(docs, model).orderBy("doc_id")
+      .select("doc_id", "nb_score").as[(Long, Double)].collect()
+    val kernelForm = docs
+      .withColumn("nb_score", Classifier.nbScoreColumn(model, col("text")))
+      .orderBy("doc_id").select("doc_id", "nb_score").as[(Long, Double)].collect()
+    assert(joinForm.sameElements(kernelForm),
+      s"join=${joinForm.mkString(",")} kernel=${kernelForm.mkString(",")}")
+  }
+
+  test("curation funnel: classifier stage filters on the NB score") {
+    val labeled = ((0 until 8).map(i => (true, s"careful thorough writing with clear structure $i")) ++
+      (0 until 8).map(i => (false, s"buy cheap spam now click this offer $i"))).toDF("label", "text")
+    val model = Classifier.nbTrain(labeled)
+    val docs = Seq(
+      (1L, "careful thorough writing with clear structure indeed"),
+      (2L, "buy cheap spam now click this offer today")).toDF("doc_id", "text")
+    val config = Curation.Config(minNbScore = Some(0.0), dedup = "none")
+    assert(Curation.stageConditions(config).map(_._1).contains("classifier"))
+    val kept = Curation.curate(docs, config, nbModel = Some(model))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept $kept")
+  }
+
   // ---- DSIR ----
 
   test("featureBuckets emits one unigram per word + one bigram per pair, in range") {
