@@ -951,6 +951,28 @@ object LlmQueries {
              |WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 900000 ELSE 200000 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // Efraimidis–Spirakis weighted sampling without replacement: top-n
+    // keys ln(u)/w per stratum, u from the portable md5 draw — inclusion
+    // probability ∝ weight (n_chars here), reproducible anywhere; the rank
+    // window partitions by stratum, never a global funnel
+    QueryDef("llm_weighted_sample",
+      (s, dir) => {
+        import graft.llm.Sampling
+        Sampling.weightedSamplePerStratum(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          n = 20, weightCol = "n_chars", strataCol = "lang", seed = "ws1")
+          .select(col("lang"), col("doc_id"), col("n_chars"), col("sample_key"), col("rank"))
+          .orderBy("lang", "rank")
+      },
+      Some("""SELECT lang, doc_id, n_chars, sample_key, rank FROM (
+             |  SELECT lang, doc_id, n_chars, sample_key,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS INT) AS rank
+             |  FROM (
+             |    SELECT lang, doc_id, n_chars,
+             |      round(ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-ws1'), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0) / n_chars, 6) AS sample_key
+             |    FROM documents))
+             |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin)),
+
     // deterministic global shuffle order for training epochs: full-md5
     // pseudo-random total order, identical on any engine/partitioning
     QueryDef("llm_shuffle_order",

@@ -131,6 +131,38 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
+    * (Inf. Proc. Letters 2006; public method): each row draws
+    * `key = ln(u) / w` (the log form of u^(1/w)) with `u` from the portable
+    * md5 [[bucket]] hash, and the top `n` keys per stratum are the sample —
+    * inclusion probability proportional to weight, reproducible on any
+    * cluster/partitioning (the [[deterministicSample]] property, extended
+    * to weighted draws; the general primitive behind quality-weighted
+    * corpus subsetting, DSIR being the importance-weighted special case).
+    *
+    * Keys are rounded to 6 dp BEFORE ranking with id as the tiebreak
+    * (engine and oracle compute the identical IEEE expression; rounding
+    * removes any residual libm-ulp concern at rank boundaries). The rank
+    * window partitions by stratum — no single-partition funnel; for a
+    * global draw pass a constant stratum column. Weights must be > 0. */
+  def weightedSamplePerStratum(
+      df: DataFrame,
+      n: Int,
+      weightCol: String,
+      strataCol: String,
+      seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (bucket(col(idCol), seed).cast("double") + 0.5) / Buckets
+    val keyed = df.withColumn("sample_key", round(log(u) / col(weightCol), 6))
+    keyed
+      .withColumn("rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(strataCol))
+            .orderBy(col("sample_key").desc, col(idCol))))
+      .filter(col("rank") <= n)
+  }
+
   /** Deterministic global shuffle key for training-example order: the full
     * md5 hex of (id, seed) is a stable pseudo-random total order — the
     * same epoch order on any cluster, any partitioning, any engine

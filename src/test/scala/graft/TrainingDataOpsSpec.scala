@@ -176,6 +176,31 @@ class TrainingDataOpsSpec extends SparkSpec {
 
   // ---- DSIR ----
 
+  // ---- Weighted sampling (A-ES) ----
+
+  test("weighted sampling favors heavy rows, bounds ranks, reproduces exactly") {
+    import graft.llm.Sampling
+    val rows = (0 until 100).map(i => (i.toLong, "s", if (i == 0) 10000L else 1L))
+    val df = rows.toDF("doc_id", "stratum", "w")
+    def sample(seed: String) =
+      Sampling.weightedSamplePerStratum(df, n = 10, "w", "stratum", seed)
+        .select("doc_id").as[Long].collect()
+    // doc 0's key ln(u)/10000 sits ~4 orders of magnitude above the rest —
+    // it wins under any of these (fixed, deterministic) seeds
+    Seq("a", "b", "c").foreach { seed =>
+      assert(sample(seed).contains(0L), s"heavy row missing under seed $seed")
+    }
+    assert(sample("a").sameElements(sample("a")))
+    val ranked = Sampling.weightedSamplePerStratum(df, n = 10, "w", "stratum", "a")
+      .select("rank").as[Int].collect().sorted
+    assert(ranked.sameElements(1 to 10))
+    // per-stratum: two strata each keep their own n
+    val two = df.withColumn("stratum", when(col("doc_id") % 2 === 0, "e").otherwise("o"))
+    val counts = Sampling.weightedSamplePerStratum(two, n = 7, "w", "stratum", "a")
+      .groupBy("stratum").count().orderBy("stratum").select("count").as[Long].collect()
+    assert(counts.sameElements(Array(7L, 7L)))
+  }
+
   test("featureBuckets emits one unigram per word + one bigram per pair, in range") {
     val out = Seq("alpha beta gamma", "", "solo").toDF("text")
       .select(Dsir.featureBuckets(col("text"), 1024)).as[Seq[Int]].collect()
