@@ -169,8 +169,10 @@ object AggQueries {
     // (pg.rs:788-800); runs the engine's complete 13-interval set
     QueryDef("a2b_candles_calendar",
       (s, dir) => {
-        val all = Candles.allIntervals(Tables.trades(s, dir))
-        val cal = all.filter(col("interval").isin("1w", "1M"))
+        // calendarIntervals shares ONE materialized 1m→1d sub-ladder across
+        // the 1w and 1M branches (the allIntervals+filter form re-executed
+        // the 8-agg chain per branch — a2b's old floor)
+        val cal = Candles.calendarIntervals(Tables.trades(s, dir))
         cal.select(col("interval") +: candleOutCols: _*)
           .orderBy("interval", "time_start_epoch", "amount_asset_id", "price_asset_id", "matcher_address")
       },

@@ -228,6 +228,29 @@ object Candles {
     byInterval.values.reduce(_.unionByName(_))
   }
 
+  /** Calendar intervals (1w + 1M) with the shared 1m→1d sub-ladder
+    * computed ONCE. Building them as `allIntervals(...).filter(calendar)`
+    * leaves two union branches that each re-execute the 8 chained
+    * partition-local aggregations up to 1d — exchange reuse dedups the
+    * SHUFFLES across branches, not the in-stage agg chains (measured as
+    * a2b's floor, NOTES r06). The 1d frame is localCheckpoint'ed — which
+    * preserves its (asset-pair, matcher) outputPartitioning, so both
+    * calendar aggregations stay partition-local — and both edges read the
+    * materialized table. Values are bit-identical to the filter form (the
+    * checkpoint only cuts lineage). */
+  def calendarIntervals(trades: DataFrame, decimals: Option[DataFrame] = None): DataFrame = {
+    val byInterval = scala.collection.mutable.Map(
+      "1m" -> partitionForLadder(minuteCandles(trades, decimals)))
+    CandleIntervals.ladder.takeWhile(_._2 != "1w").foreach { case (src, dst) =>
+      byInterval(dst) = ladderStep(byInterval(src), src, dst)
+    }
+    // plain localCheckpoint, NOT materialize(): the RDD-rebase there exists
+    // to refresh attribute ids when mixing lineages, but it discards the
+    // outputPartitioning that keeps the calendar aggs exchange-free
+    val d1 = byInterval("1d").localCheckpoint(true)
+    ladderStep(d1, "1d", "1w").unionByName(ladderStep(d1, "1d", "1M"))
+  }
+
   /** Incremental maintenance (A3) ≙ `calculate_candles_since_block_uid`
     * `pg.rs:660-678` + interval-start snapping `pg.rs:776-803`: recompute
     * candles from the first affected minute and MERGE into prior state. */

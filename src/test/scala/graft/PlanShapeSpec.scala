@@ -41,14 +41,17 @@ class PlanShapeSpec extends SparkSpec {
     // Pin the exact exchange counts of the full gate queries. a2 = 3: the
     // minute-agg hash exchange, the ONE partitionForLadder co-location
     // repartition that makes all 12 ladder edges partition-local, and the
-    // gate's deterministic-output range sort. a2b = 5: both its branches
-    // (ladder + calendar) carry the agg+repartition pair, plus the output
+    // gate's deterministic-output range sort. a2b = 3: the 1m→1d
+    // sub-ladder runs once at build time behind calendarIntervals'
+    // localCheckpoint, so the gate plan is just the two calendar
+    // aggregations over the materialized (small) 1d table plus the output
     // sort. Deliberately `==`, not `<=`: removing partitionForLadder
-    // re-shuffles per edge and MUST fail here.
+    // re-shuffles per edge and MUST fail here (a2); a2b reverting to the
+    // allIntervals+filter form reads 5.
     val a2 = exchanges(SparkEntry.queries("a2_candles_1h_ladder")(spark, dir))
     assert(a2 == 3, s"a2 ladder plan shape changed: $a2 exchanges (expected 3)")
     val a2b = exchanges(SparkEntry.queries("a2b_candles_calendar")(spark, dir))
-    assert(a2b == 5, s"a2b calendar plan shape changed: $a2b exchanges (expected 5)")
+    assert(a2b == 3, s"a2b calendar plan shape changed: $a2b exchanges (expected 3)")
   }
 
   test("dimension joins broadcast; no sort-merge joins in the assets view path") {
