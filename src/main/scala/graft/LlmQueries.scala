@@ -401,6 +401,58 @@ object LlmQueries {
       |      l -> CASE WHEN length(l) % 3 <> 0 THEN l || '.' ELSE l END), chr(10)) AS text
       |  FROM documents)""".stripMargin
 
+  /** Unrolled DuckDB replay of the BPE training loop ([[graft.llm.Bpe]]):
+    * stage i computes the weighted adjacent-pair counts over vocab state
+    * `bv{i-1}`, picks the argmax under the pinned tie-break, and applies
+    * the merge with the same plain `replace` on the chr(1)/chr(2)-wrapped
+    * segmentation string — so every intermediate state is byte-identical
+    * to the engine's. `bm{i}` rows are the trained merge table. */
+  private def bpeCtes(numMerges: Int): String = {
+    val base =
+      """bw AS (
+        |  SELECT word FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
+        |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
+        |bwf AS (SELECT word, count(*) AS freq FROM bw GROUP BY word),
+        |bv0 AS MATERIALIZED (SELECT word, freq,
+        |  regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s FROM bwf)""".stripMargin
+    // bv/bm MUST be MATERIALIZED: each is referenced by two downstream
+    // CTEs, and DuckDB's default inlining would re-expand the whole merge
+    // chain per reference (2^numMerges vocab scans — the oracle-side twin
+    // of the Lloyd-loop quadratic re-execution)
+    val stages = (1 to numMerges).map { i =>
+      s"""bp$i AS (
+         |  SELECT u.l, u.r, sum(freq) AS cnt
+         |  FROM (SELECT freq, string_split(s[2:len(s)-1], chr(2) || chr(1)) AS sy FROM bv${i - 1}) t,
+         |       LATERAL (SELECT unnest(sy[1:len(sy)-1]) AS l, unnest(sy[2:len(sy)]) AS r) u
+         |  WHERE len(t.sy) >= 2 GROUP BY u.l, u.r),
+         |bm$i AS MATERIALIZED (SELECT l, r, cnt FROM bp$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |bv$i AS MATERIALIZED (SELECT word, freq,
+         |  replace(s, (SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2) FROM bm$i),
+         |             (SELECT chr(1) || l || r || chr(2) FROM bm$i)) AS s FROM bv${i - 1})""".stripMargin
+    }
+    (base +: stages).mkString(",\n")
+  }
+
+  /** Memoized BPE training run — llm_bpe_train and llm_bpe_encode share
+    * one (merges, finalVocab) result per (session, dir): the merge loop's
+    * per-iteration jobs run once, not once per gate (the PQ-codebook /
+    * centroid memo class). Cached as plain data (merge list + collected
+    * final-vocab rows), NOT DataFrames — no session pinning (ADVICE r8). */
+  private val bpeCache =
+    new graft.util.SessionCache[(Seq[graft.llm.Bpe.Merge], Seq[(String, Long, String)])]
+  private def bpeTrained(s: SparkSession, dir: String): (Seq[graft.llm.Bpe.Merge], DataFrame) = {
+    import graft.llm.Bpe
+    val (merges, vocabRows) = bpeCache.getOrCompute(s, dir) {
+      val (m, vocab) = Bpe.trainMerges(
+        Bpe.wordFrequencies(Tables.documents(s, dir).select(col("text"))), numMerges = 8)
+      (m, vocab.select(col("word"), col("freq"), col("s")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq)
+    }
+    import s.implicits._
+    (merges, vocabRows.toDF("word", "freq", "s"))
+  }
+
   val all: Vector[QueryDef] = Vector(
 
     // exact dedup: hash-groupBy, keep lowest id
@@ -2304,5 +2356,94 @@ object LlmQueries {
               |  FROM lw)
               |SELECT doc_id, n_features, round(log_weight, 6) AS log_weight, sample_key,
               |  CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id) AS INT) AS rank
-              |FROM g QUALIFY rank <= 100 ORDER BY rank""".stripMargin)))
+              |FROM g QUALIFY rank <= 100 ORDER BY rank""".stripMargin)),
+
+    // ---- per-domain quota capping (Dolma "N pages per domain") ----
+
+    // keep at most 12 docs per domain, chosen by the portable md5 bucket —
+    // the oracle derives the domain from the source ground truth and
+    // replays the hash, independently checking URL→domain + the quota
+    QueryDef("llm_domain_cap",
+      (s, dir) => {
+        Web.domainCap(Tables.documents(s, dir).select(col("doc_id"), urlFixture.as("url")),
+            cap = 12, seed = "dc1")
+          .orderBy("domain", "domain_rank")
+      },
+      Some("""SELECT doc_id, domain, domain_rank FROM (
+             |  SELECT doc_id, source || '.com' AS domain,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+             |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-dc1'), 1, 8)) AS BIGINT) % 1000000,
+             |      doc_id) AS INT) AS domain_rank
+             |  FROM documents)
+             |WHERE domain_rank <= 12 ORDER BY domain, domain_rank""".stripMargin)),
+
+    // ---- PMI collocations (Church & Hanks 1990) ----
+
+    // top adjacent word pairs by pointwise mutual information; rounded
+    // BEFORE ranking (band-edge rule) with (w1, w2) tie-break so the
+    // top-50 cut is deterministic on both engines
+    QueryDef("llm_pmi",
+      (s, dir) => {
+        import graft.llm.CorpusStats
+        CorpusStats.pmiCollocations(Tables.documents(s, dir).select(col("text")),
+          minCount = 3, k = 50)
+      },
+      Some("""WITH pt AS (
+             |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws
+             |  FROM documents),
+             |pu AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM pt) GROUP BY w),
+             |pbi AS (
+             |  SELECT u.w1, u.w2, count(*) AS pair_count
+             |  FROM (SELECT ws FROM pt WHERE len(ws) >= 2) t,
+             |       LATERAL (SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2) u
+             |  GROUP BY u.w1, u.w2),
+             |ptot AS (SELECT
+             |  (SELECT CAST(sum(c) AS DOUBLE) FROM pu) AS n_uni,
+             |  (SELECT CAST(sum(pair_count) AS DOUBLE) FROM pbi) AS n_bi)
+             |SELECT w1, w2, pair_count,
+             |  round(ln((pair_count / n_bi) / ((c1 / n_uni) * (c2 / n_uni))), 6) AS pmi
+             |FROM (
+             |  SELECT b.w1, b.w2, b.pair_count,
+             |    CAST(u1.c AS DOUBLE) AS c1, CAST(u2.c AS DOUBLE) AS c2, t.n_uni, t.n_bi
+             |  FROM pbi b JOIN pu u1 ON b.w1 = u1.w JOIN pu u2 ON b.w2 = u2.w CROSS JOIN ptot t
+             |  WHERE b.pair_count >= 3)
+             |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // ---- BPE tokenizer induction (Sennrich et al. 2016) ----
+
+    // the trained merge table itself: 8 merges with pinned tie-breaks; the
+    // oracle unrolls the identical loop over the identical wrapped-string
+    // state, so every (lhs, rhs, pair_count) row must match exactly
+    QueryDef("llm_bpe_train",
+      (s, dir) => {
+        val (merges, _) = bpeTrained(s, dir)
+        graft.llm.Bpe.mergeTable(s, merges).orderBy("rank")
+      },
+      Some(s"""WITH ${bpeCtes(8)}
+              |SELECT * FROM (
+              |${(1 to 8).map(i =>
+                 s"  SELECT $i AS rank, l AS lhs, r AS rhs, cnt AS pair_count FROM bm$i")
+                 .mkString("  UNION ALL\n")}
+              |) ORDER BY rank""".stripMargin)),
+
+    // tokenize the corpus with the trained vocab: per-doc word + BPE token
+    // counts through the final segmentation state (word-keyed broadcast
+    // join) — checks the merge APPLICATION side end-to-end
+    QueryDef("llm_bpe_encode",
+      (s, dir) => {
+        val (_, finalVocab) = bpeTrained(s, dir)
+        graft.llm.Bpe.encodeCounts(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")), finalVocab)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${bpeCtes(8)},
+              |bd AS (
+              |  SELECT doc_id, word FROM (
+              |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              |    FROM documents)
+              |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0)
+              |SELECT d.doc_id, count(*) AS n_words,
+              |  CAST(sum(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1)))) AS BIGINT) AS n_bpe_tokens
+              |FROM bd d JOIN bv8 v USING (word)
+              |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin)))
 }

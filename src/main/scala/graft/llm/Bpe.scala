@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-Pair-Encoding tokenizer induction (Sennrich et al., ACL 2016;
+  * public method) — the vocabulary-training step of every modern tokenizer
+  * pipeline, expressed Spark-first.
+  *
+  * The classic algorithm is a driver-side loop over a word-frequency table,
+  * and that is exactly the scale-correct Spark shape too:
+  *
+  *   1. ONE corpus-scale pass builds the word-frequency table (lowercased
+  *      whitespace tokens → `groupBy(word).count`, map-side partials). At
+  *      100 TB this is the only full-corpus job; everything after runs on
+  *      the DISTINCT-WORD table, which is orders of magnitude smaller
+  *      (vocab grows ~ Heaps' law, not linearly with corpus bytes).
+  *   2. Each merge iteration is two bounded jobs on the vocab table: an
+  *      adjacent-pair frequency aggregation (explode + groupBy with
+  *      map-side partials, weighted by word frequency) and a map-only
+  *      merge application. The per-iteration argmax collects exactly ONE
+  *      row to the driver — the same bounded-collect class as the k-means
+  *      centroid loop.
+  *   3. Every iteration materializes its vocab state via `localCheckpoint`
+  *      — the Lloyd's-loop lesson (NOTES r08): without the lineage cut,
+  *      iteration k re-executes all k−1 prior merge plans on every action
+  *      and the loop goes quadratic.
+  *
+  * Segmentation state is a STRING, not an array: a word's symbols are each
+  * wrapped as `\u0001sym\u0002`, so one merge step is a plain (non-regex,
+  * left-to-right, non-overlapping) `replace` of `\u0001a\u0002\u0001b\u0002`
+  * with `\u0001ab\u0002` — byte-identical semantics in Spark and in the
+  * DuckDB oracle, and the wrappers make cross-symbol false matches
+  * impossible. Left-to-right non-overlap is the standard greedy BPE
+  * application order (aaa + merge(a,a) → [aa, a]).
+  *
+  * Tie-breaks are pinned: the merge chosen each round is max by
+  * (pair_count, then lexicographically smallest left, then right symbol) —
+  * fully deterministic, so the trained merge table oracle-checks exactly.
+  * Tokenization is the engine's standard text normal form (lower, trim,
+  * whitespace-run split, empties dropped); words containing the wrapper
+  * code points are dropped (declared, vanishingly rare in real text).
+  */
+object Bpe {
+
+  /** One learned merge: `left + right` became a symbol with this weighted
+    * adjacent-pair count at the time of merging. */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  private val SymOpen = "\u0001"
+  private val SymClose = "\u0002"
+
+  /** Corpus → (word, freq, s) where `s` is the word's initial
+    * character-level segmentation in wrapped form. The one corpus-scale
+    * aggregation of the whole training run. */
+  def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(SymOpen) && !col("word").contains(SymClose))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("s", regexp_replace(col("word"), "(.)", SymOpen + "$1" + SymClose))
+
+  /** Adjacent symbol pairs of the current segmentation, weighted by word
+    * frequency: (l, r, cnt). Bounded by the vocab table, map-side partial. */
+  private def pairCounts(vocab: DataFrame): DataFrame = {
+    val syms = split(
+      regexp_replace(col("s"), "^" + SymOpen + "|" + SymClose + "$", ""),
+      SymClose + SymOpen)
+    vocab
+      .select(col("freq"), syms.as("sy"))
+      .filter(size(col("sy")) >= 2)
+      .select(col("freq"), explode(expr(
+        "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1)," +
+          " (a, b) -> struct(a as l, b as r))")).as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Train `numMerges` BPE merges over a word-frequency table (from
+    * [[wordFrequencies]]). Returns the ordered merge list and the final
+    * vocab segmentation state (word, freq, s). Stops early when no
+    * adjacent pair is left to merge. */
+  def trainMerges(wordFreq: DataFrame, numMerges: Int): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    var vocab = wordFreq.localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, l, r, cnt)
+        vocab = vocab
+          .withColumn("s", expr(
+            s"replace(s, ${sqlLit(SymOpen + l + SymClose + SymOpen + r + SymClose)}," +
+              s" ${sqlLit(SymOpen + l + r + SymClose)})"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** The trained merge table as a DataFrame (rank, lhs, rhs, pair_count) —
+    * the artifact a tokenizer ships. */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Tokenize a corpus with a trained vocab: per-document word count and
+    * BPE token count. The join is word-keyed against the final vocab state
+    * — broadcast when the vocab is small enough, a plain equi-join
+    * otherwise (pass `broadcastVocab = false` at 100 TB-scale vocabs). */
+  def encodeCounts(
+      docs: DataFrame,
+      finalVocab: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastVocab: Boolean = true): DataFrame = {
+    val perWordTokens = finalVocab.select(
+      col("word"),
+      size(split(
+        regexp_replace(col("s"), "^" + SymOpen + "|" + SymClose + "$", ""),
+        SymClose + SymOpen)).cast("long").as("n_word_tokens"))
+    val vocabSide = if (broadcastVocab) broadcast(perWordTokens) else perWordTokens
+    docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(SymOpen) && !col("word").contains(SymClose))
+      .join(vocabSide, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_word_tokens")).as("n_bpe_tokens"))
+  }
+}

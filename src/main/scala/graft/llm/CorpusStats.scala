@@ -255,4 +255,57 @@ object CorpusStats {
     }
     toks.groupBy(col(strataCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990;
+    * public method): the adjacent word pairs that co-occur far more than
+    * chance — phrase mining / multi-word-expression extraction for
+    * tokenizer and vocab design.
+    *
+    * `pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )` with `p(a,b)` over the
+    * adjacent-bigram distribution and `p(w)` over the unigram
+    * distribution. `minCount` suppresses the unstable low-frequency tail
+    * (a hapax pair has maximal PMI by construction).
+    *
+    * Shape: two corpus aggregations (unigrams, adjacent bigrams — both
+    * explode → hash-agg with map-side partials), then two word-keyed joins
+    * of the BIGRAM table (already collapsed to distinct pairs, orders of
+    * magnitude smaller than the corpus) against the unigram counts, a
+    * broadcast of the two scalar totals, and a TakeOrdered(k) on the
+    * pinned order (rounded PMI desc, then pair asc). No corpus-sized
+    * global sort, no driver-side loop.
+    *
+    * PMI is rounded to 6 dp BEFORE ranking so engine and oracle agree on
+    * the boundary (the band-edge rule, ADVICE r8): both sides compute the
+    * identical expression tree `ln((cab/Nb) / ((ca/Nu)·(cb/Nu)))`. */
+  def pmiCollocations(
+      docs: DataFrame,
+      minCount: Long = 3,
+      k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(words(col(textCol)).as("ws"))
+      .select(expr("filter(ws, w -> w <> '')").as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val biAll = toks
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a as w1, b as w2))")).as("pr"))
+      .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    // p(a,b) is over the FULL bigram distribution; minCount only prunes
+    // which pairs are reported, not the probability space
+    val totals = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+      .crossJoin(biAll.agg(sum(col("pair_count")).cast("double").as("n_bi")))
+    biAll
+      .filter(col("pair_count") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log((col("pair_count") / col("n_bi")) /
+          ((col("c1") / col("n_uni")) * (col("c2") / col("n_uni")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

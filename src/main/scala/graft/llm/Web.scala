@@ -94,6 +94,40 @@ object Web {
       .withColumn("blocked", col("domain").isin(blockDomains: _*))
       .withColumn("n_kept", when(col("blocked"), lit(0L)).otherwise(col("n_docs")))
 
+  /** Per-domain quota capping (the Dolma / RefinedWeb "no more than N
+    * pages per domain" rule — Soldaini et al. 2024; public method): keep at
+    * most `cap` documents from every registrable domain, chosen by the
+    * engine's deterministic portable hash ([[Sampling.bucket]] of the doc
+    * id under `seed`) so the surviving subset is reproducible on any
+    * cluster and stable under corpus growth within a domain's first `cap`
+    * hash ranks.
+    *
+    * Shape: one map-only URL projection, then a single domain-keyed
+    * row_number window over NARROW rows (id, domain, bucket — the text
+    * column is joined back by the caller only for survivors). Exact quota
+    * semantics necessarily serialize each domain's rank computation on one
+    * partition; a mega-domain (the crawl-skew case) stays safe because the
+    * window input is ~24 bytes/row, and the approximate escape hatch at
+    * extreme skew is rate-based [[Sampling.stratifiedSample]] with
+    * `rate = cap / est_count`, which is map-only. */
+  def domainCap(
+      df: DataFrame,
+      cap: Int,
+      seed: String,
+      urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, s"cap must be positive: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col("__bucket"), col(idCol))
+    withUrlColumns(df, urlCol)
+      .select(col(idCol), col("domain"),
+        Sampling.bucket(col(idCol), seed).as("__bucket"))
+      .withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= cap)
+      .drop("__bucket")
+  }
+
   /** Corpus gated on the domain blocklist: the filter stage form of
     * [[domainStats]] — map-only once the url columns are projected (the
     * blocklist is a literal IN; use a broadcast join for blocklists too big

@@ -230,4 +230,103 @@ class TrainingDataOpsSpec extends SparkSpec {
     // the resample should mostly pick target-like docs
     assert(s1.count(_.getLong(0) < 100) >= 8)
   }
+
+  // ---- per-domain quota capping ----
+
+  test("domainCap keeps at most cap docs per domain, deterministically") {
+    val df = (1L to 20L).map { i =>
+      (i, s"https://${if (i <= 12) "big" else "small"}.com/p$i")
+    }.toDF("doc_id", "url")
+    val out = Web.domainCap(df, cap = 3, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Int]("domain_rank")))
+    assert(out.count(_._2 == "big.com") == 3)
+    assert(out.count(_._2 == "small.com") == 3)
+    assert(out.filter(_._2 == "big.com").map(_._3).sorted.sameElements(Array(1, 2, 3)))
+    // reproducible: identical selection on a rerun
+    val again = Web.domainCap(df, cap = 3, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Int]("domain_rank")))
+    assert(out.toSet == again.toSet)
+    // a different seed picks a different (still capped) subset in general
+    val other = Web.domainCap(df, cap = 3, seed = "u").collect().map(_.getLong(0)).toSet
+    assert(other.size == 6)
+  }
+
+  test("domainCap survivors are stable when OTHER domains grow") {
+    val base = (1L to 10L).map(i => (i, s"https://a.com/p$i")).toDF("doc_id", "url")
+    val grown = ((1L to 10L).map(i => (i, s"https://a.com/p$i")) ++
+      (100L to 110L).map(i => (i, s"https://b.com/p$i"))).toDF("doc_id", "url")
+    val keptBase = Web.domainCap(base, cap = 4, seed = "g")
+      .filter(col("domain") === "a.com").collect().map(_.getLong(0)).toSet
+    val keptGrown = Web.domainCap(grown, cap = 4, seed = "g")
+      .filter(col("domain") === "a.com").collect().map(_.getLong(0)).toSet
+    assert(keptBase == keptGrown)
+  }
+
+  // ---- PMI collocations ----
+
+  test("pmiCollocations: hand-computed PMI on a tiny corpus") {
+    import graft.llm.CorpusStats
+    // unigrams x:3 y:3 (n=6); bigrams (x,y):3 (y,x):1 (n=4)
+    val docs = Seq("x y x y", "x y").toDF("text")
+    val out = CorpusStats.pmiCollocations(docs, minCount = 1, k = 10).collect()
+    assert(out.length == 2)
+    val top = out.head
+    assert((top.getString(0), top.getString(1), top.getLong(2)) == ("x", "y", 3L))
+    // pmi(x,y) = ln((3/4) / ((3/6)(3/6))) = ln 3
+    assert(math.abs(top.getAs[Double]("pmi") - math.log(3.0)) < 1e-5)
+    assert(math.abs(out(1).getAs[Double]("pmi")) < 1e-5) // pmi(y,x) = ln 1 = 0
+  }
+
+  test("pmiCollocations: minCount prunes reported pairs but not the distribution") {
+    import graft.llm.CorpusStats
+    val docs = Seq("a b a b a b", "c d").toDF("text")
+    val out = CorpusStats.pmiCollocations(docs, minCount = 2, k = 10).collect()
+    // only (a,b) reported (count 3); (b,a)=2 also passes; (c,d)=1 pruned
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == Set(("a", "b"), ("b", "a")))
+    // but n_bi still counts the pruned (c,d) pair: (a,b) pmi uses n_bi=6
+    // unigrams: a:3 b:3 c:1 d:1 (n=8); pmi(a,b) = ln((3/6)/((3/8)(3/8)))
+    val ab = out.find(r => r.getString(0) == "a").get
+    assert(math.abs(ab.getAs[Double]("pmi") - math.log((3.0 / 6.0) / ((3.0 / 8.0) * (3.0 / 8.0)))) < 1e-5)
+  }
+
+  // ---- BPE tokenizer induction ----
+
+  test("BPE trains the textbook merge sequence with pinned tie-breaks") {
+    import graft.llm.Bpe
+    // word freqs: aa:3, ab:2 → merge 1 = (a,a,3); then (a,b,2); then dry
+    val docs = Seq("aa ab aa", "ab aa").toDF("text")
+    val (merges, vocab) = Bpe.trainMerges(Bpe.wordFrequencies(docs), numMerges = 5)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pairCount)) ==
+      Seq((1, "a", "a", 3L), (2, "a", "b", 2L)))
+    // final segmentation: both words are single symbols
+    val segs = vocab.select("word", "s").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(segs("aa") == "aa" && segs("ab") == "ab")
+  }
+
+  test("BPE merge application is greedy left-to-right non-overlapping") {
+    import graft.llm.Bpe
+    // aaa: pairs (a,a)x2 → merge (a,a,2); greedy apply → [aa, a]; then
+    // (aa,a,1) merges to [aaa]
+    val docs = Seq("aaa").toDF("text")
+    val (merges, _) = Bpe.trainMerges(Bpe.wordFrequencies(docs), numMerges = 5)
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) ==
+      Seq(("a", "a", 2L), ("aa", "a", 1L)))
+  }
+
+  test("BPE encodeCounts segments the corpus with the trained vocab") {
+    import graft.llm.Bpe
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.trainMerges(Bpe.wordFrequencies(docs.select(col("text"))), numMerges = 5)
+    val out = Bpe.encodeCounts(docs, vocab).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every word collapsed to one token after full training
+    assert(out.sameElements(Array((1L, 3L, 3L), (2L, 2L, 2L))))
+    // with zero merges each word costs its char count
+    val (_, vocab0) = Bpe.trainMerges(Bpe.wordFrequencies(docs.select(col("text"))), numMerges = 1)
+    val out1 = Bpe.encodeCounts(docs, vocab0).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one merge (a,a): aa → 1 token, ab → 2 tokens
+    assert(out1.sameElements(Array((1L, 3L, 4L), (2L, 2L, 3L))))
+  }
 }
