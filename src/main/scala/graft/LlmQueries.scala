@@ -2445,5 +2445,174 @@ object LlmQueries {
               |SELECT d.doc_id, count(*) AS n_words,
               |  CAST(sum(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1)))) AS BIGINT) AS n_bpe_tokens
               |FROM bd d JOIN bv8 v USING (word)
-              |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin)))
+              |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- temperature mixture (XLM-R multilingual sampling rule) ----
+
+    // alpha=0.5 over lang strata: keep_s = floor(sqrt(n_min * n_s)) —
+    // exact integer product + exactly-rounded IEEE sqrt, so thresholds
+    // are bit-identical across engines with no float normalization
+    QueryDef("llm_temperature_mixture",
+      (s, dir) => {
+        import graft.llm.Sampling
+        Sampling.temperatureMixture(
+            Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            alpha = 0.5, strataCol = "lang", seed = "tm1")
+          .select("doc_id", "lang").orderBy("doc_id")
+      },
+      Some("""WITH tc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |tmn AS (SELECT min(n) AS nmin FROM tc),
+             |tr AS (
+             |  SELECT lang,
+             |    (CAST(floor(sqrt(CAST(nmin * n AS DOUBLE))) AS BIGINT) * 1000000 // n) AS thr
+             |  FROM tc CROSS JOIN tmn)
+             |SELECT doc_id, lang FROM documents JOIN tr USING (lang)
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-tm1'), 1, 8)) AS BIGINT)
+             |  % 1000000 < thr
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- FIM example construction (Bavarian et al. 2022) ----
+
+    // 60% of docs split at two hash-derived character cuts into
+    // (prefix, middle, suffix); the rest pass through as the degenerate
+    // split — every cut and every substring recomputed bit-for-bit
+    QueryDef("llm_fim_split",
+      (s, dir) => {
+        import graft.llm.Examples
+        Examples.fimSplit(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            fimRate = 0.6, seed = "fim1")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, fim, cut1, cut2,
+             |  substr(text, 1, cut1) AS prefix,
+             |  substr(text, cut1 + 1, cut2 - cut1) AS middle,
+             |  substr(text, cut2 + 1, length(text) - cut2) AS suffix
+             |FROM (
+             |  SELECT doc_id, text,
+             |    (b0 < 600000) AS fim,
+             |    CASE WHEN b0 < 600000 THEN least(ca, cb) ELSE 0 END AS cut1,
+             |    CASE WHEN b0 < 600000 THEN greatest(ca, cb)
+             |      ELSE CAST(length(text) AS INT) END AS cut2
+             |  FROM (
+             |    SELECT doc_id, text,
+             |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-fim1'), 1, 8)) AS BIGINT) % 1000000 AS b0,
+             |      CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-fim1-a'), 1, 8)) AS BIGINT) % 1000000 % (length(text) + 1) AS INT) AS ca,
+             |      CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-fim1-b'), 1, 8)) AS BIGINT) % 1000000 % (length(text) + 1) AS INT) AS cb
+             |    FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-stratum entropy / diversity profile ----
+
+    // token count, vocab size, type-token ratio, unigram entropy (nats)
+    // per source — the before/after diversity audit for any resample or
+    // dedup pass; entropy rounded 6 dp (float-sum order tolerance)
+    QueryDef("llm_entropy_profile",
+      (s, dir) => {
+        import graft.llm.CorpusStats
+        CorpusStats.entropyProfile(Tables.documents(s, dir), strataCol = "source")
+          .orderBy("source")
+      },
+      Some("""WITH ew AS (
+             |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |ec AS (SELECT source, w, count(*) AS c FROM ew WHERE w <> '' GROUP BY source, w),
+             |es AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab_size,
+             |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc FROM ec GROUP BY source)
+             |SELECT source, n_tokens, vocab_size,
+             |  round(CAST(vocab_size AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+             |  round(ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens, 6) AS unigram_entropy
+             |FROM es ORDER BY source""".stripMargin)),
+
+    // ---- bigram Kneser-Ney LM (CCNet fluency filter, order 2) ----
+
+    // train interpolated-KN bigram probabilities on the even half, score
+    // every doc's bits-per-bigram: each probability is a fixed IEEE
+    // expression over integer counts, recomputed bit-for-bit in SQL; only
+    // the per-doc average is order-sensitive (round 6)
+    QueryDef("llm_bigram_lm",
+      (s, dir) => {
+        import graft.llm.CorpusStats
+        val docs = Tables.documents(s, dir)
+        val lm = CorpusStats.bigramLm(docs.filter(col("doc_id") % 2 === 0).select(col("text")))
+        CorpusStats.bigramScore(docs.select(col("doc_id"), col("text")), lm)
+          .orderBy("doc_id")
+      },
+      Some("""WITH bt AS (
+             |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |bpair AS (
+             |  SELECT u.w1, u.w2
+             |  FROM (SELECT ws FROM bt WHERE len(ws) >= 2) t,
+             |       LATERAL (SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2) u),
+             |bbi AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bpair GROUP BY w1, w2),
+             |bh AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS h1, count(*) AS f1 FROM bbi GROUP BY w1),
+             |btot AS (SELECT
+             |  (SELECT CAST(count(*) AS DOUBLE) FROM bbi) AS bb,
+             |  (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM (SELECT unnest(ws) AS w FROM bt)) AS vv),
+             |bc AS (SELECT w2, count(*) AS npre FROM bbi GROUP BY w2),
+             |dt AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws
+             |  FROM documents),
+             |dpair AS (
+             |  SELECT doc_id, u.w1, u.w2
+             |  FROM (SELECT doc_id, ws FROM dt WHERE len(ws) >= 2) t,
+             |       LATERAL (SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2) u),
+             |sc AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN bh.h1 IS NOT NULL THEN
+             |      ln((greatest(CAST(coalesce(bbi.c12, 0) AS DOUBLE) - 0.75, 0.0)
+             |          + 0.75 * bh.f1 * coalesce((bc.npre + 1.0) / (t.bb + t.vv), 1.0 / (t.bb + t.vv))) / bh.h1)
+             |    ELSE ln(coalesce((bc.npre + 1.0) / (t.bb + t.vv), 1.0 / (t.bb + t.vv))) END AS lp
+             |  FROM dpair d
+             |  LEFT JOIN bbi ON d.w1 = bbi.w1 AND d.w2 = bbi.w2
+             |  LEFT JOIN bh ON d.w1 = bh.w1
+             |  LEFT JOIN bc ON d.w2 = bc.w2
+             |  CROSS JOIN btot t)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(-avg(lp) / ln(2.0), 6) AS bits_per_bigram
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- shingle containment (Broder 1997; the excerpt/quote overlap
+    // Jaccard misses) ----
+
+    // planted excerpts (first 10 words of every 3rd doc) must hit
+    // containment_b = 1.0 against their source while neighbor control
+    // pairs stay below threshold; word sets (k=1), filter on the ROUNDED
+    // value on both sides (band-edge rule)
+    QueryDef("llm_containment",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 60)
+          .select(col("doc_id"), col("text"))
+        val exc = base.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 10)).as("text"))
+        val cands = base.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 300000).as("id_b"))
+          .unionByName(base.filter(col("doc_id") < 59)
+            .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")))
+        Dedup.containmentVerify(cands, base.unionByName(exc), k = 1, threshold = 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+             |exc AS (
+             |  SELECT doc_id + 300000 AS doc_id,
+             |    array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:10], ' ') AS text
+             |  FROM base WHERE doc_id % 3 = 0),
+             |corp AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+             |d AS (
+             |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+             |  FROM corp),
+             |cand AS (
+             |  SELECT doc_id AS id_a, doc_id + 300000 AS id_b FROM base WHERE doc_id % 3 = 0
+             |  UNION ALL SELECT doc_id, doc_id + 1 FROM base WHERE doc_id < 59),
+             |j AS (
+             |  SELECT c.id_a, c.id_b,
+             |    CAST(len(list_filter(a.words, x -> list_contains(b.words, x))) AS DOUBLE) AS inter,
+             |    len(a.words) AS na, len(b.words) AS nb
+             |  FROM cand c JOIN d a ON a.doc_id = c.id_a JOIN d b ON b.doc_id = c.id_b)
+             |SELECT id_a, id_b,
+             |  round(inter / na, 6) AS containment_a, round(inter / nb, 6) AS containment_b
+             |FROM j
+             |WHERE round(inter / na, 6) >= 0.8 OR round(inter / nb, 6) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)))
 }

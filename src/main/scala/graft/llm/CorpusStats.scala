@@ -256,6 +256,128 @@ object CorpusStats {
     toks.groupBy(col(strataCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** A trained bigram LM (see [[bigramLm]]): three vocabulary-bounded
+    * probability tables plus the smoothed-continuation floor for words
+    * never seen as a bigram right-hand side. All tables broadcast at
+    * scoring time (bounded by language, not corpus size — the [[lmScore]]
+    * argument; a truly huge bigram table falls back to a plain equi-join,
+    * same plan otherwise). */
+  final case class BigramLm(
+      bigrams: DataFrame, // (w1, w2, c12)
+      histories: DataFrame, // (w1, h1, f1): history count, distinct followers
+      continuations: DataFrame, // (w2, pc): smoothed KN continuation prob
+      contFloor: Double,
+      discount: Double)
+
+  /** Bigram language model with interpolated Kneser–Ney / absolute
+    * discounting (Kneser & Ney 1995, Chen & Goodman 1999; public method) —
+    * the next fidelity step after [[unigramLm]] toward the CCNet
+    * production filter (KenLM 5-gram; Wenzek et al. 2020):
+    *
+    *   p(w2|w1) = (max(c12 − D, 0) + D·f1·p_cont(w2)) / h1
+    *   p_cont(w2) = (distinct predecessors of w2 + 1) / (B + V)
+    *
+    * with h1 = Σ_w2 c12 (occurrences of w1 as a history), f1 = distinct
+    * followers of w1, B = distinct bigram types, V = vocab size; the +1/+V
+    * smoothing keeps p_cont positive for words never seen as a right-hand
+    * side, and unseen HISTORIES back off to p_cont alone. Every
+    * probability is a fixed IEEE expression over integer counts, so the
+    * oracle recomputes each one bit-for-bit; only per-document averaging
+    * is order-sensitive (rounded 6 dp downstream).
+    *
+    * Shape: one pair aggregation over the reference corpus + three bounded
+    * rollups of the bigram-type table; B and V collect as two scalars (the
+    * PQ-codebook bounded-collect class). */
+  def bigramLm(refDocs: DataFrame, discount: Double = 0.75, textCol: String = "text"): BigramLm = {
+    val toks = refDocs.select(words(col(textCol)).as("ws"))
+      .select(expr("filter(ws, w -> w <> '')").as("ws"))
+    val pairs = toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a as w1, b as w2))")).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // three rollups + B read it; cut the re-execution
+    val hist = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("h1"), count(lit(1)).as("f1"))
+    val b = bi.count().toDouble
+    val v = toks.select(explode(col("ws")).as("w")).agg(countDistinct(col("w")))
+      .collect()(0).getLong(0).toDouble
+    val cont = bi.groupBy(col("w2"))
+      .agg(count(lit(1)).as("__npre"))
+      .select(col("w2"), ((col("__npre") + lit(1.0)) / lit(b + v)).as("pc"))
+    BigramLm(bi, hist, cont, contFloor = 1.0 / (b + v), discount = discount)
+  }
+
+  /** Per-document cross-entropy under a [[BigramLm]] (bits per bigram,
+    * the [[lmScore]] convention at order 2): each adjacent pair scores
+    * ln p(w2|w1); documents with fewer than two words have no bigrams and
+    * drop out (both engines). Three broadcast probes + one per-document
+    * re-aggregation. */
+  def bigramScore(
+      docs: DataFrame,
+      lm: BigramLm,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ln2 = math.log(2.0)
+    val toks = docs.select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), expr("filter(ws, w -> w <> '')").as("ws"))
+    val pairs = toks.filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a as w1, b as w2))")).as("pr"))
+      .select(col(idCol), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    pairs
+      .join(broadcast(lm.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(lm.histories), Seq("w1"), "left")
+      .join(broadcast(lm.continuations), Seq("w2"), "left")
+      .withColumn("__pc", coalesce(col("pc"), lit(lm.contFloor)))
+      .withColumn("__lp",
+        when(col("h1").isNotNull,
+          log((greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(lm.discount), lit(0.0))
+            + lit(lm.discount) * col("f1") * col("__pc")) / col("h1")))
+          .otherwise(log(col("__pc"))))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-avg(col("__lp")) / ln2, 6).as("bits_per_bigram"))
+  }
+
+  /** Per-stratum token-distribution profile for diversity auditing:
+    * token count, vocabulary size, type-token ratio, and unigram Shannon
+    * entropy `H = ln N − (Σ c·ln c)/N` nats — the log-sum form avoids
+    * materializing probabilities and keeps the whole computation two
+    * hash aggregations ((stratum, word) counts → per-stratum rollup),
+    * both map-side partial. A temperature-resample or dedup pass that
+    * CHANGES these numbers materially changed corpus diversity — this is
+    * the before/after table that review reads.
+    *
+    * Entropy is a float sum over the vocabulary, so engine and oracle can
+    * differ in summation order; `round(·, 6)` sits ~5 orders of magnitude
+    * above the accumulated ulp drift at any realistic vocab size. */
+  def entropyProfile(
+      docs: DataFrame,
+      strataCol: String,
+      textCol: String = "text"): DataFrame = {
+    val wc = docs
+      .select(col(strataCol), explode(words(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col(strataCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    wc.groupBy(col(strataCol))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))).as("__clogc"))
+      .select(
+        col(strataCol),
+        col("n_tokens"),
+        col("vocab_size"),
+        round(col("vocab_size").cast("double") / col("n_tokens"), 6).as("type_token_ratio"),
+        round(log(col("n_tokens").cast("double"))
+          - col("__clogc") / col("n_tokens"), 6).as("unigram_entropy"))
+  }
+
   /** Pointwise-mutual-information collocations (Church & Hanks 1990;
     * public method): the adjacent word pairs that co-occur far more than
     * chance — phrase mining / multi-word-expression extraction for

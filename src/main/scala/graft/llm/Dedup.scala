@@ -291,6 +291,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Directional shingle-containment verification of candidate pairs —
+    * the overlap measure Jaccard MISSES: an excerpt or long quote of a big
+    * document shares nearly all of ITS shingles (containment ≈ 1) while
+    * Jaccard stays low because the union is dominated by the big side
+    * (Broder 1997's containment; the Lee et al. 2022 partial-overlap
+    * concern). `containment_a = |A∩B|/|A|`, `containment_b = |A∩B|/|B|`;
+    * pairs pass when either direction reaches `threshold`.
+    *
+    * Same shape as [[jaccardVerify]]: shingle only docs appearing in a
+    * candidate pair (semi-join), materialize the shingled frame once for
+    * both join sides, builtin array ops — verify-only over candidates,
+    * never all-pairs. */
+  def containmentVerify(
+      candidates: DataFrame,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val ids = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val sh = materialize(docs.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), shingleHashes(col(textCol), k).as("sh")))
+    val withA = candidates.join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+    val withB = withA.join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    withB
+      .withColumn("__inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("containment_a",
+        when(size(col("sh_a")) > 0, round(col("__inter") / size(col("sh_a")), 6)).otherwise(lit(0.0)))
+      .withColumn("containment_b",
+        when(size(col("sh_b")) > 0, round(col("__inter") / size(col("sh_b")), 6)).otherwise(lit(0.0)))
+      .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment_a"), col("containment_b"))
+  }
+
   /** Full MinHash-LSH near-dedup: candidates → Jaccard verify → keep lowest
     * id per connected component approximated as min(id_a) per duplicate. */
   def nearDedupMinhash(

@@ -163,6 +163,49 @@ object Sampling {
       .filter(col("rank") <= n)
   }
 
+  /** Temperature-based mixture rebalancing (the multilingual-sampling rule
+    * of XLM-R / mBERT — Conneau et al. 2020 §3.1, Devlin et al. 2019;
+    * public method): resample so stratum shares follow `p_s^alpha`
+    * (alpha < 1 flattens the head, upweights scarce strata). Framed as a
+    * corpus-subsetting draw, the largest achievable output keeps
+    * `keep_s = n_min^(1-alpha) * n_s^alpha` rows of stratum s (the
+    * smallest stratum is the binding constraint and is kept whole).
+    *
+    * At the default `alpha = 0.5` the kept count is
+    * `floor(sqrt(n_min * n_s))`: one exact integer product and one sqrt —
+    * and IEEE-754 sqrt is EXACTLY rounded, so engine and oracle compute
+    * bit-identical counts with no float-sum normalization anywhere (the
+    * naive `p^alpha / sum p^alpha` form needs a cross-strata float sum
+    * whose order is engine-dependent). Other alphas go through `pow`
+    * (correctly-rounded on every libm for these magnitudes in practice,
+    * but not guaranteed — the gate pins 0.5).
+    *
+    * Per-row decisions are the [[deterministicSample]] (id, seed) bucket
+    * against `thr_s = keep_s * 1e6 div n_s` (BIGINT floor math, the
+    * [[mixtureSample]] convention). Shape: one count-per-stratum agg, a
+    * broadcast one-row min, a broadcast threshold join — one corpus scan. */
+  def temperatureMixture(
+      df: DataFrame,
+      alpha: Double,
+      strataCol: String,
+      seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val keepExpr =
+      if (alpha == 0.5) floor(sqrt(col("__nmin") * col("__n"))).cast("long")
+      else floor(pow(col("__nmin").cast("double"), 1.0 - alpha)
+        * pow(col("__n").cast("double"), alpha)).cast("long")
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("__keep", keepExpr)
+      .withColumn("__thr", expr(s"__keep * ${Buckets}L div __n"))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(bucket(col(idCol), seed) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic global shuffle key for training-example order: the full
     * md5 hex of (id, seed) is a stable pseudo-random total order — the
     * same epoch order on any cluster, any partitioning, any engine

@@ -235,7 +235,10 @@ class PlanShapeSpec extends SparkSpec {
       "llm_nb_quality",
       // DSIR: the distribution totals are scalar aggregates, and the rank
       // window runs AFTER TakeOrdered bounds the input to n=100 rows
-      "llm_dsir_resample")
+      "llm_dsir_resample",
+      // temperature mixture / PMI / bigram LM: corpus totals are scalar
+      // one-row aggregates (n_min, n_uni/n_bi) — the llm_mixture class
+      "llm_temperature_mixture", "llm_pmi", "llm_bigram_lm")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
       "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
       // one-row broadcast composition (smoothing totals / priors crossJoin
@@ -249,7 +252,10 @@ class PlanShapeSpec extends SparkSpec {
       // (Similarity.hardNegatives), so BNLJ is the intended shape; the
       // corpus-scale path is the cell-keyed equi-join hardNegativesIvf
       // (gated separately as llm_hard_negatives_ivf).
-      "llm_hard_negatives")
+      "llm_hard_negatives",
+      // one-row broadcast composition again (n_min / corpus totals
+      // crossJoin onto a bounded counts table) — never corpus×corpus
+      "llm_temperature_mixture", "llm_pmi", "llm_bigram_lm")
     // Skip ONLY the queries whose lambda runs work at build time (streaming
     // replays, the chain-fold fixture, DSv2 replay, driver fixtures) — an
     // explicit list, not a prefix: the old `startsWith("s")` silently

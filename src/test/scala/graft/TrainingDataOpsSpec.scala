@@ -314,6 +314,105 @@ class TrainingDataOpsSpec extends SparkSpec {
       Seq(("a", "a", 2L), ("aa", "a", 1L)))
   }
 
+  // ---- temperature mixture ----
+
+  test("temperatureMixture keeps the scarcest stratum whole and flattens the head") {
+    import graft.llm.Sampling
+    val df = ((1L to 100L).map(i => (i, "en")) ++ (200L to 224L).map(i => (i, "zh")))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureMixture(df, alpha = 0.5, strataCol = "lang", seed = "t")
+      .collect().map(r => (r.getLong(1), r.getString(0)))
+    // n_min = 25: zh kept whole (thr = 1e6); en keeps floor(sqrt(25*100)) = 50
+    // in expectation (hash draw — binomial(100, 0.5), allow 4 sigma)
+    assert(out.count(_._2 == "zh") == 25)
+    val en = out.count(_._2 == "en")
+    assert(en >= 30 && en <= 70, s"en kept $en")
+    // alpha = 1 is the identity mixture
+    val all = Sampling.temperatureMixture(df, alpha = 1.0, strataCol = "lang", seed = "t")
+    assert(all.count() == 125)
+  }
+
+  // ---- FIM split construction ----
+
+  test("fimSplit partitions every document; non-FIM rows are degenerate splits") {
+    import graft.llm.Examples
+    val docs = (1L to 50L).map(i => (i, s"doc $i body " + ("x" * (i % 7).toInt))).toDF("doc_id", "text")
+    val out = Examples.fimSplit(docs, fimRate = 0.5, seed = "f").collect()
+    val byId = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (id, fim) = (r.getLong(0), r.getBoolean(1))
+      val (c1, c2) = (r.getInt(2), r.getInt(3))
+      val (p, m, sfx) = (r.getString(4), r.getString(5), r.getString(6))
+      val text = byId(id)
+      assert(p + m + sfx == text, s"doc $id parts don't reassemble")
+      assert(c1 >= 0 && c1 <= c2 && c2 <= text.length)
+      if (!fim) assert(p.isEmpty && sfx.isEmpty && m == text)
+    }
+    assert(out.exists(_.getBoolean(1)) && out.exists(!_.getBoolean(1)))
+    // rate 1.0 marks everything; rate 0.0 nothing; same seed reproduces
+    assert(Examples.fimSplit(docs, 1.0, "f").collect().forall(_.getBoolean(1)))
+    assert(Examples.fimSplit(docs, 0.0, "f").collect().forall(!_.getBoolean(1)))
+    val again = Examples.fimSplit(docs, fimRate = 0.5, seed = "f").collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  // ---- shingle containment ----
+
+  test("containmentVerify flags excerpts that Jaccard misses") {
+    import graft.llm.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // source
+      (2L, "a b c"), //           excerpt: containment_b = 1, jaccard = 3/8
+      (3L, "x y z")) //           unrelated
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.containmentVerify(cands, docs, k = 1, threshold = 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(math.abs(r.getAs[Double]("containment_b") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("containment_a") - 3.0 / 8.0) < 1e-9)
+    // the same pair FAILS a 0.7 Jaccard verify — the excerpt blind spot
+    assert(Dedup.jaccardVerify(cands, docs, k = 1, threshold = 0.7).count() == 0)
+  }
+
+  // ---- bigram Kneser-Ney LM ----
+
+  test("bigramScore: hand-computed interpolated-KN probabilities") {
+    import graft.llm.CorpusStats
+    // refs: pairs (a,b):2, (a,c):1 → B=2, V=3, h1(a)=3, f1(a)=2,
+    // pc(b)=pc(c)=(1+1)/5=0.4, floor=0.2
+    val refs = Seq("a b", "a b", "a c").toDF("text")
+    val lm = CorpusStats.bigramLm(refs)
+    assert(math.abs(lm.contFloor - 0.2) < 1e-12)
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "a a"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bigramScore(docs, lm).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("bits_per_bigram")))
+    val ln2 = math.log(2.0)
+    def bits(p: Double) = -math.log(p) / ln2
+    // p(b|a) = (2-0.75 + 0.75*2*0.4)/3; p(c|unseen-history b) = pc(c);
+    // p(a|a) = (0 + 0.75*2*0.2)/3 — and the three p(·|a) sum to 1
+    assert(out.map(_._1).sameElements(Array(1L, 2L, 3L))) // doc 4: no bigrams
+    assert(math.abs(out(0)._3 - bits(1.85 / 3)) < 1e-5)
+    assert(math.abs(out(1)._3 - bits(0.4)) < 1e-5)
+    assert(math.abs(out(2)._3 - bits(0.1)) < 1e-5)
+    assert(math.abs((1.85 / 3) + (0.85 / 3) + 0.1 - 1.0) < 1e-12) // normalization
+  }
+
+  // ---- entropy profile ----
+
+  test("entropyProfile: uniform vocab hits ln V, degenerate vocab hits 0") {
+    import graft.llm.CorpusStats
+    val docs = Seq(("u", "a b c d"), ("d", "a a a a")).toDF("source", "text")
+    val out = CorpusStats.entropyProfile(docs, strataCol = "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("unigram_entropy"))).toMap
+    assert(out("u")._1 == 4L && out("u")._2 == 4L)
+    assert(math.abs(out("u")._3 - math.log(4.0)) < 1e-5)
+    assert(out("d")._1 == 4L && out("d")._2 == 1L && math.abs(out("d")._3) < 1e-9)
+  }
+
   test("BPE encodeCounts segments the corpus with the trained vocab") {
     import graft.llm.Bpe
     val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
