@@ -2447,6 +2447,43 @@ object LlmQueries {
               |FROM bd d JOIN bv8 v USING (word)
               |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // per-language tokenizer fertility audit (tokens per word by lang —
+    // the multilingual-parity check a tokenizer ships with; Rust et al.
+    // ACL 2021 measure): encode counts rolled up per lang over the same
+    // memoized training run
+    QueryDef("llm_bpe_fertility",
+      (s, dir) => {
+        val (_, finalVocab) = bpeTrained(s, dir)
+        val perDoc = graft.llm.Bpe.encodeCounts(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), finalVocab)
+        perDoc
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+          .withColumn("fertility",
+            round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${bpeCtes(8)},
+              |bd AS (
+              |  SELECT doc_id, word FROM (
+              |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              |    FROM documents)
+              |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
+              |pd AS (
+              |  SELECT d.doc_id, count(*) AS nw,
+              |    CAST(sum(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1)))) AS BIGINT) AS nt
+              |  FROM bd d JOIN bv8 v USING (word) GROUP BY d.doc_id)
+              |SELECT doc.lang, count(*) AS n_docs,
+              |  CAST(sum(pd.nw) AS BIGINT) AS n_words,
+              |  CAST(sum(pd.nt) AS BIGINT) AS n_bpe_tokens,
+              |  round(CAST(sum(pd.nt) AS DOUBLE) / sum(pd.nw), 6) AS fertility
+              |FROM pd JOIN documents doc USING (doc_id)
+              |GROUP BY doc.lang ORDER BY lang""".stripMargin)),
+
     // ---- temperature mixture (XLM-R multilingual sampling rule) ----
 
     // alpha=0.5 over lang strata: keep_s = floor(sqrt(n_min * n_s)) —

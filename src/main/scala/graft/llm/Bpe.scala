@@ -122,7 +122,12 @@ object Bpe {
   /** Tokenize a corpus with a trained vocab: per-document word count and
     * BPE token count. The join is word-keyed against the final vocab state
     * — broadcast when the vocab is small enough, a plain equi-join
-    * otherwise (pass `broadcastVocab = false` at 100 TB-scale vocabs). */
+    * otherwise (pass `broadcastVocab = false` at 100 TB-scale vocabs; for
+    * a vocab reused across many encode runs, persist it with
+    * `TableStore.writeBucketedIndex(vocab, table, joinKeys = Seq("word"))`
+    * so the vocab side reads co-located and only the corpus words
+    * shuffle — the incremental-dedup index convention, plan pinned in
+    * SinksSpec). */
   def encodeCounts(
       docs: DataFrame,
       finalVocab: DataFrame,
