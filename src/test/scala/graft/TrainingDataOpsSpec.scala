@@ -413,6 +413,47 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out("d")._1 == 4L && out("d")._2 == 1L && math.abs(out("d")._3) < 1e-9)
   }
 
+  test("BPE differential: engine merges equal an independent in-memory reference") {
+    import graft.llm.Bpe
+    // reference implementation: plain Scala lists, no strings-with-wrappers,
+    // no Spark — an independent code path for the same pinned semantics
+    def refApply(seq: List[String], l: String, r: String): List[String] = seq match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: refApply(rest, l, r)
+      case a :: rest => a :: refApply(rest, l, r)
+      case Nil => Nil
+    }
+    def refBpe(words: Map[String, Long], k: Int): List[(String, String, Long)] = {
+      var segs = words.toList.map { case (w, f) => (w.toList.map(_.toString), f) }
+      var out = List.empty[(String, String, Long)]
+      var done = false
+      while (out.length < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        segs.foreach { case (s, f) =>
+          s.zip(s.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toList.minBy { case ((l, r), c) => (-c, l, r) }
+          out :+= ((l, r, c))
+          segs = segs.map { case (s, f) => (refApply(s, l, r), f) }
+        }
+      }
+      out
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { trial =>
+      val words = (1 to (5 + rnd.nextInt(15))).map { _ =>
+        (1 to (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val docs = words.mkString(" ") :: Nil
+      val expected = refBpe(
+        words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }, k = 6)
+      val (merges, _) = Bpe.trainMerges(Bpe.wordFrequencies(docs.toDF("text")), numMerges = 6)
+      assert(merges.map(m => (m.left, m.right, m.pairCount)) == expected,
+        s"trial $trial diverged: corpus=${docs.head}")
+    }
+  }
+
   test("BPE encodeCounts segments the corpus with the trained vocab") {
     import graft.llm.Bpe
     val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
