@@ -2609,6 +2609,52 @@ object LlmQueries {
              |  round(-avg(lp) / ln(2.0), 6) AS bits_per_bigram
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- T5 span corruption (Raffel et al. 2020 §3.1.4) ----
+
+    // two hash-derived spans per doc masked with <extra_id_i> sentinels,
+    // target = sentinels + masked words; every segment bound, span start,
+    // and span length is integer arithmetic replayed exactly in SQL
+    QueryDef("llm_span_corrupt",
+      (s, dir) => {
+        import graft.llm.Examples
+        Examples.spanCorrupt(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            nSpans = 2, meanSpanLen = 3, seed = "t5x")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tw AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws
+             |  FROM documents),
+             |tb AS (
+             |  SELECT doc_id, ws, CAST(len(ws) AS INT) AS n,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-t5x-l0'), 1, 8)) AS BIGINT) % 1000000 AS bl0,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-t5x-s0'), 1, 8)) AS BIGINT) % 1000000 AS bs0,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-t5x-l1'), 1, 8)) AS BIGINT) % 1000000 AS bl1,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-t5x-s1'), 1, 8)) AS BIGINT) % 1000000 AS bs1
+             |  FROM tw),
+             |sl AS (
+             |  SELECT doc_id, ws, n,
+             |    least(1 + CAST(bl0 % 5 AS INT), n // 2) AS l0,
+             |    least(1 + CAST(bl1 % 5 AS INT), n - n // 2) AS l1,
+             |    bs0, bs1
+             |  FROM tb),
+             |sp AS (
+             |  SELECT doc_id, ws, n, l0, l1,
+             |    1 + CAST(bs0 % (n // 2 - l0 + 1) AS INT) AS s0,
+             |    (n // 2 + 1) + CAST(bs1 % ((n - n // 2) - l1 + 1) AS INT) AS s1
+             |  FROM sl)
+             |SELECT doc_id, (n >= 2) AS corrupted,
+             |  CASE WHEN n >= 2 THEN
+             |    array_to_string(
+             |      ws[1:s0-1] || ['<extra_id_0>'] || ws[s0+l0:s1-1]
+             |        || ['<extra_id_1>'] || ws[s1+l1:n], ' ')
+             |  ELSE array_to_string(ws, ' ') END AS input_text,
+             |  CASE WHEN n >= 2 THEN
+             |    array_to_string(
+             |      ['<extra_id_0>'] || ws[s0:s0+l0-1] || ['<extra_id_1>'] || ws[s1:s1+l1-1], ' ')
+             |  ELSE '' END AS target_text
+             |FROM sp ORDER BY doc_id""".stripMargin)),
+
     // ---- shingle containment (Broder 1997; the excerpt/quote overlap
     // Jaccard misses) ----
 

@@ -14,6 +14,67 @@ import org.apache.spark.sql.functions._
   */
 object Examples {
 
+  /** T5 span-corruption examples (Raffel et al., JMLR 2020 §3.1.4; public
+    * method), deterministic variant: `nSpans` word spans are masked with
+    * `<extra_id_i>` sentinels; the target lists each sentinel followed by
+    * its masked words. Spans are non-overlapping BY CONSTRUCTION — span i
+    * lives in the i-th of `nSpans` equal word segments, with its length
+    * (1 .. 2·meanSpanLen−1, clamped to the segment) and start drawn from
+    * the portable md5 hash under per-span seeds — so every cut is integer
+    * arithmetic both engines replay exactly. Documents with fewer than
+    * `nSpans` words pass through uncorrupted (`corrupted = false`,
+    * target empty).
+    *
+    * Output text is the WHITESPACE-NORMALIZED join of the token list (the
+    * declared normal form — both engines build from the same word list,
+    * never from raw text). Map-only builtin projection. */
+  def spanCorrupt(
+      docs: DataFrame,
+      nSpans: Int = 2,
+      meanSpanLen: Int = 3,
+      seed: String = "t5",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nSpans >= 1 && meanSpanLen >= 1, s"bad params: $nSpans, $meanSpanLen")
+    val ws = expr(s"filter(split(lower(trim($textCol)), '\\\\s+'), w -> w <> '')")
+    val base = docs.select(col(idCol), ws.as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+    // per-span segment bounds + hash-derived (start, len), all integer
+    val withSpans = (0 until nSpans).foldLeft(base) { (df, i) =>
+      // integer `div` — a double `/` + int cast truncates in Spark but
+      // ROUNDS in a DuckDB CAST, so segment bounds stay in integer math
+      val segStart = expr(s"CAST((__n * $i) div $nSpans AS INT)") + 1
+      val segEnd = expr(s"CAST((__n * ${i + 1}) div $nSpans AS INT)")
+      val segLen = segEnd - segStart + 1
+      val maxLen = lit(2 * meanSpanLen - 1)
+      val len = least(lit(1) +
+        (Sampling.bucket(col(idCol), s"$seed-l$i") % maxLen).cast("int"), segLen)
+      val start = segStart +
+        (Sampling.bucket(col(idCol), s"$seed-s$i") % (segLen - len + 1)).cast("int")
+      df.withColumn(s"__s$i", start).withColumn(s"__l$i", len)
+    }
+    val corrupted = col("__n") >= nSpans
+    // input = gaps between spans with sentinels; target = sentinels + spans
+    val inputParts = (0 until nSpans).flatMap { i =>
+      val prevEnd = if (i == 0) lit(0) else col(s"__s${i - 1}") + col(s"__l${i - 1}") - 1
+      Seq(
+        slice(col("__ws"), prevEnd + 1, col(s"__s$i") - prevEnd - 1),
+        array(lit(s"<extra_id_$i>")))
+    } :+ slice(col("__ws"),
+      col(s"__s${nSpans - 1}") + col(s"__l${nSpans - 1}"),
+      col("__n") - (col(s"__s${nSpans - 1}") + col(s"__l${nSpans - 1}")) + 1)
+    val targetParts = (0 until nSpans).flatMap { i =>
+      Seq(array(lit(s"<extra_id_$i>")), slice(col("__ws"), col(s"__s$i"), col(s"__l$i")))
+    }
+    withSpans.select(
+      col(idCol),
+      corrupted.as("corrupted"),
+      when(corrupted, array_join(concat(inputParts: _*), " "))
+        .otherwise(array_join(col("__ws"), " ")).as("input_text"),
+      when(corrupted, array_join(concat(targetParts: _*), " "))
+        .otherwise(lit("")).as("target_text"))
+  }
+
   /** Fill-in-the-middle splits (Bavarian et al. 2022, "Efficient Training
     * of Language Models to Fill in the Middle"; public method): with
     * probability `fimRate` a document is split at two hash-derived

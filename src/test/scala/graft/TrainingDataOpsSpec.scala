@@ -400,6 +400,40 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(math.abs((1.85 / 3) + (0.85 / 3) + 0.1 - 1.0) < 1e-12) // normalization
   }
 
+  // ---- T5 span corruption ----
+
+  test("spanCorrupt masks non-overlapping spans that reassemble the document") {
+    import graft.llm.Examples
+    // word counts 0..10 — exercises empty, sub-nSpans, and regular docs
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (i % 11).toInt).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val out = Examples.spanCorrupt(docs, nSpans = 2, meanSpanLen = 3, seed = "s")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 40L).foreach { id =>
+      val r = out(id)
+      val (corrupted, input, target) = (r.getBoolean(1), r.getString(2), r.getString(3))
+      if (!corrupted) {
+        assert(orig(id).split("\\s+").count(_.nonEmpty) < 2)
+        assert(target.isEmpty && input == orig(id))
+      } else {
+        assert(input.contains("<extra_id_0>") && input.contains("<extra_id_1>"))
+        // splice the target spans back into the sentinels → original text
+        val parts = target.split("<extra_id_1>")
+        val span0 = parts(0).replace("<extra_id_0>", "").trim
+        val span1 = parts(1).trim
+        assert(span0.nonEmpty && span1.nonEmpty)
+        val rebuilt = input.replace("<extra_id_0>", span0).replace("<extra_id_1>", span1)
+          .replaceAll("\\s+", " ").trim
+        assert(rebuilt == orig(id), s"doc $id: $rebuilt != ${orig(id)}")
+      }
+    }
+    // deterministic
+    val again = Examples.spanCorrupt(docs, nSpans = 2, meanSpanLen = 3, seed = "s").collect()
+    assert(again.map(_.toString).sorted.sameElements(
+      out.values.map(_.toString).toArray.sorted))
+  }
+
   // ---- entropy profile ----
 
   test("entropyProfile: uniform vocab hits ln V, degenerate vocab hits 0") {
