@@ -406,8 +406,13 @@ object CorpusStats {
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(words(col(textCol)).as("ws"))
       .select(expr("filter(ws, w -> w <> '')").as("ws"))
+    // materialize both AGGREGATED tables (vocab-/pair-type-bounded): uni
+    // feeds two joins + a total and biAll feeds the total + the report —
+    // without the lineage cut each consumer re-runs its corpus-scale
+    // explode+agg (plan peek: 11 exchanges, the unigram pass ×3)
     val uni = toks.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val biAll = toks
       .filter(size(col("ws")) >= 2)
       .select(explode(expr(
@@ -415,6 +420,7 @@ object CorpusStats {
           " (a, b) -> struct(a as w1, b as w2))")).as("pr"))
       .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
       .agg(count(lit(1)).as("pair_count"))
+      .localCheckpoint()
     // p(a,b) is over the FULL bigram distribution; minCount only prunes
     // which pairs are reported, not the probability space
     val totals = uni.agg(sum(col("c")).cast("double").as("n_uni"))

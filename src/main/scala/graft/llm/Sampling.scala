@@ -191,7 +191,10 @@ object Sampling {
       seed: String,
       idCol: String = "doc_id"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    // strata-bounded; materialized because both nmin and the threshold
+    // table read it — otherwise the corpus count-per-stratum pass runs twice
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val keepExpr =
       if (alpha == 0.5) floor(sqrt(col("__nmin") * col("__n"))).cast("long")

@@ -209,6 +209,24 @@ class PlanShapeSpec extends SparkSpec {
       "C4 cleaning added a shuffle — it must stay a pure projection")
   }
 
+  test("round-9 operator gates hold their exchange budgets") {
+    // exact pins, the a2-ladder convention: a regression that re-adds a
+    // corpus pass or drops a broadcast fails by name. fim/span are
+    // map-only (+1 output sort); domain_cap = window + sort; entropy =
+    // two aggs + sort; pmi/temperature materialize their aggregated
+    // tables, so the visible plan is bounded-table joins only (the corpus
+    // passes run once, at checkpoint time — plan peek showed 11 exchanges
+    // for pmi before the lineage cut, the unigram pass ×3)
+    val budgets = Seq(
+      "llm_fim_split" -> 1, "llm_span_corrupt" -> 1, "llm_domain_cap" -> 2,
+      "llm_entropy_profile" -> 3, "llm_temperature_mixture" -> 4, "llm_pmi" -> 6)
+    budgets.foreach { case (name, budget) =>
+      val plan = executed(SparkEntry.queries(name)(spark, dir))
+      val ex = plan.linesIterator.count(_.contains("Exchange"))
+      assert(ex == budget, s"$name expected $budget exchanges, got $ex:\n$plan")
+    }
+  }
+
   test("single-partition windows are banned from query plans") {
     // a global window/sort demands Exchange SinglePartition via
     // ENSURE_REQUIREMENTS — the representative paths that historically
