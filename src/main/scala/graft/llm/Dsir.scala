@@ -82,10 +82,15 @@ object Dsir {
       target: DataFrame,
       buckets: Int,
       textCol: String = "text"): DataFrame = {
+    // bucket-bounded (≤ `buckets` rows) and each read twice (totals + the
+    // ratio join): materialize so each corpus's feature pass runs once
+    // (plan peek before the cut: 5 parquet scans / 11 exchanges)
     val rawCounts = raw.select(explode(featureBuckets(col(textCol), buckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+      .localCheckpoint()
     val tgtCounts = target.select(explode(featureBuckets(col(textCol), buckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
+      .localCheckpoint()
     val totals = rawCounts.agg(sum(col("c_raw")).cast("double").as("n_raw"))
       .crossJoin(tgtCounts.agg(sum(col("c_tgt")).cast("double").as("n_tgt")))
     rawCounts.join(tgtCounts, Seq("bucket"), "left")

@@ -219,7 +219,11 @@ class PlanShapeSpec extends SparkSpec {
     // for pmi before the lineage cut, the unigram pass ×3)
     val budgets = Seq(
       "llm_fim_split" -> 1, "llm_span_corrupt" -> 1, "llm_domain_cap" -> 2,
-      "llm_entropy_profile" -> 3, "llm_temperature_mixture" -> 4, "llm_pmi" -> 6)
+      "llm_entropy_profile" -> 3, "llm_temperature_mixture" -> 4, "llm_pmi" -> 6,
+      // train tables materialized: score plans are one corpus scan +
+      // broadcast probes (nb was 17 exchanges / 7 scans before the cut,
+      // dsir 11 / 5)
+      "llm_nb_quality" -> 5, "llm_dsir_resample" -> 7)
     budgets.foreach { case (name, budget) =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val ex = plan.linesIterator.count(_.contains("Exchange"))
