@@ -85,10 +85,16 @@ object CorpusStats {
     * partials); N and V ride along as columns so scoring needs no driver
     * action. */
   def unigramLm(refDocs: DataFrame, textCol: String = "text"): DataFrame = {
+    // vocab-bounded and read twice (totals + the model projection), and
+    // the RETURNED model feeds several lazy consumers (OOV-constant agg,
+    // broadcast probe, kernel collect): materialize both so the reference
+    // corpus is tokenized exactly once (plan peek before the cut:
+    // llm_lm_score at 5 parquet scans, llm_lm_buckets at 10)
     val counts = refDocs
       .select(explode(words(col(textCol))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val totals = counts.agg(
       sum(col("c")).cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
@@ -96,6 +102,7 @@ object CorpusStats {
       .select(col("word"),
         log((col("c") + 1.0) / (col("__n") + col("__v") + 1.0)).as("log_prob"),
         col("__n").as("n_tokens_lm"), col("__v").as("vocab_size"))
+      .localCheckpoint()
   }
 
   /** Per-document cross-entropy (mean −log₂ p under the unigram LM) — the
@@ -178,7 +185,11 @@ object CorpusStats {
       lm: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val scored = lmScore(docs, lm, idCol, textCol)
+    // scored feeds the cut-point aggregate AND the bucket assignment —
+    // cut lineage so the scoring pass (corpus scan + broadcast probe +
+    // doc re-agg) runs once, not once per consumer; rows are narrow
+    // (id, count, double) so the checkpoint is spill-safe at scale
+    val scored = lmScore(docs, lm, idCol, textCol).localCheckpoint()
     // percentage as a Scala-computed double: Spark SQL would parse a
     // "1.0/3" literal under DECIMAL semantics (≈0.333333333333000…), while
     // DuckDB's `/` divides as doubles — lit(1.0/3) pins BOTH engines to

@@ -430,11 +430,14 @@ object Similarity {
       tables: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      outId: String = "id"): DataFrame =
-    (0 until tables).map { t =>
-      vectors.select(col(idCol).as(outId), lit(t).as("table"),
-        lshBucketKey(dim, bits, vecCol, t.toLong).as("bucket"))
-    }.reduce(_.unionByName(_))
+      outId: String = "id"): DataFrame = {
+    // all table keys in ONE projection + posexplode — the union-of-tables
+    // form re-scanned the vector source once PER table (plan peek:
+    // llm_incremental_ann at 32 parquet scans), which on the live
+    // ingest path means bucketing every increment `tables` times
+    val keys = array((0 until tables).map(t => lshBucketKey(dim, bits, vecCol, t.toLong)): _*)
+    vectors.select(col(idCol).as(outId), posexplode(keys).as(Seq("table", "bucket")))
+  }
 
   /** Near-dup candidates of a NEW vector batch against an indexed corpus —
     * batch-sized work against a corpus-sized index (the rolling-ingest ANN
