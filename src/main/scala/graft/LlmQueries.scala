@@ -1732,6 +1732,64 @@ object LlmQueries {
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
              |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    // multimodal: perceptual-hash near-dup dedup — planted single-char
+    // payload edits (hamming ≤ 1 by construction) must collapse onto
+    // their source; the full band/bucket/cap/verify pipeline is replayed
+    // in SQL over the char codes
+    QueryDef("llm_media_dedup",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id").cast("long").as("asset_id"), col("text"))
+        val planted = base
+          .filter(col("asset_id") % 6 === 0 && length(col("text")) >= 2)
+          .select((col("asset_id") + 800000).as("asset_id"),
+            concat(lit("z"), expr("substring(text, 2, length(text) - 1)")).as("text"))
+        val media = base.unionByName(planted)
+          .select(col("asset_id"), col("text").cast("binary").as("payload"))
+        Multimodal.mediaNearDedup(media, maxHamming = 2)
+          .select("asset_id").orderBy("asset_id")
+      },
+      Some("""WITH mb AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS asset_id, text AS t
+             |  FROM documents WHERE doc_id < 300),
+             |mp AS (
+             |  SELECT asset_id + 800000 AS asset_id, 'z' || substr(t, 2, length(t) - 1) AS t
+             |  FROM mb WHERE asset_id % 6 = 0 AND length(t) >= 2),
+             |mc AS (SELECT * FROM mb UNION ALL SELECT * FROM mp),
+             |mcs AS (
+             |  SELECT asset_id,
+             |    [CAST(unicode(t[i:i]) AS BIGINT) FOR i IN range(1, len(t) + 1)] AS cs,
+             |    CAST(len(t) AS BIGINT) AS n
+             |  FROM mc),
+             |mbits AS (
+             |  SELECT asset_id,
+             |    [CAST(coalesce(list_sum(cs[(r * n) // 64 + 1 : ((r + 1) * n) // 64]), 0) % 2 AS BIGINT)
+             |     FOR r IN range(64)] AS bits
+             |  FROM mcs),
+             |mph AS MATERIALIZED (
+             |  SELECT asset_id,
+             |    [list_sum([bits[b * 8 + j + 1] << j FOR j IN range(8)]) FOR b IN range(8)] AS bands
+             |  FROM mbits),
+             |mbd AS (
+             |  SELECT asset_id, u.b AS band, bands[u.b + 1] AS val
+             |  FROM mph, LATERAL (SELECT unnest(range(8)) AS b) u),
+             |msz AS (SELECT band, val, count(DISTINCT asset_id) AS m FROM mbd GROUP BY band, val),
+             |mcand AS (
+             |  SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
+             |  FROM mbd a
+             |  JOIN mbd b ON a.band = b.band AND a.val = b.val AND a.asset_id < b.asset_id
+             |  JOIN msz z ON z.band = a.band AND z.val = a.val
+             |  WHERE z.m BETWEEN 2 AND 1024),
+             |mham AS (
+             |  SELECT c.id_a, c.id_b,
+             |    list_sum([bit_count(xor(pa.bands[k + 1], pb.bands[k + 1])) FOR k IN range(8)]) AS hd
+             |  FROM mcand c
+             |  JOIN mph pa ON pa.asset_id = c.id_a
+             |  JOIN mph pb ON pb.asset_id = c.id_b),
+             |mdrop AS (SELECT DISTINCT id_b FROM mham WHERE hd <= 2)
+             |SELECT asset_id FROM mc WHERE asset_id NOT IN (SELECT id_b FROM mdrop)
+             |ORDER BY asset_id""".stripMargin)),
+
     // multimodal: stub resize — exact target metadata, area-scaled payload
     // decimation (integer math, so DuckDB can reproduce the byte counts)
     QueryDef("llm_media_resize",

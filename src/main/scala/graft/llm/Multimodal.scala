@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -113,6 +113,71 @@ object Multimodal {
     val len = payload.length.toLong
     val newLen = math.max(1L, math.min(len, len * tw * th / (w.toLong * h))).toInt
     Array.tabulate(newLen)(i => payload(((i.toLong * payload.length) / newLen).toInt))
+  }
+
+  /** Perceptual-hash bands of a media payload — the image-dedup primitive
+    * (pHash family: downscale → DCT → sign bits; Zauner 2010, public
+    * method). The DCT-over-decoded-pixels step is a deterministic STAND-IN
+    * like [[fakeDecode]]: parity bits of byte-range sums over the payload,
+    * which is locality-sensitive for same-length payloads (a small edit
+    * flips at most a few range parities) — the banding/verify machinery on
+    * top is the real deployment shape and swaps kernels cleanly.
+    *
+    * `ranges` parity bits pack into `ranges / bandBits` band values; two
+    * payloads within Hamming distance `nBands − 1` are GUARANTEED to share
+    * at least one identical band (pigeonhole), which is what makes the
+    * band-bucket candidate join recall-complete at the dedup threshold. */
+  def perceptualHashBands(payload: Column, ranges: Int = 64, bandBits: Int = 8): Column = {
+    require(ranges % bandBits == 0, s"ranges $ranges must divide into $bandBits-bit bands")
+    val u = udf { (bytes: Array[Byte]) =>
+      val s = if (bytes == null) "" else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val n = s.length
+      val bits = Array.tabulate(ranges) { r =>
+        val lo = r * n / ranges
+        val hi = (r + 1) * n / ranges
+        var sum = 0L
+        var i = lo
+        while (i < hi) { sum += s.charAt(i).toLong; i += 1 }
+        (sum % 2).toInt
+      }
+      (0 until ranges / bandBits).map { b =>
+        var v = 0L
+        var j = 0
+        while (j < bandBits) { v |= bits(b * bandBits + j).toLong << j; j += 1 }
+        v
+      }
+    }
+    u(payload)
+  }
+
+  /** Near-duplicate media dedup: band-bucket candidates over
+    * [[perceptualHashBands]], verify by exact Hamming distance, keep the
+    * lowest asset_id of each duplicate pair. The [[Dedup.expandBuckets]]
+    * machinery bounds pair expansion (oversized buckets skipped + audited,
+    * never corpus²); with 8 bands the candidate join is recall-complete
+    * for maxHamming ≤ 7. One bucket-keyed shuffle + a bounded verify join
+    * — the [[graft.llm.Similarity.lshNearDup]] scale shape on the media
+    * column. */
+  def mediaNearDedup(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val hashed = media
+      .select(col("asset_id"), perceptualHashBands(col("payload")).as("ph"))
+      .localCheckpoint() // feeds the bucket agg + both verify sides
+    val banded = hashed.select(col("asset_id"), posexplode(col("ph")).as(Seq("band", "value")))
+    val cands = Dedup.expandBuckets(
+        banded.groupBy(col("band"), col("value"))
+          .agg(sort_array(collect_set(col("asset_id"))).as("ids")), maxBucket)
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).distinct()
+    val dups = cands
+      .join(hashed.select(col("asset_id").as("id_a"), col("ph").as("__pa")), Seq("id_a"))
+      .join(hashed.select(col("asset_id").as("id_b"), col("ph").as("__pb")), Seq("id_b"))
+      .withColumn("__hd",
+        expr("aggregate(zip_with(__pa, __pb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .filter(col("__hd") <= maxHamming)
+      .select(col("id_b").as("asset_id")).distinct()
+    media.join(dups, Seq("asset_id"), "left_anti")
   }
 
   /** Frame sampling: pick every `stride`-th chunk of a video payload —

@@ -400,6 +400,33 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(math.abs((1.85 / 3) + (0.85 / 3) + 0.1 - 1.0) < 1e-12) // normalization
   }
 
+  // ---- perceptual-hash media dedup ----
+
+  test("mediaNearDedup collapses single-edit payloads onto their source") {
+    import graft.llm.Multimodal
+    val base = (1L to 30L).map(i =>
+      (i, (0 until 60).map(j => (i * 37 + j * 13) % 97).mkString(" "))).toDF("asset_id", "text")
+    val planted = base.filter(col("asset_id") % 5 === 0)
+      .select((col("asset_id") + 1000L).as("asset_id"),
+        concat(lit("z"), expr("substring(text, 2, length(text) - 1)")).as("text"))
+    val media = base.unionByName(planted)
+      .select(col("asset_id"), col("text").cast("binary").as("payload"))
+    val kept = Multimodal.mediaNearDedup(media, maxHamming = 2)
+      .select("asset_id").as[Long].collect().toSet
+    assert((1L to 30L).forall(kept.contains), "a source document was dropped")
+    assert(!(1L to 30L).filter(_ % 5 == 0).map(_ + 1000L).exists(kept.contains),
+      "a planted single-edit near-dup survived")
+    // the hash property behind the guarantee: a same-length single-char
+    // edit flips at most one range parity → hamming ≤ 1
+    val bands = media.select(col("asset_id"), Multimodal.perceptualHashBands(col("payload")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (1L to 30L).filter(_ % 5 == 0).foreach { i =>
+      val hd = bands(i).zip(bands(i + 1000L))
+        .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+      assert(hd <= 1, s"asset $i: hamming $hd")
+    }
+  }
+
   // ---- T5 span corruption ----
 
   test("spanCorrupt masks non-overlapping spans that reassemble the document") {
