@@ -428,8 +428,9 @@ object LlmQueries {
          |  WHERE len(t.sy) >= 2 GROUP BY u.l, u.r),
          |bm$i AS MATERIALIZED (SELECT l, r, cnt FROM bp$i ORDER BY cnt DESC, l, r LIMIT 1),
          |bv$i AS MATERIALIZED (SELECT word, freq,
-         |  replace(s, (SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2) FROM bm$i),
-         |             (SELECT chr(1) || l || r || chr(2) FROM bm$i)) AS s FROM bv${i - 1})""".stripMargin
+         |  coalesce(
+         |    replace(s, (SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2) FROM bm$i),
+         |               (SELECT chr(1) || l || r || chr(2) FROM bm$i)), s) AS s FROM bv${i - 1})""".stripMargin
     }
     (base +: stages).mkString(",\n")
   }
@@ -2209,7 +2210,7 @@ object LlmQueries {
       },
       Some(s"""SELECT source || '.com' AS domain,
               |  count(*) AS n_docs,
-              |  sum(length(text)) AS n_chars,
+              |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
               |  (source || '.com') IN (${blockedDomains.map("'" + _ + "'").mkString(", ")}) AS blocked,
               |  CAST(CASE WHEN (source || '.com') IN (${blockedDomains.map("'" + _ + "'").mkString(", ")})
               |    THEN 0 ELSE count(*) END AS BIGINT) AS n_kept
@@ -2480,7 +2481,7 @@ object LlmQueries {
       Some(s"""WITH ${bpeCtes(8)}
               |SELECT * FROM (
               |${(1 to 8).map(i =>
-                 s"  SELECT $i AS rank, l AS lhs, r AS rhs, cnt AS pair_count FROM bm$i")
+                 s"  SELECT $i AS rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM bm$i")
                  .mkString("  UNION ALL\n")}
               |) ORDER BY rank""".stripMargin)),
 
@@ -2501,8 +2502,9 @@ object LlmQueries {
               |    FROM documents)
               |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0)
               |SELECT d.doc_id, count(*) AS n_words,
-              |  CAST(sum(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1)))) AS BIGINT) AS n_bpe_tokens
-              |FROM bd d JOIN bv8 v USING (word)
+              |  CAST(sum(coalesce(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1))),
+              |                    len(d.word))) AS BIGINT) AS n_bpe_tokens
+              |FROM bd d LEFT JOIN bv8 v USING (word)
               |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin)),
 
     // per-language tokenizer fertility audit (tokens per word by lang —
@@ -2533,8 +2535,9 @@ object LlmQueries {
               |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
               |pd AS (
               |  SELECT d.doc_id, count(*) AS nw,
-              |    CAST(sum(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1)))) AS BIGINT) AS nt
-              |  FROM bd d JOIN bv8 v USING (word) GROUP BY d.doc_id)
+              |    CAST(sum(coalesce(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1))),
+              |                      len(d.word))) AS BIGINT) AS nt
+              |  FROM bd d LEFT JOIN bv8 v USING (word) GROUP BY d.doc_id)
               |SELECT doc.lang, count(*) AS n_docs,
               |  CAST(sum(pd.nw) AS BIGINT) AS n_words,
               |  CAST(sum(pd.nt) AS BIGINT) AS n_bpe_tokens,
@@ -2559,7 +2562,7 @@ object LlmQueries {
              |tmn AS (SELECT min(n) AS nmin FROM tc),
              |tr AS (
              |  SELECT lang,
-             |    (CAST(floor(sqrt(CAST(nmin * n AS DOUBLE))) AS BIGINT) * 1000000 // n) AS thr
+             |    (CAST(floor(sqrt(CAST(nmin AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) * 1000000 // n) AS thr
              |  FROM tc CROSS JOIN tmn)
              |SELECT doc_id, lang FROM documents JOIN tr USING (lang)
              |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-tm1'), 1, 8)) AS BIGINT)

@@ -127,7 +127,11 @@ object Bpe {
     * `TableStore.writeBucketedIndex(vocab, table, joinKeys = Seq("word"))`
     * so the vocab side reads co-located and only the corpus words
     * shuffle — the incremental-dedup index convention, plan pinned in
-    * SinksSpec). */
+    * SinksSpec). Words absent from the trained vocab (OOV on a corpus the
+    * tokenizer was not trained on) fall back to character-wise
+    * segmentation — `length(word)` tokens, real BPE's no-merges-apply
+    * behavior — via a LEFT join + coalesce, so encoding a new corpus
+    * counts every word instead of silently dropping OOV rows. */
   def encodeCounts(
       docs: DataFrame,
       finalVocab: DataFrame,
@@ -144,7 +148,9 @@ object Bpe {
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .filter(col("word") =!= "" &&
         !col("word").contains(SymOpen) && !col("word").contains(SymClose))
-      .join(vocabSide, Seq("word"))
+      .join(vocabSide, Seq("word"), "left")
+      .withColumn("n_word_tokens",
+        coalesce(col("n_word_tokens"), length(col("word")).cast("long")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_word_tokens")).as("n_bpe_tokens"))
   }

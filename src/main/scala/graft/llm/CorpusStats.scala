@@ -329,7 +329,12 @@ object CorpusStats {
       docs: DataFrame,
       lm: BigramLm,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      broadcastTables: Boolean = true): DataFrame = {
+    // bigram-TYPE tables grow much faster than unigram vocab; at a truly
+    // huge model pass broadcastTables = false and the three probes become
+    // plain equi-joins (the Bpe.encodeCounts broadcastVocab convention)
+    def side(df: DataFrame): DataFrame = if (broadcastTables) broadcast(df) else df
     val ln2 = math.log(2.0)
     val toks = docs.select(col(idCol), words(col(textCol)).as("ws"))
       .select(col(idCol), expr("filter(ws, w -> w <> '')").as("ws"))
@@ -339,9 +344,9 @@ object CorpusStats {
           " (a, b) -> struct(a as w1, b as w2))")).as("pr"))
       .select(col(idCol), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
     pairs
-      .join(broadcast(lm.bigrams), Seq("w1", "w2"), "left")
-      .join(broadcast(lm.histories), Seq("w1"), "left")
-      .join(broadcast(lm.continuations), Seq("w2"), "left")
+      .join(side(lm.bigrams), Seq("w1", "w2"), "left")
+      .join(side(lm.histories), Seq("w1"), "left")
+      .join(side(lm.continuations), Seq("w2"), "left")
       .withColumn("__pc", coalesce(col("pc"), lit(lm.contFloor)))
       .withColumn("__lp",
         when(col("h1").isNotNull,

@@ -129,15 +129,21 @@ object Multimodal {
     * band-bucket candidate join recall-complete at the dedup threshold. */
   def perceptualHashBands(payload: Column, ranges: Int = 64, bandBits: Int = 8): Column = {
     require(ranges % bandBits == 0, s"ranges $ranges must divide into $bandBits-bit bands")
+    // sums RAW bytes, not UTF-8-decoded chars: for non-text payloads an
+    // invalid sequence would collapse to U+FFFD (distinct payloads hashing
+    // identically) and a 1-byte edit would shift every later char index,
+    // breaking the few-ranges-flip locality property. Byte sums preserve it
+    // for arbitrary binary; on the ASCII fixtures byte == char code, so the
+    // DuckDB oracle's unicode() replay is unchanged.
     val u = udf { (bytes: Array[Byte]) =>
-      val s = if (bytes == null) "" else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      val n = s.length
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      val n = b.length
       val bits = Array.tabulate(ranges) { r =>
         val lo = r * n / ranges
         val hi = (r + 1) * n / ranges
         var sum = 0L
         var i = lo
-        while (i < hi) { sum += s.charAt(i).toLong; i += 1 }
+        while (i < hi) { sum += (b(i) & 0xff).toLong; i += 1 }
         (sum % 2).toInt
       }
       (0 until ranges / bandBits).map { b =>

@@ -197,7 +197,12 @@ object Sampling {
       .localCheckpoint()
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val keepExpr =
-      if (alpha == 0.5) floor(sqrt(col("__nmin") * col("__n"))).cast("long")
+      // cast BEFORE the multiply: a long*long product silently wraps past
+      // ~9.2e18 (strata ~3e9 each) while DuckDB errors loudly — double
+      // products are exact below 2^53 and identically rounded in both
+      // engines above it
+      if (alpha == 0.5)
+        floor(sqrt(col("__nmin").cast("double") * col("__n").cast("double"))).cast("long")
       else floor(pow(col("__nmin").cast("double"), 1.0 - alpha)
         * pow(col("__n").cast("double"), alpha)).cast("long")
     val rates = counts.crossJoin(broadcast(nmin))

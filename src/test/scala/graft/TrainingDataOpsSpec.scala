@@ -530,4 +530,17 @@ class TrainingDataOpsSpec extends SparkSpec {
     // one merge (a,a): aa → 1 token, ab → 2 tokens
     assert(out1.sameElements(Array((1L, 3L, 4L), (2L, 2L, 3L))))
   }
+
+  test("BPE encodeCounts: OOV words fall back to character-wise segmentation") {
+    import graft.llm.Bpe
+    val train = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.trainMerges(Bpe.wordFrequencies(train.select(col("text"))), numMerges = 5)
+    // 'xyz' and 'qq' never appeared in training: no merges apply, so each
+    // costs its char count — and the word still COUNTS toward n_words
+    // (ADVICE r9: the old inner join silently dropped OOV rows)
+    val newCorpus = Seq((10L, "aa xyz"), (11L, "qq")).toDF("doc_id", "text")
+    val out = Bpe.encodeCounts(newCorpus, vocab).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sameElements(Array((10L, 2L, 4L), (11L, 1L, 2L))))
+  }
 }

@@ -36,6 +36,20 @@ for name, sql in sorted(oracle.items()):
         bad.append((name, f'cols spark={list(a.columns)} oracle={list(b.columns)}')); continue
     if len(a) != len(b):
         bad.append((name, f'rows spark={len(a)} oracle={len(b)}')); continue
+    # The driver hashes VALUES AS TYPED: a DuckDB HUGEINT sum surfaces as
+    # float64 ("40.0") while the engine emits int64 ("40") — value-equal but
+    # hash-different. Replicate that: an engine integer column whose oracle
+    # twin comes back float is a FAIL (the oracle SQL needs CAST(.. AS BIGINT)),
+    # even though the numeric values match. Int-width differences (int32 vs
+    # int64) are fine — the driver's hasher renders both identically.
+    dtype_bad = []
+    for c in a.columns:
+        sk = a[c].dtype.kind
+        ok_kind = b[c].dtype.kind
+        if sk in 'iu' and ok_kind == 'f':
+            dtype_bad.append(f'{c}: spark {a[c].dtype} vs oracle {b[c].dtype} (add CAST(.. AS BIGINT) in oracle SQL)')
+    if dtype_bad:
+        bad.append((name, 'dtype widen: ' + '; '.join(dtype_bad))); continue
     try:
         pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True),
                                       check_dtype=False, check_exact=True)
