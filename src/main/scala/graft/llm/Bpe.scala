@@ -154,4 +154,65 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_word_tokens")).as("n_bpe_tokens"))
   }
+
+  /** Deterministic token-id vocabulary — the id map a tokenizer ships
+    * alongside its merge table: base alphabet characters first (sorted),
+    * then each merge's produced symbol in rank order, keep-first when a
+    * merge reproduces an existing string (the standard tokenizer-vocab
+    * convention: a duplicate merge product maps to the already-assigned
+    * id). The alphabet collect is alphabet-bounded (≤ a few thousand code
+    * points for any real corpus), the same bounded-collect class as the
+    * merge-loop argmax. */
+  def vocabIds(spark: SparkSession, merges: Seq[Merge], finalVocab: DataFrame): DataFrame = {
+    import spark.implicits._
+    val alphabet = finalVocab
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val toks = (alphabet ++ merges.sortBy(_.rank).map(m => m.left + m.right)).distinct
+    toks.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("token", "token_id")
+  }
+
+  /** Tokenize a corpus into ordered token-id sequences — the emission step
+    * a pre-training pipeline actually ships (tokenize → pack): one row per
+    * (document, word occurrence, token position) with the token string and
+    * its [[vocabIds]] id. Same word-keyed vocab join as [[encodeCounts]]
+    * (broadcast vs plain equi-join vs bucketed index per its scaladoc),
+    * then a map-only posexplode of each word's final segmentation — no
+    * shuffle beyond the joins, so the pass scales with the corpus. OOV
+    * words segment character-wise; characters never seen in training get
+    * id −1 (the unk convention). Sequence order is (word_idx, tok_idx),
+    * both 0-based over the document's whitespace split. */
+  def encodeIds(
+      docs: DataFrame,
+      finalVocab: DataFrame,
+      vocabIdTable: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastVocab: Boolean = true): DataFrame = {
+    val segs = finalVocab.select(
+      col("word"),
+      split(
+        regexp_replace(col("s"), "^" + SymOpen + "|" + SymClose + "$", ""),
+        SymClose + SymOpen).as("__toks"))
+    val vocabSide = if (broadcastVocab) broadcast(segs) else segs
+    val idSide = if (broadcastVocab) broadcast(vocabIdTable) else vocabIdTable
+    docs
+      .select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("word_idx", "word")))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(SymOpen) && !col("word").contains(SymClose))
+      .join(vocabSide, Seq("word"), "left")
+      .withColumn("__toks",
+        coalesce(col("__toks"), filter(split(col("word"), ""), t => t =!= "")))
+      .select(col(idCol), col("word_idx"),
+        posexplode(col("__toks")).as(Seq("tok_idx", "token")))
+      .join(idSide, Seq("token"), "left")
+      .select(
+        col(idCol),
+        col("word_idx").cast("long").as("word_idx"),
+        col("tok_idx").cast("long").as("tok_idx"),
+        col("token"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+  }
 }

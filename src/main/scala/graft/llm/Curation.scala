@@ -231,10 +231,23 @@ object Curation {
       docs: DataFrame,
       seqLen: Long,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    packByTokenCounts(
+      docs.withColumn("n_tokens", TextAnalysis.tokenCountWhitespace(col(textCol)).cast("long")),
+      seqLen, idCol)
+
+  /** [[packSequences]] over PRECOMPUTED per-document token counts — the
+    * form a real pipeline runs after tokenizer induction, e.g. packing by
+    * [[graft.llm.Bpe.encodeCounts]] BPE token counts instead of the
+    * whitespace approximation (pass `tokensCol = "n_bpe_tokens"`). Same
+    * distributed-prefix-sum layout; counts column is cast to long. */
+  def packByTokenCounts(
+      counts: DataFrame,
+      seqLen: Long,
+      idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
-    val withTokens = docs
-      .withColumn("n_tokens", TextAnalysis.tokenCountWhitespace(col(textCol)).cast("long"))
+    val withTokens = counts.withColumn("n_tokens", col(tokensCol).cast("long"))
     graft.operators.Pipeline
       .runningTotal(withTokens, Seq(col(idCol)), col("n_tokens"))
       .withColumn("tok_start", col("__running_total") - col("n_tokens"))

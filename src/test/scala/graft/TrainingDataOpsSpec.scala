@@ -531,6 +531,39 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out1.sameElements(Array((1L, 3L, 4L), (2L, 2L, 3L))))
   }
 
+  test("BPE vocabIds + encodeIds: deterministic ids, ordered sequences, OOV -1") {
+    import graft.llm.Bpe
+    val train = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.trainMerges(Bpe.wordFrequencies(train.select(col("text"))), numMerges = 5)
+    val ids = Bpe.vocabIds(spark, merges, vocab)
+    val idMap = ids.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alphabet sorted first (a=0, b=1), then merge products in rank order:
+    // (a,a)→aa cnt 3·2? — corpus freq: aa×3, ab×2 → merges aa then aab? No:
+    // pairs (a,a)=3 from 'aa', (a,b)=2 from 'ab' → merge1 aa, then (a,b)=2
+    // → merge2 ab; no adjacent pairs remain
+    assert(idMap("a") == 0L && idMap("b") == 1L)
+    assert(idMap("aa") == 2L && idMap("ab") == 3L)
+    val out = Bpe.encodeIds(
+        Seq((10L, "aa ab zb")).toDF("doc_id", "text"), vocab, ids)
+      .orderBy("word_idx", "tok_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    // 'zb' is OOV: char-wise → z (never trained, id -1), b (alphabet, id 1)
+    assert(out.sameElements(Array(
+      (0L, 0L, "aa", 2L), (1L, 0L, "ab", 3L), (2L, 0L, "z", -1L), (2L, 1L, "b", 1L))))
+  }
+
+  test("packByTokenCounts packs by the provided counts column") {
+    import graft.llm.Curation
+    val counts = Seq((1L, 300L), (2L, 300L), (3L, 100L)).toDF("doc_id", "n_bpe_tokens")
+    val out = Curation.packByTokenCounts(counts, seqLen = 512L, tokensCol = "n_bpe_tokens")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.sameElements(Array(
+      (1L, 300L, 0L, 0L, 0L, 0L),      // tokens [0,300) → seq 0
+      (2L, 300L, 300L, 0L, 1L, 300L),  // [300,600) straddles the 512 boundary
+      (3L, 100L, 600L, 1L, 1L, 88L)))) // [600,700) inside seq 1
+  }
+
   test("BPE encodeCounts: OOV words fall back to character-wise segmentation") {
     import graft.llm.Bpe
     val train = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
