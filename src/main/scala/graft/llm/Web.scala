@@ -54,13 +54,24 @@ object Web {
   def host(canonicalUrl: Column): Column =
     regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
 
-  /** Registrable-domain heuristic: the last two dot-labels of the host
-    * (`a.b.example.com` → `example.com`). A public-suffix list would refine
-    * multi-label TLDs (`co.uk`); heuristic is declared, consistent across
-    * engine and oracle. Hosts with fewer than two labels pass through. */
-  def registrableDomain(hostCol: Column): Column =
-    when(hostCol.rlike("[^.]+\\.[^.]+$"),
-      regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)).otherwise(hostCol)
+  /** Registrable domain of a host, public-suffix-aware: when the host's
+    * last two labels are a known two-label public suffix
+    * ([[PublicSuffixes.twoLabel]], a static PSL subset), the registrable
+    * domain is the last THREE labels (`a.b.co.uk` → `b.co.uk` — quota and
+    * blocklist keys group by registrant, not by `co.uk`); otherwise the
+    * last two (`a.b.example.com` → `example.com`). Hosts with fewer than
+    * two labels, or that ARE a bare public suffix, pass through unchanged
+    * (declared fallback). The whole thing stays a codegen'd map-only
+    * column expression — the suffix membership compiles to an `InSet`
+    * literal, no UDF, no join. */
+  def registrableDomain(hostCol: Column): Column = {
+    val last2 = regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(hostCol.rlike("[^.]+\\.[^.]+\\.[^.]+$") &&
+        last2.isin(PublicSuffixes.twoLabel: _*), last3)
+      .when(hostCol.rlike("[^.]+\\.[^.]+$"), last2)
+      .otherwise(hostCol)
+  }
 
   /** Canonical URL + domain columns in one map-only projection. */
   def withUrlColumns(df: DataFrame, urlCol: String = "url"): DataFrame = {

@@ -45,6 +45,23 @@ class TrainingDataOpsSpec extends SparkSpec {
     val hosts = Seq("a.b.example.com", "example.com", "localhost").toDF("h")
       .select(Web.registrableDomain(col("h"))).as[String].collect()
     assert(hosts.sameElements(Array("example.com", "example.com", "localhost")))
+  }
+
+  test("registrableDomain is public-suffix-aware for two-label suffixes") {
+    // PSL hosts keep three labels (register under co.uk/com.au/co.jp...),
+    // non-PSL hosts keep two, and a bare public suffix passes through
+    val cases = Seq(
+      "a.b.co.uk" -> "b.co.uk",
+      "shop.example.co.uk" -> "example.co.uk",
+      "news.example.com.au" -> "example.com.au",
+      "x.y.co.jp" -> "y.co.jp",
+      "sub.site.gob.mx" -> "site.gob.mx",
+      "a.b.example.com" -> "example.com", // .com: last-two unchanged
+      "example.co" -> "example.co",       // two labels, 'example.co' not a suffix
+      "co.uk" -> "co.uk")                 // bare suffix: declared pass-through
+    val out = cases.map(_._1).toDF("h")
+      .select(Web.registrableDomain(col("h"))).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
     val df = Seq(
       (1L, "https://spam.com/a", "x"),
       (2L, "https://spam.com/b", "yy"),
