@@ -259,6 +259,43 @@ object Curation {
         col("first_seq"), col("last_seq"), col("offset_in_first"))
   }
 
+  /** Materialize the packed training sequences themselves — the shard
+    * content a pre-training pipeline physically writes after
+    * tokenize → pack: every token id lands at its global stream position,
+    * sliced into `seqLen`-token sequences as (seq_id, pos_in_seq,
+    * token_id, doc_id) rows.
+    *
+    * `tokenRows` is [[graft.llm.Bpe.encodeIds]] output (doc_id, word_idx,
+    * tok_idx, token_id); `pack` is [[packByTokenCounts]] output over the
+    * MATCHING counts (doc_id, tok_start) — same segmentation on both
+    * sides, so each document's row count equals its packed token span by
+    * construction. The within-document token index is a window partitioned
+    * BY DOCUMENT (narrow rows, bounded by the longest document — never a
+    * global single-partition sort), the global position is
+    * `tok_start + idx`, and the doc-keyed join to the pack table is a
+    * plain equi-join both sides already key on (Spark broadcasts the
+    * doc-level side when small; at corpus scale it shuffle-joins on
+    * doc_id). Downstream writers shard by `seq_id` range — contiguous
+    * under the range partitioning the prefix sum already produced. */
+  def packEmit(
+      tokenRows: DataFrame,
+      pack: DataFrame,
+      seqLen: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("word_idx"), col("tok_idx"))
+    tokenRows
+      .join(pack.select(col(idCol), col("tok_start")), Seq(idCol))
+      .withColumn("__gpos", col("tok_start") + row_number().over(w).cast("long") - lit(1L))
+      .select(
+        expr(s"__gpos div ${seqLen}L").as("seq_id"),
+        (col("__gpos") % seqLen).as("pos_in_seq"),
+        col("token_id"),
+        col(idCol))
+  }
+
   /** Split each document into fixed-size token chunks with `overlap`
     * carried tokens between consecutive chunks — the context-window prep
     * for embedding/retrieval pipelines (chunk k covers tokens

@@ -581,6 +581,24 @@ class TrainingDataOpsSpec extends SparkSpec {
       (3L, 100L, 600L, 1L, 1L, 88L)))) // [600,700) inside seq 1
   }
 
+  test("packEmit places every token id at its global position across sequence boundaries") {
+    import graft.llm.Curation
+    // doc 1: 3 tokens [10,11,12] at gpos 0-2; doc 2: 2 tokens [20,21] at
+    // gpos 3-4 — with seqLen=4 token 20 ends seq 0 and token 21 opens seq 1
+    val tok = Seq(
+      (1L, 0L, 0L, 10L), (1L, 0L, 1L, 11L), (1L, 1L, 0L, 12L),
+      (2L, 0L, 0L, 20L), (2L, 1L, 0L, 21L))
+      .toDF("doc_id", "word_idx", "tok_idx", "token_id")
+    val counts = Seq((1L, 3L), (2L, 2L)).toDF("doc_id", "n")
+    val pack = Curation.packByTokenCounts(counts, seqLen = 4L, tokensCol = "n")
+    val out = Curation.packEmit(tok, pack, seqLen = 4L)
+      .orderBy("seq_id", "pos_in_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sameElements(Array(
+      (0L, 0L, 10L, 1L), (0L, 1L, 11L, 1L), (0L, 2L, 12L, 1L),
+      (0L, 3L, 20L, 2L), (1L, 0L, 21L, 2L))))
+  }
+
   test("BPE encodeCounts: OOV words fall back to character-wise segmentation") {
     import graft.llm.Bpe
     val train = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
