@@ -1752,6 +1752,51 @@ object LlmQueries {
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
              |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    // multimodal: CLIP-score-style image–text alignment filter — planted
+    // mismatched captions (upper-cased for doc_id % 7 = 0, shifting the
+    // byte histogram out of the lowercase bucket) must score below the
+    // 0.9 threshold; the stand-in towers' integer-count cosine is replayed
+    // bit-for-bit in SQL
+    QueryDef("llm_mm_align",
+      (s, dir) => {
+        val media = Tables.documents(s, dir).select(
+          col("doc_id").cast("long").as("asset_id"),
+          col("text").cast("binary").as("payload"),
+          when(col("doc_id") % 7 === 0, upper(expr("substring(text, 1, 80)")))
+            .otherwise(expr("substring(text, 1, 80)")).as("caption"))
+        Multimodal.alignmentScores(media, threshold = 0.9)
+          .withColumn("align_score", round(col("align_score"), 6))
+          .orderBy("asset_id")
+      },
+      Some({
+        def hist(src: String) = (0 to 7).map(k =>
+          s"CAST(len(list_filter($src, c -> (c % 256) // 32 = $k)) AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        s"""WITH am AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS asset_id, text AS pay,
+           |    CASE WHEN doc_id % 7 = 0 THEN upper(substr(text, 1, 80))
+           |         ELSE substr(text, 1, 80) END AS cap
+           |  FROM documents),
+           |acs AS (
+           |  SELECT asset_id,
+           |    [unicode(pay[i:i]) FOR i IN range(1, len(pay) + 1)] AS pcs,
+           |    [unicode(cap[i:i]) FOR i IN range(1, len(cap) + 1)] AS ccs
+           |  FROM am),
+           |ah AS (
+           |  SELECT asset_id, ${hist("pcs")} AS hp, ${hist("ccs")} AS hc
+           |  FROM acs),
+           |sc AS (
+           |  SELECT asset_id,
+           |    CASE WHEN list_dot_product(hp, hp) = 0 OR list_dot_product(hc, hc) = 0
+           |      THEN 0.0
+           |      ELSE list_dot_product(hp, hc)
+           |        / (sqrt(list_dot_product(hp, hp)) * sqrt(list_dot_product(hc, hc)))
+           |    END AS s
+           |  FROM ah)
+           |SELECT asset_id, round(s, 6) AS align_score, s >= 0.9 AS aligned
+           |FROM sc ORDER BY asset_id""".stripMargin
+      })),
+
     // multimodal: perceptual-hash near-dup dedup — planted single-char
     // payload edits (hamming ≤ 1 by construction) must collapse onto
     // their source; the full band/bucket/cap/verify pipeline is replayed

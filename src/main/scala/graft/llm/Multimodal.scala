@@ -115,6 +115,71 @@ object Multimodal {
     Array.tabulate(newLen)(i => payload(((i.toLong * payload.length) / newLen).toInt))
   }
 
+  /** Image–text alignment scoring — the CLIP-score curation filter a
+    * multimodal training pipeline runs over (image, caption) pairs (Radford
+    * et al. 2021; LAION's CLIP-filtering — public methods): embed both
+    * modalities, keep pairs whose cosine clears a threshold. Both encoder
+    * kernels are deterministic STAND-INS like [[fakeDecode]] (the image
+    * side IS [[fakeDecode]]'s byte histogram; the text side is the same
+    * 8-bucket histogram over the caption's UTF-8 bytes) — a real
+    * deployment swaps in CLIP image/text towers over the SAME per-partition
+    * batch shape. The machinery around them is real: batched mapPartitions
+    * exactly like a vectorized encoder would run, integer histogram counts
+    * so the cosine is fixed-order IEEE double math (replayable bit-for-bit
+    * in the oracle; normalization cancels in cosine so raw counts suffice),
+    * and a map-only threshold verdict — no shuffle anywhere, the pass
+    * scales linearly with the corpus.
+    *
+    * Expects (asset_id, payload, caption); emits (asset_id, align_score
+    * [unrounded], aligned). A zero vector on either side scores 0.0. */
+  def alignmentScores(
+      media: DataFrame,
+      threshold: Double,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("align_score", DoubleType, nullable = false),
+      StructField("aligned", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val out: Dataset[Row] = media.select("asset_id", "payload", "caption")
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val id = r.getLong(0)
+            val img = byteHistogram(r.getAs[Array[Byte]](1))
+            val txt = byteHistogram(
+              if (r.isNullAt(2)) null
+              else r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val score = cosineOfCounts(img, txt)
+            Row(id, score, score >= threshold)
+          }
+        }
+      }(enc)
+    out.toDF()
+  }
+
+  /** 8-bucket byte histogram as INTEGER counts (bucket = byte >> 5) — the
+    * shared stand-in feature for both alignment towers. Counts, not
+    * normalized floats: cosine is normalization-invariant and integer
+    * inputs keep the double math exactly replayable. */
+  private[llm] def byteHistogram(payload: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](8)
+    if (payload != null) payload.foreach(b => hist((b & 0xff) >> 5) += 1L)
+    hist
+  }
+
+  private[llm] def cosineOfCounts(a: Array[Long], b: Array[Long]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < 8) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Perceptual-hash bands of a media payload — the image-dedup primitive
     * (pHash family: downscale → DCT → sign bits; Zauner 2010, public
     * method). The DCT-over-decoded-pixels step is a deterministic STAND-IN

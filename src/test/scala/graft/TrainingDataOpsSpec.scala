@@ -581,6 +581,26 @@ class TrainingDataOpsSpec extends SparkSpec {
       (3L, 100L, 600L, 1L, 1L, 88L)))) // [600,700) inside seq 1
   }
 
+  test("alignmentScores: identical pair scores 1, shifted-histogram caption fails threshold") {
+    import graft.llm.Multimodal
+    val media = Seq(
+      (1L, "abc def".getBytes("UTF-8"), "abc def"),   // identical → cosine 1
+      (2L, "abc def".getBytes("UTF-8"), "ABC DEF"),   // upper shifts buckets
+      (3L, Array.emptyByteArray, "xyz"))              // zero vector → 0.0
+      .toDF("asset_id", "payload", "caption")
+    val out = Multimodal.alignmentScores(media, threshold = 0.9)
+      .orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(math.abs(out(0)._2 - 1.0) < 1e-9 && out(0)._3)
+    assert(out(1)._2 < 0.9 && !out(1)._3)
+    assert(out(2)._2 == 0.0 && !out(2)._3)
+    // cosine is normalization-invariant: doubled payload = same score
+    val doubled = Seq((1L, "abc defabc def".getBytes("UTF-8"), "abc def"))
+      .toDF("asset_id", "payload", "caption")
+    val d = Multimodal.alignmentScores(doubled, 0.9).collect()(0).getDouble(1)
+    assert(math.abs(d - 1.0) < 1e-9)
+  }
+
   test("packEmit places every token id at its global position across sequence boundaries") {
     import graft.llm.Curation
     // doc 1: 3 tokens [10,11,12] at gpos 0-2; doc 2: 2 tokens [20,21] at
