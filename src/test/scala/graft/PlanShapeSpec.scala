@@ -231,6 +231,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-10 operator gates hold their exchange budgets") {
+    // llm_mm_align is a map-only pass (+1 output sort); llm_bpe_ids = the
+    // same + 2 broadcasts (vocab segmentations, id table). llm_pack_bpe's
+    // LIVE plan is 3 (window hash + offsets broadcast + output sort; the
+    // count agg + prefix-sum range partition run once at the runningTotal
+    // cache build) — the pin is higher because the plan STRING dumps the
+    // InMemoryRelation's build plan twice (AQE final + initial), which is
+    // deliberate: a regression inside the cached chain still moves the
+    // number. Same convention for llm_pack_emit.
+    val budgets = Seq(
+      "llm_mm_align" -> 1, "llm_bpe_ids" -> 3,
+      "llm_pack_bpe" -> 9, "llm_pack_emit" -> 13)
+    budgets.foreach { case (name, budget) =>
+      val plan = executed(SparkEntry.queries(name)(spark, dir))
+      val ex = plan.linesIterator.count(_.contains("Exchange"))
+      assert(ex == budget, s"$name expected $budget exchanges, got $ex:\n$plan")
+    }
+  }
+
   test("single-partition windows are banned from query plans") {
     // a global window/sort demands Exchange SinglePartition via
     // ENSURE_REQUIREMENTS — the representative paths that historically
