@@ -581,6 +581,42 @@ class TrainingDataOpsSpec extends SparkSpec {
       (3L, 100L, 600L, 1L, 1L, 88L)))) // [600,700) inside seq 1
   }
 
+  test("encodeIds and encodeCounts agree: per-doc row count equals n_bpe_tokens") {
+    import graft.llm.Bpe
+    val docs = Seq(
+      (1L, "aa ab ba baba"), (2L, "ab aa zz aa"), (3L, "qqq")).toDF("doc_id", "text")
+    val train = Seq((0L, "aa ab aa ba ab")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.trainMerges(Bpe.wordFrequencies(train.select(col("text"))), numMerges = 4)
+    val ids = Bpe.vocabIds(spark, merges, vocab)
+    val fromIds = Bpe.encodeIds(docs, vocab, ids)
+      .groupBy("doc_id").count().orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val fromCounts = Bpe.encodeCounts(docs, vocab).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(fromIds.sameElements(fromCounts)) // incl. OOV docs (zz, qqq)
+  }
+
+  test("packEmit reassembly: global stream equals per-doc sequences concatenated in doc order") {
+    import graft.llm.{Bpe, Curation}
+    val docs = Seq((1L, "aa ab"), (2L, "ba aa aa"), (3L, "ab ab ba")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.trainMerges(
+      Bpe.wordFrequencies(docs.select(col("text"))), numMerges = 3)
+    val ids = Bpe.vocabIds(spark, merges, vocab)
+    val tok = Bpe.encodeIds(docs, vocab, ids)
+    val counts = Bpe.encodeCounts(docs, vocab)
+    val pack = Curation.packByTokenCounts(
+      counts.select(col("doc_id"), col("n_bpe_tokens")), seqLen = 3L, tokensCol = "n_bpe_tokens")
+    val emitted = Curation.packEmit(tok, pack, seqLen = 3L)
+      .orderBy("seq_id", "pos_in_seq").collect()
+      .map(r => (r.getLong(0) * 3L + r.getLong(1), r.getLong(2)))
+    // global positions are a gapless 0..N-1 enumeration
+    assert(emitted.map(_._1).toSeq == emitted.indices.map(_.toLong))
+    // and the stream is exactly the per-doc token streams in doc order
+    val expected = tok.orderBy("doc_id", "word_idx", "tok_idx")
+      .select("token_id").collect().map(_.getLong(0)).toSeq
+    assert(emitted.map(_._2).toSeq == expected)
+  }
+
   test("alignmentScores: identical pair scores 1, shifted-histogram caption fails threshold") {
     import graft.llm.Multimodal
     val media = Seq(
