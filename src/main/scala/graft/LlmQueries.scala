@@ -2692,11 +2692,15 @@ object LlmQueries {
         val (merges, finalVocab) = bpeTrained(s, dir)
         val ids = graft.llm.Bpe.vocabIds(s, merges, finalVocab)
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val tok = graft.llm.Bpe.encodeIds(docs, finalVocab, ids)
-        val counts = graft.llm.Bpe.encodeCounts(docs, finalVocab)
+        // tokenize ONCE and derive the pack counts from the token table —
+        // the localCheckpoint makes both consumers (counts agg + emit join)
+        // read the materialized tokens instead of re-running the corpus
+        // explode per consumer (the multi-consumer model-table lesson,
+        // NOTES r9); at 100 TB the token table is the persisted artifact
+        val tok = graft.llm.Bpe.encodeIds(docs, finalVocab, ids).localCheckpoint()
+        val counts = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
         val pack = graft.llm.Curation.packByTokenCounts(
-          counts.select(col("doc_id"), col("n_bpe_tokens")),
-          seqLen = 512L, tokensCol = "n_bpe_tokens")
+          counts, seqLen = 512L, tokensCol = "n_toks")
         graft.llm.Curation.packEmit(tok, pack, seqLen = 512L)
           .orderBy("seq_id", "pos_in_seq")
       },

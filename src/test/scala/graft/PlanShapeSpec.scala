@@ -239,10 +239,12 @@ class PlanShapeSpec extends SparkSpec {
     // cache build) — the pin is higher because the plan STRING dumps the
     // InMemoryRelation's build plan twice (AQE final + initial), which is
     // deliberate: a regression inside the cached chain still moves the
-    // number. Same convention for llm_pack_emit.
+    // number. llm_pack_emit tokenizes ONCE (checkpointed token table feeds
+    // both the counts agg and the emit join — was 13 when counts re-ran
+    // the corpus explode as a second pass).
     val budgets = Seq(
       "llm_mm_align" -> 1, "llm_bpe_ids" -> 3,
-      "llm_pack_bpe" -> 9, "llm_pack_emit" -> 13)
+      "llm_pack_bpe" -> 9, "llm_pack_emit" -> 9)
     budgets.foreach { case (name, budget) =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val ex = plan.linesIterator.count(_.contains("Exchange"))
