@@ -510,6 +510,53 @@ object LlmQueries {
               |SELECT doc_id FROM corpus
               |WHERE doc_id NOT IN (SELECT id_b FROM dropped) ORDER BY doc_id""".stripMargin)),
 
+    // LSH calibration audit: every banding candidate pair's exact Jaccard
+    // bucketed into 0.1 bins with verify rates and the theoretical S-curve
+    // at the bin midpoint — the (perms, bands) tuning table. The theory
+    // constants are computed once driver-side (repeated multiplication, no
+    // libm pow) and inlined IDENTICALLY into both engines
+    QueryDef("llm_lsh_calibration",
+      (s, dir) => Dedup.lshCalibration(corpus(s, dir)).orderBy("bin"),
+      Some({
+        val theoryValues = (0 to 9).map { bin =>
+          val p = Dedup.bandCollideProb(bin / 10.0 + 0.05, r = 4, b = 8)
+          s"($bin, CAST('$p' AS DOUBLE))"
+        }.mkString(", ")
+        s"""WITH $corpusSql,
+           |${HashSql.minhashCtes("corpus", "m")},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM mbands a JOIN mbands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |ji AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS inter
+           |  FROM cand c
+           |  JOIN mshd x ON x.doc_id = c.id_a
+           |  JOIN mshd y ON y.doc_id = c.id_b AND y.sh = x.sh
+           |  GROUP BY c.id_a, c.id_b),
+           |sz AS (SELECT doc_id, count(*) AS n FROM mshd GROUP BY doc_id),
+           |jj AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(ji.inter, 0) = 0
+           |      THEN 0.0
+           |      ELSE CAST(coalesce(ji.inter, 0) AS DOUBLE)
+           |        / (coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(ji.inter, 0)) END AS jaccard
+           |  FROM cand c
+           |  LEFT JOIN sz sa ON sa.doc_id = c.id_a
+           |  LEFT JOIN sz sb ON sb.doc_id = c.id_b
+           |  LEFT JOIN ji ON ji.id_a = c.id_a AND ji.id_b = c.id_b),
+           |ag AS (
+           |  SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bin,
+           |    CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_passing
+           |  FROM jj GROUP BY 1),
+           |th(bin, p_band_mid) AS (VALUES $theoryValues)
+           |SELECT ag.bin, ag.n_pairs, ag.n_passing,
+           |  round(CAST(ag.n_passing AS DOUBLE) / ag.n_pairs, 6) AS verify_rate,
+           |  th.p_band_mid
+           |FROM ag JOIN th ON th.bin = ag.bin ORDER BY ag.bin""".stripMargin
+      })),
+
     // SimHash candidates within Hamming distance 3 (16-bit bands).
     // Oracle-checked: per-token FNV-1a (Spark split keeps empty tokens —
     // so does string_split_regex), ±1 bit votes, sign fingerprint, 4×16-bit

@@ -291,6 +291,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Theoretical LSH band-collision probability 1 − (1 − s^r)^b by
+    * repeated multiplication (no libm `pow` — bit-identical anywhere). */
+  private[graft] def bandCollideProb(s: Double, r: Int, b: Int): Double = {
+    var sr = 1.0; var i = 0
+    while (i < r) { sr *= s; i += 1 }
+    var x = 1.0 - sr; var xb = 1.0; i = 0
+    while (i < b) { xb *= x; i += 1 }
+    1.0 - xb
+  }
+
+  /** LSH calibration audit — the parameter-tuning table a dedup pipeline
+    * reviews before committing (perms, bands) at corpus scale: EVERY
+    * banding candidate pair gets its exact Jaccard (no threshold cut),
+    * bucketed into 0.1-wide similarity bins with the candidate count, how
+    * many clear the verify `threshold`, the observed verify rate, and the
+    * theoretical banding collision probability 1−(1−s^r)^b at the bin
+    * midpoint — the observed candidate mass reads directly against the
+    * S-curve, so a mis-tuned banding (mass piling up in low-similarity
+    * bins = wasted verify work; high-similarity mass missing =
+    * under-recall) is visible in ten rows.
+    *
+    * Cost shape: the same single-shuffle candidate generation and
+    * verify-only Jaccard as [[nearDedupMinhash]] (capped buckets, shingled
+    * frame materialized once) plus one ten-bin aggregation — safe to run
+    * as a sampling audit at any scale. The theory column is computed
+    * driver-side by repeated multiplication and joined as a 10-row
+    * broadcast literal (no cross-engine libm dependence). */
+  def lshCalibration(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      perms: Int = 32,
+      bands: Int = 8,
+      shingleK: Int = 3,
+      threshold: Double = 0.7,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = perms / bands
+    val theory = (0 to 9).map { bin =>
+      (bin.toLong, bandCollideProb(bin / 10.0 + 0.05, r, bands))
+    }.toDF("bin", "p_band_mid")
+    val cands = minhashLshCandidates(docs, idCol, textCol, perms, bands, shingleK, maxBucket)
+      .select("id_a", "id_b").distinct()
+    jaccardVerify(cands, docs, idCol, textCol, shingleK, threshold = 0.0)
+      .withColumn("bin", least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("n_passing"))
+      .withColumn("verify_rate", round(col("n_passing").cast("double") / col("n_pairs"), 6))
+      .join(broadcast(theory), Seq("bin"))
+  }
+
   /** Directional shingle-containment verification of candidate pairs —
     * the overlap measure Jaccard MISSES: an excerpt or long quote of a big
     * document shares nearly all of ITS shingles (containment ≈ 1) while

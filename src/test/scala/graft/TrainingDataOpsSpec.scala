@@ -581,6 +581,24 @@ class TrainingDataOpsSpec extends SparkSpec {
       (3L, 100L, 600L, 1L, 1L, 88L)))) // [600,700) inside seq 1
   }
 
+  test("lshCalibration: duplicate pairs land in the top bin; theory column is the S-curve") {
+    import graft.llm.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      (1L, base), (2L, base),                    // exact dup pair → jaccard 1.0 → bin 9
+      (3L, "completely different words here about boats sailing across the wide open sea"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lshCalibration(docs).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the dup pair must be a candidate, land in bin 9, and pass the verify
+    val top = out.find(_._1 == 9L).get
+    assert(top._2 >= 1 && top._3 == top._2 && top._4 == 1.0)
+    // theory: repeated-multiplication S-curve, monotone in s, near 0/1 ends
+    val p = (0 to 9).map(b => Dedup.bandCollideProb(b / 10.0 + 0.05, 4, 8))
+    assert(p.zip(p.tail).forall { case (a, b) => a < b })
+    assert(p.head < 0.001 && p.last > 0.95)
+  }
+
   test("encodeIds and encodeCounts agree: per-doc row count equals n_bpe_tokens") {
     import graft.llm.Bpe
     val docs = Seq(
