@@ -142,4 +142,42 @@ class SinksSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
+
+  test("tokenizer artifact round-trip: shipped vocab + id tables re-encode identically") {
+    import graft.llm.Bpe
+    // what a tokenizer ships: the merge table, the id table, and the final
+    // segmentation state — persist all three, reload, and the reloaded
+    // artifacts must reproduce the direct encoding bit-for-bit, with the
+    // vocab side reading CO-LOCATED from its word-bucketed table under the
+    // at-scale (no-broadcast) join
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val (merges, vocab) = Bpe.trainMerges(
+      Bpe.wordFrequencies(docs.select(col("text"))), numMerges = 8)
+    val ids = Bpe.vocabIds(spark, merges, vocab)
+    val direct = Bpe.encodeIds(docs, vocab, ids)
+      .orderBy("doc_id", "word_idx", "tok_idx").collect()
+    val vtab = "graft_test_bpe_vocab"
+    TableStore.writeBucketedIndex(
+      vocab.select("word", "freq", "s"), vtab, joinKeys = Seq("word"), buckets = 8)
+    val dir = Files.createTempDirectory("graft-tok").toString
+    Bpe.mergeTable(spark, merges).write.parquet(s"$dir/merges")
+    ids.write.parquet(s"$dir/vocab_ids")
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try {
+      val vocab2 = spark.table(vtab)
+      val ids2 = spark.read.parquet(s"$dir/vocab_ids")
+      val rel = Bpe.encodeIds(docs, vocab2, ids2, broadcastVocab = false)
+        .orderBy("doc_id", "word_idx", "tok_idx")
+      assert(rel.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+        "vocab side must read from the bucketed table")
+      assert(rel.collect().sameElements(direct))
+      assert(spark.read.parquet(s"$dir/merges").count() == merges.size)
+    } finally {
+      spark.conf.set(bcKey, prevBc)
+      spark.sql(s"DROP TABLE IF EXISTS $vtab")
+    }
+  }
 }
