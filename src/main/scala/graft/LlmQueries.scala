@@ -2443,6 +2443,54 @@ object LlmQueries {
              |  (round(ln(dt.dp / dt.dn) + sum(sc.lo), 6) > 0.0) AS pred_quality
              |FROM sc CROSS JOIN dt GROUP BY sc.doc_id, dt.dp, dt.dn ORDER BY doc_id""".stripMargin)),
 
+    // classifier calibration/reliability table: scored docs joined with
+    // eval labels, fixed-width score bins (libm-free — floor on the
+    // 6dp-rounded score), per-bin counts + observed positive rate; the
+    // audit an ML-ops pass runs before trusting the filter at scale
+    QueryDef("llm_nb_calibration",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = Classifier.nbTrain(
+          docs.filter(col("doc_id") % 2 === 0)
+            .select((col("lang") === "en").as("label"), col("text")))
+        val scored = Classifier.nbScore(docs.select(col("doc_id"), col("text")), model)
+        Classifier.nbCalibration(
+            scored, docs.select(col("doc_id"), (col("lang") === "en").as("label")))
+          .orderBy("bin")
+      },
+      Some("""WITH tr AS (SELECT doc_id, text, (lang = 'en') AS pos FROM documents WHERE doc_id % 2 = 0),
+             |tw AS (SELECT pos, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM tr),
+             |c AS (
+             |  SELECT word,
+             |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+             |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+             |  FROM tw GROUP BY word),
+             |t AS (SELECT CAST(sum(cp) AS DOUBLE) AS np, CAST(sum(cn) AS DOUBLE) AS nn,
+             |  CAST(count(*) AS DOUBLE) AS v FROM c),
+             |dt AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS dp,
+             |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE) AS dn FROM tr),
+             |dw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents),
+             |sc AS (
+             |  SELECT dw.doc_id,
+             |    coalesce(ln((c.cp + 1.0) / (t.np + t.v + 1.0)) - ln((c.cn + 1.0) / (t.nn + t.v + 1.0)),
+             |             ln(1.0 / (t.np + t.v + 1.0)) - ln(1.0 / (t.nn + t.v + 1.0))) AS lo
+             |  FROM dw LEFT JOIN c USING (word) CROSS JOIN t),
+             |scored AS (
+             |  SELECT sc.doc_id,
+             |    round(ln(dt.dp / dt.dn) + sum(sc.lo), 6) AS nb_score,
+             |    (round(ln(dt.dp / dt.dn) + sum(sc.lo), 6) > 0.0) AS pred
+             |  FROM sc CROSS JOIN dt GROUP BY sc.doc_id, dt.dp, dt.dn),
+             |lab AS (SELECT doc_id, (lang = 'en') AS label FROM documents),
+             |bb AS (
+             |  SELECT least(greatest(CAST(floor(s.nb_score / 5.0) AS BIGINT), -10), 10) AS bin,
+             |    l.label, s.pred
+             |  FROM scored s JOIN lab l USING (doc_id))
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_label,
+             |  CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+             |  round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pos_rate
+             |FROM bb GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // the classifier as a curation funnel STAGE (row-local broadcast
     // kernel, nbScoreColumn): full funnel + NB filter + exact dedup, all
     // replayed in SQL — the llm_curation_lm pattern with the NB chain

@@ -93,6 +93,32 @@ object Classifier {
       .withColumn("pred_quality", col("nb_score") > 0.0)
   }
 
+  /** Classifier calibration/reliability audit — the table an ML-ops pass
+    * reviews before trusting a quality filter at corpus scale: scored
+    * documents joined with evaluation labels, bucketed into fixed-width
+    * score bins (floor(nb_score / binWidth), clamped to ±10 bins), each
+    * bin reporting document count, true-label positives, predicted
+    * positives, and the observed positive rate — a well-calibrated
+    * classifier shows pos_rate rising monotonically with the bin. Fixed
+    * double-width binning on the ALREADY-6dp-rounded score keeps the bin
+    * assignment bit-identical across engines (no sigmoid/exp — libm-free).
+    * One doc-keyed join + a ≤21-row aggregation on top of [[nbScore]]'s
+    * existing shape. */
+  def nbCalibration(
+      scored: DataFrame,
+      labels: DataFrame,
+      binWidth: Double = 5.0,
+      idCol: String = "doc_id"): DataFrame =
+    scored.join(labels, Seq(idCol))
+      .withColumn("bin",
+        least(greatest(floor(col("nb_score") / binWidth).cast("long"), lit(-10L)), lit(10L)))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos_label"),
+        sum(when(col("pred_quality"), 1L).otherwise(0L)).as("n_pred_pos"))
+      .withColumn("pos_rate", round(col("n_pos_label").cast("double") / col("n_docs"), 6))
+
   /** Row-local form of [[nbScore]] for pipeline composition — the
     * [[CorpusStats.lmScoreColumn]] shape: the model table (bounded by
     * vocabulary) is collected once and rides the executors as ONE broadcast

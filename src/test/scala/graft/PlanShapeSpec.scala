@@ -274,8 +274,9 @@ class PlanShapeSpec extends SparkSpec {
     // these lists needs the same justification.
     val spOk = Set("a4_scalar_minmax", "llm_curation_report", "llm_lm_score",
       "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
-      // nbTrain's token/doc totals are scalar aggregates (one row each)
-      "llm_nb_quality",
+      // nbTrain's token/doc totals are scalar aggregates (one row each);
+      // the calibration audit runs the same score chain + a 21-bin agg
+      "llm_nb_quality", "llm_nb_calibration",
       // DSIR: the distribution totals are scalar aggregates, and the rank
       // window runs AFTER TakeOrdered bounds the input to n=100 rows
       "llm_dsir_resample",
@@ -286,7 +287,7 @@ class PlanShapeSpec extends SparkSpec {
       "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
       // one-row broadcast composition (smoothing totals / priors crossJoin
       // onto the probe side) — the llm_lm_score class, never corpus×corpus
-      "llm_nb_quality", "llm_dsir_resample",
+      "llm_nb_quality", "llm_nb_calibration", "llm_dsir_resample",
       // bounded brute-force over the dequantized corpus: query side capped
       // (<100 rows) before the crossJoin, the llm_hard_negatives class
       "llm_int8_topk",

@@ -581,6 +581,32 @@ class TrainingDataOpsSpec extends SparkSpec {
       (3L, 100L, 600L, 1L, 1L, 88L)))) // [600,700) inside seq 1
   }
 
+  test("nbCalibration: bins clamp, counts add up, separable corpus is monotone") {
+    import graft.llm.Classifier
+    // clearly separable vocab: "good" docs vs "junk" docs
+    val labeled = Seq(
+      (true, "good clean prose text"), (true, "good clean writing text"),
+      (false, "junk spam noise blob"), (false, "junk spam garbage blob"))
+      .toDF("label", "text")
+    val model = Classifier.nbTrain(labeled)
+    val docs = Seq(
+      (1L, "good clean prose text", true), (2L, "junk spam noise blob", false),
+      (3L, "good clean writing text", true), (4L, "junk spam garbage blob", false))
+      .toDF("doc_id", "text", "label")
+    val scored = Classifier.nbScore(docs.select(col("doc_id"), col("text")), model)
+    val out = Classifier.nbCalibration(scored, docs.select(col("doc_id"), col("label")))
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // every doc lands in exactly one bin, bins within the clamp range
+    assert(out.map(_._2).sum == 4 && out.forall(b => b._1 >= -10 && b._1 <= 10))
+    // separable corpus: positive rate is 0 in every negative bin, 1 in
+    // every positive bin (monotone reliability)
+    out.foreach { case (bin, _, nPos, nPred, rate) =>
+      if (bin < 0) assert(nPos == 0 && nPred == 0 && rate == 0.0)
+      else assert(rate == 1.0 && nPred == nPos)
+    }
+  }
+
   test("lshCalibration: duplicate pairs land in the top bin; theory column is the S-curve") {
     import graft.llm.Dedup
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
