@@ -1340,6 +1340,42 @@ object LlmQueries {
              |  % 1000000 < thr
              |ORDER BY doc_id""".stripMargin)),
 
+    // data-constrained epoch allocation: budget shares that exceed a
+    // stratum's size repeat it for up to 4 passes (capped) — pure BIGINT
+    // floor math per stratum, replayed exactly; src0's 50% share of a
+    // 600-doc budget must overflow its 4-epoch capacity and cap
+    QueryDef("llm_epoch_alloc",
+      (s, dir) => {
+        import graft.llm.Sampling
+        Sampling.epochAllocation(
+            Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            targetsPpm = Seq("src0" -> 500000L, "src1" -> 300000L,
+              "src2" -> 150000L, "src3" -> 50000L),
+            budget = 600L, maxEpochs = 4, strataCol = "source")
+          .orderBy("source")
+      },
+      Some("""WITH tgt AS (
+             |  SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000),
+             |    ('src2', 150000), ('src3', 50000)) t(source, ppm)),
+             |c AS (
+             |  SELECT tgt.source, tgt.ppm,
+             |    CAST(coalesce(n.n, 0) AS BIGINT) AS n_docs
+             |  FROM tgt LEFT JOIN
+             |    (SELECT source, count(*) AS n FROM documents GROUP BY source) n
+             |    USING (source)),
+             |a AS (
+             |  SELECT source, n_docs,
+             |    (600 * ppm // 1000000) AS target_docs,
+             |    least(600 * ppm // 1000000, n_docs * 4) AS n_allocated
+             |  FROM c)
+             |SELECT source, n_docs,
+             |  CAST(target_docs AS BIGINT) AS target_docs,
+             |  CAST(n_allocated AS BIGINT) AS n_allocated,
+             |  CAST(CASE WHEN n_docs = 0 THEN 0 ELSE n_allocated // n_docs END AS BIGINT) AS full_epochs,
+             |  CAST(n_allocated - (CASE WHEN n_docs = 0 THEN 0 ELSE n_allocated // n_docs END) * n_docs AS BIGINT) AS tail_docs,
+             |  (target_docs > n_docs * 4) AS capped
+             |FROM a ORDER BY source""".stripMargin)),
+
     // sketch-based profile (HLL++ vocab, approx quantiles): mergeable
     // sketches partial-aggregate map-side — constant reducer memory at any
     // corpus size; error bounds vs the exact operators pinned in LlmSpec

@@ -131,6 +131,46 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Data-constrained mixture allocation (Muennighoff et al. NeurIPS 2023,
+    * scaling data-constrained LMs — public method): when the target mix
+    * wants MORE documents from a stratum than exist, the stratum is
+    * REPEATED for multiple training passes (up to `maxEpochs`, past which
+    * repetition stops paying) instead of the mix silently shrinking to the
+    * scarcest stratum. Per stratum, all BIGINT floor math (replayable
+    * exactly, no float boundaries): `target = budget·ppm ÷ 1e6`,
+    * allocation clamped to `maxEpochs·n`, `full_epochs = allocated ÷ n`,
+    * `tail_docs = allocated mod n` (the final partial pass — drawn with
+    * [[deterministicSample]] downstream), `capped` flags strata whose
+    * target exceeded repeatable capacity. Shape: ONE count-per-stratum
+    * aggregation joined to the broadcast literal target table — the
+    * allocation table is strata-bounded. */
+  def epochAllocation(
+      df: DataFrame,
+      targetsPpm: Seq[(String, Long)],
+      budget: Long,
+      maxEpochs: Int,
+      strataCol: String): DataFrame = {
+    require(budget > 0 && maxEpochs >= 1, s"budget/maxEpochs must be positive: $budget/$maxEpochs")
+    require(targetsPpm.nonEmpty && targetsPpm.forall(_._2 > 0L)
+      && targetsPpm.map(_._2).sum <= Buckets,
+      s"shares must be positive ppm summing to <= $Buckets: $targetsPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetsPpm.toDF("__stratum", "__ppm")
+    broadcast(targets)
+      .join(df.groupBy(col(strataCol).as("__stratum")).agg(count(lit(1)).as("n_docs")),
+        Seq("__stratum"), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("target_docs", expr(s"${budget}L * __ppm div ${Buckets}L"))
+      .withColumn("n_allocated", least(col("target_docs"), col("n_docs") * maxEpochs))
+      .withColumn("full_epochs",
+        when(col("n_docs") === 0L, lit(0L)).otherwise(expr("n_allocated div n_docs")))
+      .withColumn("tail_docs", col("n_allocated") - col("full_epochs") * col("n_docs"))
+      .withColumn("capped", col("target_docs") > col("n_docs") * maxEpochs)
+      .select(col("__stratum").as(strataCol), col("n_docs"), col("target_docs"),
+        col("n_allocated"), col("full_epochs"), col("tail_docs"), col("capped"))
+  }
+
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
     * (Inf. Proc. Letters 2006; public method): each row draws
     * `key = ln(u) / w` (the log form of u^(1/w)) with `u` from the portable

@@ -581,6 +581,24 @@ class TrainingDataOpsSpec extends SparkSpec {
       (3L, 100L, 600L, 1L, 1L, 88L)))) // [600,700) inside seq 1
   }
 
+  test("epochAllocation: over-budget strata repeat and cap, absent strata zero out") {
+    import graft.llm.Sampling
+    val df = (1 to 10).map(i => (i.toLong, "big")).toDF("doc_id", "s")
+      .union((11 to 12).map(i => (i.toLong, "small")).toDF("doc_id", "s"))
+    val out = Sampling.epochAllocation(df,
+        targetsPpm = Seq("big" -> 400000L, "small" -> 500000L, "absent" -> 100000L),
+        budget = 20L, maxEpochs = 3, strataCol = "s")
+      .orderBy("s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // absent: target 2, zero capacity → nothing allocated, capped
+    assert(out(0) == ("absent", 0L, 2L, 0L, 0L, 0L, true))
+    // big: target 8 of 10 docs → a single partial pass, no repetition
+    assert(out(1) == ("big", 10L, 8L, 8L, 0L, 8L, false))
+    // small: target 10 > 2 docs × 3 epochs = 6 → capped at 3 full passes
+    assert(out(2) == ("small", 2L, 10L, 6L, 3L, 0L, true))
+  }
+
   test("nbCalibration: bins clamp, counts add up, separable corpus is monotone") {
     import graft.llm.Classifier
     // clearly separable vocab: "good" docs vs "junk" docs
