@@ -2872,6 +2872,61 @@ object LlmQueries {
               |SELECT gpos // 512 AS seq_id, gpos % 512 AS pos_in_seq, token_id, doc_id
               |FROM g ORDER BY seq_id, pos_in_seq""".stripMargin)),
 
+    // the shard records themselves: one row per 512-token training
+    // sequence with the ids comma-joined in stream order — the terminal
+    // artifact of tokenize → pack → emit, rolled up with an in-agg sort
+    // (no window) on the seq-keyed shard-write shuffle
+    QueryDef("llm_pack_shards",
+      (s, dir) => {
+        val (merges, finalVocab) = bpeTrained(s, dir)
+        val ids = graft.llm.Bpe.vocabIds(s, merges, finalVocab)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val tok = graft.llm.Bpe.encodeIds(docs, finalVocab, ids).localCheckpoint()
+        val counts = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+        val pack = graft.llm.Curation.packByTokenCounts(
+          counts, seqLen = 512L, tokensCol = "n_toks")
+        graft.llm.Curation.packShards(tok, pack, seqLen = 512L)
+          .orderBy("seq_id")
+      },
+      Some(s"""WITH ${bpeCtes(8)},
+              |${bpeVocabIdCte(8)},
+              |bdw AS (
+              |  SELECT doc_id, word, word_idx FROM (
+              |    SELECT doc_id,
+              |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word,
+              |      generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) - 1 AS word_idx
+              |    FROM documents)
+              |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
+              |bsg AS (
+              |  SELECT d.doc_id, d.word_idx,
+              |    coalesce(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1)),
+              |             string_split(d.word, '')) AS toks
+              |  FROM bdw d LEFT JOIN bv8 v USING (word)),
+              |btk AS (
+              |  SELECT doc_id, word_idx, unnest(toks) AS token,
+              |         generate_subscripts(toks, 1) - 1 AS tok_idx
+              |  FROM bsg),
+              |tok AS (
+              |  SELECT b.doc_id, b.word_idx, b.tok_idx,
+              |    CAST(coalesce(tv.tid, -1) AS BIGINT) AS token_id
+              |  FROM btk b LEFT JOIN tv ON b.token = tv.token),
+              |pd AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+              |c AS (
+              |  SELECT doc_id, n_tokens,
+              |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM pd),
+              |g AS (
+              |  SELECT t.doc_id, t.token_id,
+              |    (c.cum - c.n_tokens)
+              |      + row_number() OVER (PARTITION BY t.doc_id ORDER BY t.word_idx, t.tok_idx)
+              |      - 1 AS gpos
+              |  FROM tok t JOIN c USING (doc_id))
+              |SELECT gpos // 512 AS seq_id,
+              |  CAST(count(*) AS BIGINT) AS n_tokens,
+              |  string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY gpos) AS ids_csv
+              |FROM g GROUP BY gpos // 512 ORDER BY seq_id""".stripMargin)),
+
     // ---- temperature mixture (XLM-R multilingual sampling rule) ----
 
     // alpha=0.5 over lang strata: keep_s = floor(sqrt(n_min * n_s)) —

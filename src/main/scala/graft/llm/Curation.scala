@@ -296,6 +296,30 @@ object Curation {
         col(idCol))
   }
 
+  /** Roll [[packEmit]]'s position rows up into one row per training
+    * sequence — the shard records a writer ships: (seq_id, n_tokens,
+    * ids_csv) with the token ids comma-joined in stream order. The id list
+    * is ordered by an in-agg `sort_array` over (pos, id) structs (no
+    * window), and the single seq_id-keyed shuffle IS the shard-write
+    * shuffle — sequences land grouped and range-contiguous for the writer.
+    * A trailing partial sequence (< seqLen tokens) is emitted as-is; the
+    * writer pads or drops it by policy. CSV (not array) output keeps the
+    * artifact trivially hashable and diffable across engines. */
+  def packShards(
+      tokenRows: DataFrame,
+      pack: DataFrame,
+      seqLen: Long,
+      idCol: String = "doc_id"): DataFrame =
+    packEmit(tokenRows, pack, seqLen, idCol)
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("pos_in_seq"), col("token_id")))),
+            s => s.getField("token_id").cast("string")),
+          ",").as("ids_csv"))
+
   /** Split each document into fixed-size token chunks with `overlap`
     * carried tokens between consecutive chunks — the context-window prep
     * for embedding/retrieval pipelines (chunk k covers tokens

@@ -679,6 +679,21 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(emitted.map(_._2).toSeq == expected)
   }
 
+  test("packShards rolls emitted positions into ordered per-sequence id lists") {
+    import graft.llm.Curation
+    val tok = Seq(
+      (1L, 0L, 0L, 10L), (1L, 0L, 1L, 11L), (1L, 1L, 0L, 12L),
+      (2L, 0L, 0L, 20L), (2L, 1L, 0L, 21L))
+      .toDF("doc_id", "word_idx", "tok_idx", "token_id")
+    val counts = Seq((1L, 3L), (2L, 2L)).toDF("doc_id", "n")
+    val pack = Curation.packByTokenCounts(counts, seqLen = 4L, tokensCol = "n")
+    val out = Curation.packShards(tok, pack, seqLen = 4L)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // seq 0 full (doc-1 tokens + doc-2's first), seq 1 the partial tail
+    assert(out.sameElements(Array((0L, 4L, "10,11,12,20"), (1L, 1L, "21"))))
+  }
+
   test("alignmentScores: identical pair scores 1, shifted-histogram caption fails threshold") {
     import graft.llm.Multimodal
     val media = Seq(
