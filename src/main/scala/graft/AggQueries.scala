@@ -357,6 +357,33 @@ object AggQueries {
              |UNION ALL SELECT 0
              |ORDER BY height DESC""".stripMargin)),
 
+    // O40 — gaps-and-islands sessionization (30-minute inactivity gap):
+    // one user-hash shuffle, per-user windows, rollup reuses the exchange
+    // (pinned in PlanShapeSpec); all gap math on unix_micros BIGINTs
+    QueryDef("o40_sessionize",
+      (s, dir) => graft.operators.Sessionize
+        .summarize(Tables.events(s, dir), gapSeconds = 1800L)
+        .orderBy("user_id", "session_idx"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (
+             |  SELECT user_id, event_id, us,
+             |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
+             |  FROM f)
+             |SELECT user_id, session_idx,
+             |  min(us) AS session_start_us, max(us) AS session_end_us,
+             |  count(*) AS n_events,
+             |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+             |  max(us) - min(us) AS duration_us
+             |FROM g GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
     // F1 — date_trunc bucketing
     QueryDef("f1_date_trunc",
       (s, dir) => Tables.events(s, dir)

@@ -407,15 +407,18 @@ object LlmQueries {
     * the merge with the same plain `replace` on the chr(1)/chr(2)-wrapped
     * segmentation string — so every intermediate state is byte-identical
     * to the engine's. `bm{i}` rows are the trained merge table. */
-  private def bpeCtes(numMerges: Int): String = {
+  private def bpeCtes(numMerges: Int, trainWhere: String = ""): String = {
+    // trainWhere restricts the TRAINING corpus (e.g. a held-out split for
+    // the OOV audit); encode-side CTEs build their own word lists.
+    val trainSrc = if (trainWhere.isEmpty) "documents" else s"documents $trainWhere"
     val base =
-      """bw AS (
+      s"""bw AS (
         |  SELECT word FROM (
-        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM $trainSrc)
         |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
         |bwf AS (SELECT word, count(*) AS freq FROM bw GROUP BY word),
         |bv0 AS MATERIALIZED (SELECT word, freq,
-        |  regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s FROM bwf)""".stripMargin
+        |  regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s FROM bwf)""".stripMargin
     // bv/bm MUST be MATERIALIZED: each is referenced by two downstream
     // CTEs, and DuckDB's default inlining would re-expand the whole merge
     // chain per reference (2^numMerges vocab scans — the oracle-side twin
@@ -461,17 +464,35 @@ object LlmQueries {
     * final-vocab rows), NOT DataFrames — no session pinning (ADVICE r8). */
   private val bpeCache =
     new graft.util.SessionCache[(Seq[graft.llm.Bpe.Merge], Seq[(String, Long, String)])]
-  private def bpeTrained(s: SparkSession, dir: String): (Seq[graft.llm.Bpe.Merge], DataFrame) = {
+  // second memo for the OOV-audit vocab: same (session, dir) key space as
+  // bpeCache but a DIFFERENT training corpus (held-out split removed), so
+  // it needs its own cache instance
+  private val bpeHeldoutCache =
+    new graft.util.SessionCache[(Seq[graft.llm.Bpe.Merge], Seq[(String, Long, String)])]
+
+  private def trainBpeCached(
+      s: SparkSession,
+      dir: String,
+      cache: graft.util.SessionCache[(Seq[graft.llm.Bpe.Merge], Seq[(String, Long, String)])],
+      corpus: DataFrame): (Seq[graft.llm.Bpe.Merge], DataFrame) = {
     import graft.llm.Bpe
-    val (merges, vocabRows) = bpeCache.getOrCompute(s, dir) {
-      val (m, vocab) = Bpe.trainMerges(
-        Bpe.wordFrequencies(Tables.documents(s, dir).select(col("text"))), numMerges = 8)
+    val (merges, vocabRows) = cache.getOrCompute(s, dir) {
+      val (m, vocab) = Bpe.trainMerges(Bpe.wordFrequencies(corpus), numMerges = 8)
       (m, vocab.select(col("word"), col("freq"), col("s")).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq)
     }
     import s.implicits._
     (merges, vocabRows.toDF("word", "freq", "s"))
   }
+
+  private def bpeTrained(s: SparkSession, dir: String): (Seq[graft.llm.Bpe.Merge], DataFrame) =
+    trainBpeCached(s, dir, bpeCache, Tables.documents(s, dir).select(col("text")))
+
+  /** BPE vocab trained with the `doc_id % 10 = 7` slice HELD OUT — the
+    * train/held-out split of the llm_bpe_oov generalization audit. */
+  private def bpeTrainedHeldout(s: SparkSession, dir: String): (Seq[graft.llm.Bpe.Merge], DataFrame) =
+    trainBpeCached(s, dir, bpeHeldoutCache,
+      Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7).select(col("text")))
 
   val all: Vector[QueryDef] = Vector(
 
@@ -3140,5 +3161,146 @@ object LlmQueries {
              |  round(inter / na, 6) AS containment_a, round(inter / nb, 6) AS containment_b
              |FROM j
              |WHERE round(inter / na, 6) >= 0.8 OR round(inter / nb, 6) >= 0.8
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- packing-efficiency audit (tokenize → pack → audit) ----
+
+    // the numbers checked before burning GPU-hours on the shards: sequence
+    // count, tail padding, boundary-straddling docs, fill rate — a
+    // single-row rollup over the BPE pack layout
+    QueryDef("llm_pack_waste",
+      (s, dir) => {
+        val (_, finalVocab) = bpeTrained(s, dir)
+        val enc = graft.llm.Bpe.encodeCounts(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), finalVocab)
+        val pack = graft.llm.Curation.packByTokenCounts(
+          enc.select(col("doc_id"), col("n_bpe_tokens")),
+          seqLen = 512L, tokensCol = "n_bpe_tokens")
+        graft.llm.Curation.packWaste(pack, seqLen = 512L)
+      },
+      Some(s"""WITH ${bpeCtes(8)},
+              |bd AS (
+              |  SELECT doc_id, word FROM (
+              |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              |    FROM documents)
+              |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
+              |pd AS (
+              |  SELECT d.doc_id,
+              |    CAST(sum(coalesce(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1))),
+              |                      len(d.word))) AS BIGINT) AS n_tokens
+              |  FROM bd d LEFT JOIN bv8 v USING (word) GROUP BY d.doc_id),
+              |c AS (
+              |  SELECT doc_id, n_tokens,
+              |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM pd),
+              |p AS (
+              |  SELECT doc_id, n_tokens,
+              |    (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
+              |  FROM c)
+              |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              |  CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs,
+              |  CAST((512 - sum(n_tokens) % 512) % 512 AS BIGINT) AS tail_padding,
+              |  CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT) AS fragmented_docs,
+              |  CAST(max(last_seq - first_seq + 1) AS BIGINT) AS max_doc_span_seqs,
+              |  round(CAST(sum(n_tokens) AS DOUBLE) / (((sum(n_tokens) + 511) // 512) * 512), 6) AS fill_rate
+              |FROM p""".stripMargin)),
+
+    // ---- context-length histogram (log2 buckets) ----
+
+    // per-language doc-length distribution in power-of-two token buckets —
+    // the context-window planning table (how much data fits 512 vs 2k vs
+    // 8k contexts). The bucket is floor(log2(n)) computed EXACTLY on both
+    // engines as length(bin(n)) - 1 (binary-string length, no libm)
+    QueryDef("llm_ctx_histogram",
+      (s, dir) => {
+        val (_, finalVocab) = bpeTrained(s, dir)
+        graft.llm.Bpe.encodeCounts(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")), finalVocab)
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .withColumn("bucket", (length(bin(col("n_bpe_tokens"))) - 1).cast("long"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe_tokens")).as("n_tokens"))
+          .orderBy("lang", "bucket")
+      },
+      Some(s"""WITH ${bpeCtes(8)},
+              |bd AS (
+              |  SELECT doc_id, word FROM (
+              |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              |    FROM documents)
+              |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
+              |pd AS (
+              |  SELECT d.doc_id,
+              |    CAST(sum(coalesce(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1))),
+              |                      len(d.word))) AS BIGINT) AS n_tokens
+              |  FROM bd d LEFT JOIN bv8 v USING (word) GROUP BY d.doc_id)
+              |SELECT doc.lang, CAST(length(bin(pd.n_tokens)) - 1 AS BIGINT) AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens
+              |FROM pd JOIN documents doc USING (doc_id)
+              |GROUP BY doc.lang, bucket ORDER BY lang, bucket""".stripMargin)),
+
+    // ---- tokenizer OOV generalization audit ----
+
+    // encode the held-out doc_id % 10 = 7 slice with a vocab trained on
+    // the OTHER nine slices: per-lang word/token OOV rates — the check a
+    // tokenizer ships before being frozen (exercises encodeCounts'
+    // character-fallback LEFT join as a first-class artifact)
+    QueryDef("llm_bpe_oov",
+      (s, dir) => {
+        val (_, heldVocab) = bpeTrainedHeldout(s, dir)
+        graft.llm.Bpe.oovAudit(
+            Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
+              .select(col("lang"), col("text")),
+            heldVocab)
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${bpeCtes(8, "WHERE doc_id % 10 <> 7")},
+              |hw AS (
+              |  SELECT lang, word FROM (
+              |    SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              |    FROM documents WHERE doc_id % 10 = 7)
+              |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
+              |hj AS (
+              |  SELECT h.lang, v.s IS NULL AS oov,
+              |    coalesce(len(string_split(v.s[2:len(v.s)-1], chr(2) || chr(1))),
+              |             len(h.word)) AS toks
+              |  FROM hw h LEFT JOIN bv8 v USING (word))
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words,
+              |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+              |  CAST(sum(CASE WHEN oov THEN toks ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+              |  round(CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_word_rate
+              |FROM hj GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- curriculum order (quality-annealed training schedule) ----
+
+    // quality-banded deterministic training order: fixed thresholds on the
+    // 4dp quality score (integer-safe banding), hash-shuffled within each
+    // band — low bands early, best band last (the anneal). The order is an
+    // emitted sort key, never a global rank
+    QueryDef("llm_curriculum",
+      (s, dir) => {
+        val ann = graft.llm.TextAnalysis.qualityScore(Tables.documents(s, dir))
+        graft.llm.Curation.curriculumOrder(ann, bands = Seq(0.25, 0.5, 0.8), seed = "cur0")
+          .select(col("doc_id"), col("quality_score"), col("band"), col("curriculum_key"))
+          .orderBy("band", "curriculum_key", "doc_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    round(CASE WHEN n_words < 2 THEN 0.0 ELSE
+             |      greatest(0.0, 1.0 - least(punct_ratio * 2, 0.5) - least(digit_ratio, 0.3)
+             |        - CASE WHEN n_chars_m < 20 THEN 0.2 ELSE 0.0 END) END, 4) AS quality_score
+             |  FROM (
+             |    SELECT doc_id, length(text) AS n_chars_m,
+             |      len(string_split_regex(trim(text), '\s+')) AS n_words,
+             |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+             |      CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio
+             |    FROM documents))
+             |SELECT doc_id, quality_score,
+             |  CAST(CASE WHEN quality_score >= 0.8 THEN 3 WHEN quality_score >= 0.5 THEN 2
+             |            WHEN quality_score >= 0.25 THEN 1 ELSE 0 END AS BIGINT) AS band,
+             |  md5(CAST(doc_id AS VARCHAR) || '-cur0') AS curriculum_key
+             |FROM q ORDER BY band, curriculum_key, doc_id""".stripMargin)))
 }

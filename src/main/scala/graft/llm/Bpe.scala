@@ -155,6 +155,46 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("n_word_tokens")).as("n_bpe_tokens"))
   }
 
+  /** Out-of-vocabulary audit: encode a HELD-OUT corpus with a vocab
+    * trained elsewhere and report, per `groupCol`, how much of it the
+    * tokenizer has never seen — the generalization check a tokenizer ships
+    * before being frozen (an OOV-heavy language stratum means the training
+    * mix under-sampled it). Word-level: a word absent from the trained
+    * vocab counts as OOV and falls back to character-wise segmentation
+    * (`length(word)` tokens), exactly [[encodeCounts]]'s LEFT-join
+    * fallback — this gate is that fallback path exercised as a
+    * first-class artifact. Same join shape and `broadcastVocab` escape
+    * hatch as [[encodeCounts]]; one corpus explode, one group-keyed agg. */
+  def oovAudit(
+      docs: DataFrame,
+      finalVocab: DataFrame,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      broadcastVocab: Boolean = true): DataFrame = {
+    val perWordTokens = finalVocab.select(
+      col("word"),
+      size(split(
+        regexp_replace(col("s"), "^" + SymOpen + "|" + SymClose + "$", ""),
+        SymClose + SymOpen)).cast("long").as("n_word_tokens"))
+    val vocabSide = if (broadcastVocab) broadcast(perWordTokens) else perWordTokens
+    docs
+      .select(col(groupCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(SymOpen) && !col("word").contains(SymClose))
+      .join(vocabSide, Seq("word"), "left")
+      .withColumn("__oov", col("n_word_tokens").isNull)
+      .withColumn("__toks",
+        coalesce(col("n_word_tokens"), length(col("word")).cast("long")))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("__oov"), 1L).otherwise(0L)).as("n_oov_words"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(when(col("__oov"), col("__toks")).otherwise(0L)).as("n_oov_tokens"))
+      .withColumn("oov_word_rate",
+        round(col("n_oov_words").cast("double") / col("n_words"), 6))
+  }
+
   /** Deterministic token-id vocabulary — the id map a tokenizer ships
     * alongside its merge table: base alphabet characters first (sorted),
     * then each merge's produced symbol in rank order, keep-first when a

@@ -320,6 +320,60 @@ object Curation {
             s => s.getField("token_id").cast("string")),
           ",").as("ids_csv"))
 
+  /** Packing-efficiency audit over a [[packByTokenCounts]] layout — the
+    * numbers a pre-training pipeline checks before burning GPU-hours on the
+    * shards: how many sequences the layout produces, how much of the last
+    * one is padding, what fraction of documents straddle a sequence
+    * boundary (fragmented attention context), and the overall fill rate.
+    * One global rollup over the doc-level pack table (map-side partials →
+    * a single-row agg); at corpus scale this reads the already-persisted
+    * layout, never the token stream. Integer outputs except the 6dp fill
+    * rate, so the single-row artifact hashes identically across engines. */
+  def packWaste(pack: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    pack
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+          .as("fragmented_docs"),
+        max(col("last_seq") - col("first_seq") + 1).as("max_doc_span_seqs"))
+      .withColumn("n_seqs", expr(s"(total_tokens + ${seqLen - 1}L) div ${seqLen}L"))
+      .withColumn("tail_padding",
+        (lit(seqLen) - col("total_tokens") % seqLen) % seqLen)
+      .withColumn("fill_rate",
+        round(col("total_tokens").cast("double") / (col("n_seqs") * seqLen), 6))
+      .select("n_docs", "total_tokens", "n_seqs", "tail_padding",
+        "fragmented_docs", "max_doc_span_seqs", "fill_rate")
+  }
+
+  /** Deterministic curriculum order — the training-order artifact of a
+    * quality-annealed schedule: documents are banded by quality score
+    * (fixed thresholds, so banding is pure integer/4dp-rounded comparison
+    * — no cross-engine float risk) and shuffled hash-deterministically
+    * WITHIN each band ([[Sampling.shuffleKey]]), yielding a total order
+    * `(band asc, shuffle_key, id)` that feeds low-quality data early and
+    * saves the highest band for the anneal phase (the curriculum shape of
+    * data-constrained recipes). Map-only: the order is an emitted SORT KEY,
+    * not a global rank — writers range-partition on it exactly like the
+    * shuffle-order pass, so no single-partition window exists at any
+    * scale. `bands` are ascending lower-bound thresholds; band k means
+    * `quality_score >= bands(k-1)` (band 0 = below all thresholds). */
+  def curriculumOrder(
+      annotated: DataFrame,
+      bands: Seq[Double] = Seq(0.25, 0.5, 0.8),
+      seed: String = "cur0",
+      idCol: String = "doc_id"): DataFrame = {
+    require(bands.nonEmpty && bands == bands.sorted,
+      s"bands must be ascending thresholds: $bands")
+    val band = bands.zipWithIndex.foldLeft(lit(0)) { case (acc, (thr, i)) =>
+      when(col("quality_score") >= thr, lit(i + 1)).otherwise(acc)
+    }
+    annotated
+      .withColumn("band", band.cast("long"))
+      .withColumn("curriculum_key", Sampling.shuffleKey(col(idCol), seed))
+  }
+
   /** Split each document into fixed-size token chunks with `overlap`
     * carried tokens between consecutive chunks — the context-window prep
     * for embedding/retrieval pipelines (chunk k covers tokens

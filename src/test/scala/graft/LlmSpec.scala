@@ -1187,4 +1187,57 @@ class LlmSpec extends SparkSpec {
     (0 until 3).foreach { i => assert(flagged.contains((100L + i, 9000L)), s"missed paraphrase 10$i") }
     assert(!flagged.exists { case (d, _) => d >= 1 && d < 100 }, s"clean docs flagged: $flagged")
   }
+
+  test("packWaste: sequence count, tail padding, fragmentation from a known layout") {
+    import graft.llm.Curation
+    // token counts 300, 300, 100 at seqLen 256: total 700 → 3 seqs,
+    // tail padding 68, docs 1 and 2 straddle a boundary, doc 1 spans 2 seqs
+    val counts = Seq((1L, 300L), (2L, 300L), (3L, 100L)).toDF("doc_id", "n_tokens")
+    val pack = Curation.packByTokenCounts(counts, seqLen = 256L)
+    val w = Curation.packWaste(pack, seqLen = 256L).collect()(0)
+    assert(w.getAs[Long]("n_docs") == 3L)
+    assert(w.getAs[Long]("total_tokens") == 700L)
+    assert(w.getAs[Long]("n_seqs") == 3L)
+    assert(w.getAs[Long]("tail_padding") == 68L)
+    assert(w.getAs[Long]("fragmented_docs") == 2L)
+    assert(w.getAs[Long]("max_doc_span_seqs") == 2L)
+    assert(w.getAs[Double]("fill_rate") == math.rint(700.0 / 768.0 * 1e6) / 1e6)
+    // exact multiple: zero padding, full fill
+    val exact = Curation.packByTokenCounts(Seq((1L, 512L)).toDF("doc_id", "n_tokens"), 256L)
+    val we = Curation.packWaste(exact, 256L).collect()(0)
+    assert(we.getAs[Long]("tail_padding") == 0L && we.getAs[Double]("fill_rate") == 1.0)
+  }
+
+  test("curriculumOrder: threshold banding and per-band deterministic shuffle") {
+    import graft.llm.Curation
+    val ann = Seq(
+      (1L, 0.1), (2L, 0.25), (3L, 0.49), (4L, 0.5), (5L, 0.9)
+    ).toDF("doc_id", "quality_score")
+    val out = Curation.curriculumOrder(ann, bands = Seq(0.25, 0.5, 0.8), seed = "t")
+      .select("doc_id", "band").as[(Long, Long)].collect().toMap
+    // band boundaries are INCLUSIVE lower bounds
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // keys are the md5 shuffle keys — reproducible across runs
+    val k1 = Curation.curriculumOrder(ann, seed = "t").select("curriculum_key")
+      .as[String].collect().toSeq
+    val k2 = Curation.curriculumOrder(ann, seed = "t").select("curriculum_key")
+      .as[String].collect().toSeq
+    assert(k1 == k2)
+    assert(intercept[IllegalArgumentException](
+      Curation.curriculumOrder(ann, bands = Seq(0.5, 0.25))).getMessage.contains("ascending"))
+  }
+
+  test("oovAudit: held-out words fall back to character segmentation and are counted OOV") {
+    import graft.llm.Bpe
+    // train on a tiny corpus where "ab" is a learned merge
+    val train = Seq("ab ab ab cd").toDF("text")
+    val (_, vocab) = Bpe.trainMerges(Bpe.wordFrequencies(train), numMerges = 1)
+    // held-out: "ab" in vocab (1 token after merge), "xyz" OOV (3 char tokens)
+    val held = Seq(("en", "ab xyz"), ("de", "cd")).toDF("lang", "text")
+    val out = Bpe.oovAudit(held, vocab).orderBy("lang")
+      .select("lang", "n_words", "n_oov_words", "n_tokens", "n_oov_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // de: "cd" seen in training (2 tokens, no merge applied to it)
+    assert(out == Seq(("de", 1L, 0L, 2L, 0L), ("en", 2L, 1L, 4L, 3L)))
+  }
 }

@@ -153,4 +153,36 @@ class OperatorsSpec extends SparkSpec {
     assert(ReferenceSchemas.candles.fieldNames.length == 14)
     assert(ReferenceSchemas.tables("asset_updates").fieldNames.contains("superseded_by"))
   }
+
+  test("sessionize: strict gap threshold, per-user numbering, exact micro bounds") {
+    import graft.operators.Sessionize
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // µs grid on ms boundary
+    val events = Seq(
+      // user 1: gap of EXACTLY 1800s stays one session (strict >), then
+      // 1800.000001s opens a new one
+      (1L, 1L, ts(base)),
+      (2L, 1L, ts(base + 1800L * 1000000)),
+      (3L, 1L, ts(base + 1800L * 1000000 + 1801L * 1000000)),
+      // user 2: single event = single session
+      (4L, 2L, ts(base)),
+      // user 1 again, out of input order: lands in session 0 (ts order)
+      (5L, 1L, ts(base + 1000000))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Sessionize.summarize(events, gapSeconds = 1800L)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "min_event_id", "max_event_id", "duration_us")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 3L, 1L, 5L, 1800L * 1000000), // events 1,5,2 — gap == 1800s kept
+      (1L, 1L, 1L, 3L, 3L, 0L),
+      (2L, 0L, 1L, 4L, 4L, 0L)))
+    // ts ties break on event_id: two events at the same instant, huge gap after
+    val tied = Seq(
+      (10L, 7L, ts(base)), (11L, 7L, ts(base)),
+      (12L, 7L, ts(base + 7200L * 1000000))).toDF("event_id", "user_id", "ts")
+    val assigned = Sessionize.assign(tied, 1800L)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(assigned == Map(10L -> 0L, 11L -> 0L, 12L -> 1L))
+  }
 }

@@ -252,6 +252,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-10 batch-3 operator gates hold their exchange budgets") {
+    // o40: ONE user-hash exchange feeds both the session window and the
+    // (user, session) rollup (the rollup's clustering is a superset of the
+    // window's hash partitioning) + the output range sort — the
+    // sessionization scale contract. llm_curriculum is map-only + sort.
+    // llm_bpe_oov / llm_ctx_histogram: broadcast vocab probes + bounded
+    // group-keyed aggs + output sort. llm_pack_waste inherits pack_bpe's
+    // cached prefix-sum chain (plan dump counts the InMemoryRelation build
+    // twice, the llm_pack_bpe convention) + the single-row rollup.
+    val budgets = Seq(
+      "o40_sessionize" -> 2, "llm_curriculum" -> 1,
+      "llm_bpe_oov" -> 3, "llm_ctx_histogram" -> 5,
+      "llm_pack_waste" -> 9)
+    budgets.foreach { case (name, budget) =>
+      val plan = executed(SparkEntry.queries(name)(spark, dir))
+      val ex = plan.linesIterator.count(_.contains("Exchange"))
+      assert(ex == budget, s"$name expected $budget exchanges, got $ex:\n$plan")
+    }
+  }
+
   test("single-partition windows are banned from query plans") {
     // a global window/sort demands Exchange SinglePartition via
     // ENSURE_REQUIREMENTS — the representative paths that historically
@@ -282,7 +302,10 @@ class PlanShapeSpec extends SparkSpec {
       "llm_dsir_resample",
       // temperature mixture / PMI / bigram LM: corpus totals are scalar
       // one-row aggregates (n_min, n_uni/n_bi) — the llm_mixture class
-      "llm_temperature_mixture", "llm_pmi", "llm_bigram_lm")
+      "llm_temperature_mixture", "llm_pmi", "llm_bigram_lm",
+      // packing-efficiency audit: a single-row corpus rollup — scalar
+      // aggregate by definition
+      "llm_pack_waste")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
       "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
       // one-row broadcast composition (smoothing totals / priors crossJoin
