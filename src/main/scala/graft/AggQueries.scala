@@ -712,6 +712,42 @@ object AggQueries {
            |  FROM c1mo)
            |ORDER BY interval, time_start_epoch, amount_asset_id, price_asset_id, matcher_address""".stripMargin)),
 
+    // ST13 — streaming sessionization: flatMapGroupsWithState holding one
+    // open session per user (append-mode emission at each gap close,
+    // sentinel-flushed at replay end) must reproduce the batch
+    // gaps-and-islands operator bit-for-bit — o40's oracle over the same
+    // event slice
+    QueryDef("st13_session_stream",
+      (s, dir) => {
+        import graft.streaming.StreamingSessionize
+        val rows = Tables.events(s, dir).filter(col("event_id") < 2000)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .orderBy("us", "event_id")
+          .collect()
+          .map(r => StreamingSessionize.SessEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+        StreamingSessionize.replay(s, rows.toSeq, chunk = 700, gapSeconds = 1800L)
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_id < 2000),
+             |f AS (
+             |  SELECT user_id, event_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (
+             |  SELECT user_id, event_id, us,
+             |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
+             |  FROM f)
+             |SELECT user_id, session_idx,
+             |  min(us) AS session_start_us, max(us) AS session_end_us,
+             |  count(*) AS n_events,
+             |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+             |  max(us) - min(us) AS duration_us
+             |FROM g GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
     // Views — tickers (O20 over asset_tickers, up.sql:432-435)
     QueryDef("view_tickers",
       (s, dir) => {

@@ -3302,5 +3302,50 @@ object LlmQueries {
              |  CAST(CASE WHEN quality_score >= 0.8 THEN 3 WHEN quality_score >= 0.5 THEN 2
              |            WHEN quality_score >= 0.25 THEN 1 ELSE 0 END AS BIGINT) AS band,
              |  md5(CAST(doc_id AS VARCHAR) || '-cur0') AS curriculum_key
-             |FROM q ORDER BY band, curriculum_key, doc_id""".stripMargin)))
+             |FROM q ORDER BY band, curriculum_key, doc_id""".stripMargin)),
+
+    // ---- audio voice-activity segmentation (VAD → utterance split) ----
+
+    // frame energies (byte-sum stand-in kernel, the fakeDecode convention)
+    // → active = at-or-above the asset's mean (exact BIGINT compare) →
+    // gaps-and-islands merge with a 1-frame hangover; per-asset windows
+    // only, one asset-keyed shuffle. The oracle replays frames, energies,
+    // threshold and segmentation entirely in SQL (ASCII fixtures:
+    // unicode() == byte value)
+    QueryDef("llm_audio_vad",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", "audio")
+        Multimodal.vadSegments(media, frameBytes = 64, maxSilenceFrames = 1)
+          .orderBy("asset_id", "seg_idx")
+      },
+      Some("""WITH fr AS (
+             |  SELECT asset_id, frame_idx,
+             |    list_sum([CAST(unicode(fs[i:i]) AS BIGINT) FOR i IN range(1, len(fs)+1)]) AS energy
+             |  FROM (
+             |    SELECT doc_id AS asset_id, u.f AS frame_idx,
+             |      substr(text, CAST(u.f * 64 + 1 AS INT), 64) AS fs
+             |    FROM documents,
+             |         LATERAL (SELECT unnest(range(0, (length(text) + 63) // 64)) AS f) u)),
+             |tot AS (SELECT asset_id, count(*) AS n, sum(energy) AS te FROM fr GROUP BY asset_id),
+             |act AS (
+             |  SELECT fr.asset_id, fr.frame_idx
+             |  FROM fr JOIN tot USING (asset_id)
+             |  WHERE fr.energy * tot.n >= tot.te),
+             |fl AS (
+             |  SELECT asset_id, frame_idx,
+             |    CASE WHEN lag(frame_idx) OVER w IS NULL OR frame_idx - lag(frame_idx) OVER w > 2
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM act WINDOW w AS (PARTITION BY asset_id ORDER BY frame_idx)),
+             |g AS (
+             |  SELECT asset_id, frame_idx,
+             |    CAST(sum(nw) OVER (PARTITION BY asset_id ORDER BY frame_idx
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS seg_idx
+             |  FROM fl)
+             |SELECT asset_id, seg_idx,
+             |  min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+             |  count(*) AS n_active_frames
+             |FROM g GROUP BY asset_id, seg_idx
+             |ORDER BY asset_id, seg_idx""".stripMargin)))
 }

@@ -251,6 +251,69 @@ object Multimodal {
     media.join(dups, Seq("asset_id"), "left_anti")
   }
 
+  /** Per-frame energies of an audio payload: the payload is sliced into
+    * `frameBytes`-byte frames (ceil coverage — the tail partial frame
+    * counts) and each frame's "energy" is its raw byte sum — a
+    * deterministic STAND-IN for RMS over decoded PCM samples, the
+    * [[fakeDecode]] convention (a real deployment decodes the codec and
+    * computes RMS over the SAME per-row frame slicing). ONE kernel call
+    * per row emits every frame energy, then a row-local posexplode — no
+    * shuffle, the pass scales linearly with the corpus. On the ASCII text
+    * fixtures byte == char code, so a DuckDB unicode() replay matches
+    * exactly. */
+  def frameEnergies(media: DataFrame, frameBytes: Int = 64): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive: $frameBytes")
+    val u = udf { (bytes: Array[Byte]) =>
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      val n = (b.length + frameBytes - 1) / frameBytes
+      (0 until n).map { f =>
+        var sum = 0L
+        var i = f * frameBytes
+        val hi = math.min(b.length, i + frameBytes)
+        while (i < hi) { sum += (b(i) & 0xff).toLong; i += 1 }
+        sum
+      }
+    }
+    media
+      .select(col("asset_id"), posexplode(u(col("payload"))).as(Seq("frame_idx", "energy")))
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"), col("energy"))
+  }
+
+  /** Voice-activity segmentation over [[frameEnergies]] — the VAD →
+    * utterance-split pass an audio pipeline runs before transcription:
+    * a frame is ACTIVE when its energy is at or above the asset's mean
+    * frame energy (compared exactly as `energy * n_frames >= total_energy`
+    * — pure BIGINT math, no float threshold to diverge across engines),
+    * and consecutive active frames merge into one segment while the gap
+    * between them stays ≤ `maxSilenceFrames` (the hangover that bridges
+    * brief dips). Per-asset windows only — narrow, bounded by one asset's
+    * frame count, the [[graft.operators.Sessionize]] gaps-and-islands
+    * shape applied to frame indices; one asset-keyed shuffle end-to-end. */
+  def vadSegments(
+      media: DataFrame,
+      frameBytes: Int = 64,
+      maxSilenceFrames: Int = 1): DataFrame = {
+    require(maxSilenceFrames >= 0, s"maxSilenceFrames must be >= 0: $maxSilenceFrames")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("asset_id"))
+    val wo = w.orderBy(col("frame_idx"))
+    val run = wo.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    frameEnergies(media, frameBytes)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__total", sum(col("energy")).over(w))
+      .filter(col("energy") * col("__n") >= col("__total"))
+      .withColumn("__new",
+        when(lag(col("frame_idx"), 1).over(wo).isNull
+          || col("frame_idx") - lag(col("frame_idx"), 1).over(wo) > maxSilenceFrames + 1, 1L)
+          .otherwise(0L))
+      .withColumn("seg_idx", sum(col("__new")).over(run) - lit(1L))
+      .groupBy(col("asset_id"), col("seg_idx"))
+      .agg(
+        min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_active_frames"))
+  }
+
   /** Frame sampling: pick every `stride`-th chunk of a video payload —
     * row-local explode, no shuffle. */
   def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame =

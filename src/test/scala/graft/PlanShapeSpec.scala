@@ -261,10 +261,13 @@ class PlanShapeSpec extends SparkSpec {
     // group-keyed aggs + output sort. llm_pack_waste inherits pack_bpe's
     // cached prefix-sum chain (plan dump counts the InMemoryRelation build
     // twice, the llm_pack_bpe convention) + the single-row rollup.
+    // llm_audio_vad: the asset-hash exchange feeds frame windows AND the
+    // (asset, segment) rollup — the o40 exchange-reuse shape — + the
+    // output sort
     val budgets = Seq(
       "o40_sessionize" -> 2, "llm_curriculum" -> 1,
       "llm_bpe_oov" -> 3, "llm_ctx_histogram" -> 5,
-      "llm_pack_waste" -> 9)
+      "llm_pack_waste" -> 9, "llm_audio_vad" -> 2)
     budgets.foreach { case (name, budget) =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val ex = plan.linesIterator.count(_.contains("Exchange"))

@@ -412,4 +412,39 @@ class StreamingSpec extends SparkSpec {
       } finally srv2.close()
     } finally srv.close()
   }
+
+  test("streaming sessionization equals the batch operator (ST13)") {
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.SessEvent
+    val base = 1704067200000000L
+    // three users, gaps straddling the threshold, ties, cross-chunk
+    // session continuation (chunk = 3 splits user 1's first session)
+    val events = Seq(
+      SessEvent(1, 1, base),
+      SessEvent(2, 1, base + 60L * 1000000),
+      SessEvent(3, 2, base),
+      SessEvent(4, 1, base + 120L * 1000000), // same session, next chunk
+      SessEvent(5, 1, base + 120L * 1000000 + 1801L * 1000000), // new session
+      SessEvent(6, 2, base + 1800L * 1000000), // exactly the gap: SAME session
+      SessEvent(7, 3, base))
+    val got = StreamingSessionize.replay(spark, events, chunk = 3, gapSeconds = 1800L)
+      .select("user_id", "session_idx", "session_start_us", "session_end_us",
+        "n_events", "min_event_id", "max_event_id", "duration_us")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // the batch operator over the same events is the reference
+    val batchIn = events.map(e =>
+      (e.eventId, e.userId, new java.sql.Timestamp(e.tsUs / 1000))).toDF("event_id", "user_id", "ts")
+    val want = graft.operators.Sessionize.summarize(batchIn, gapSeconds = 1800L)
+      .select("user_id", "session_idx", "session_start_us", "session_end_us",
+        "n_events", "min_event_id", "max_event_id", "duration_us")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"stream=$got batch=$want")
+    assert(got.size == 4) // u1: 2 sessions, u2: 1 (gap == threshold kept), u3: 1
+    // out-of-order arrival INSIDE a micro-batch is re-sorted per key
+    val scrambled = Seq(events(1), events(0), events(4), events(3), events(2), events(5), events(6))
+    val got2 = StreamingSessionize.replay(spark, scrambled, chunk = 100, gapSeconds = 1800L)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == want.map(t => (t._1, t._2, t._5)))
+  }
 }

@@ -744,4 +744,34 @@ class TrainingDataOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.sameElements(Array((10L, 2L, 4L), (11L, 1L, 2L))))
   }
+
+  test("frameEnergies: ceil frame coverage, byte sums, tail partial frame") {
+    import graft.llm.Multimodal
+    // 5 bytes at frameBytes=2 → frames [1,2], [3,4], [5]
+    val media = Seq((1L, Array[Byte](1, 2, 3, 4, 5))).toDF("asset_id", "payload")
+    val out = Multimodal.frameEnergies(media, frameBytes = 2)
+      .orderBy("frame_idx")
+      .select("frame_idx", "energy").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 3L), (1L, 7L), (2L, 5L)))
+    // empty payload → no frames
+    assert(Multimodal.frameEnergies(
+      Seq((2L, Array.emptyByteArray)).toDF("asset_id", "payload"), 2).count() == 0)
+  }
+
+  test("vadSegments: mean threshold, hangover bridges one silent frame, gaps split") {
+    import graft.llm.Multimodal
+    // frameBytes=1 → per-byte frames. Energies: 9 9 0 9 0 0 9 (mean 36/7≈5.14)
+    // active: 0,1,3,6 — frames 0,1,3 merge (gap 2 ≤ hangover+1), 6 splits
+    val media = Seq((1L, Array[Byte](9, 9, 0, 9, 0, 0, 9))).toDF("asset_id", "payload")
+    val segs = Multimodal.vadSegments(media, frameBytes = 1, maxSilenceFrames = 1)
+      .orderBy("seg_idx")
+      .select("seg_idx", "start_frame", "end_frame", "n_active_frames")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(segs == Seq((0L, 0L, 3L, 3L), (1L, 6L, 6L, 1L)))
+    // zero hangover: every silent frame splits
+    val strict = Multimodal.vadSegments(media, frameBytes = 1, maxSilenceFrames = 0)
+      .orderBy("seg_idx")
+      .select("seg_idx", "start_frame", "end_frame").as[(Long, Long, Long)].collect().toSeq
+    assert(strict == Seq((0L, 0L, 1L), (1L, 3L, 3L), (2L, 6L, 6L)))
+  }
 }
