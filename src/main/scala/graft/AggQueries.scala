@@ -384,6 +384,94 @@ object AggQueries {
              |FROM g GROUP BY user_id, session_idx
              |ORDER BY user_id, session_idx""".stripMargin)),
 
+    // O41 — point-in-time (as-of) join: every view event picks up the
+    // LATEST click by the same user at or before it. Union-merge
+    // algorithm (one user-hash shuffle + per-key carry-forward window) —
+    // no range probe, no nested loop; the oracle replays the identical
+    // merge in SQL
+    QueryDef("o41_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+        val probe = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val ref = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us"), col("event_id").as("ref_id"))
+        graft.operators.AsofJoin.backward(probe, ref, Seq("user_id"), "us", Seq("ref_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id AS ref_id FROM events
+             |  WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, us, 0 AS side, CAST(NULL AS BIGINT) AS event_id, ref_id FROM c
+             |  UNION ALL
+             |  SELECT user_id, us, 1, event_id, CAST(NULL AS BIGINT) FROM v),
+             |w AS (
+             |  SELECT user_id, us, side, event_id,
+             |    last_value(ref_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_id
+             |  FROM u)
+             |SELECT event_id, user_id, us, ref_id FROM w WHERE side = 1
+             |ORDER BY event_id""".stripMargin)),
+
+    // O42 — range (interval-containment) join: events matched into their
+    // containing session windows via the grid-bucket equi-join (cells
+    // exploded per interval, points keyed to one cell, exact BETWEEN
+    // verify) — never a nested loop. Sessions are disjoint per user, so
+    // the match is exactly the session assignment, which is what the
+    // oracle emits directly
+    QueryDef("o42_interval_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("event_id") < 5000)
+        val pts = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        val sessions = graft.operators.Sessionize.summarize(ev, gapSeconds = 1800L)
+          .select(col("user_id"), col("session_idx"),
+            col("session_start_us"), col("session_end_us"))
+        graft.operators.IntervalJoin.containmentJoin(
+            pts, sessions, Seq("user_id"), "us",
+            "session_start_us", "session_end_us", cellWidth = 3600L * 1000000)
+          .select(col("event_id"), col("user_id"), col("session_idx"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_id < 5000),
+             |f AS (
+             |  SELECT user_id, event_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (
+             |  SELECT user_id, event_id,
+             |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
+             |  FROM f)
+             |SELECT event_id, user_id, session_idx FROM g ORDER BY event_id""".stripMargin)),
+
+    // O43 — trailing event-time window (RANGE frame): per event, the
+    // count and max id of the same user's events in the trailing hour —
+    // the sliding-window feature shape (fixed-width event-time frame, peer
+    // rows included), integer outputs only
+    QueryDef("o43_trailing_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600L * 1000000, 0)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("trailing_n", count(lit(1)).over(w))
+          .withColumn("trailing_max_id", max(col("event_id")).over(w))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+             |  CAST(count(*) OVER tw AS BIGINT) AS trailing_n,
+             |  max(event_id) OVER tw AS trailing_max_id
+             |FROM events
+             |WINDOW tw AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // F1 — date_trunc bucketing
     QueryDef("f1_date_trunc",
       (s, dir) => Tables.events(s, dir)

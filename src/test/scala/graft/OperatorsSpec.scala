@@ -185,4 +185,50 @@ class OperatorsSpec extends SparkSpec {
       .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
     assert(assigned == Map(10L -> 0L, 11L -> 0L, 12L -> 1L))
   }
+
+  test("asofBackward: inclusive equal-ts match, duplicate-ts tiebreak, null before first ref") {
+    import graft.operators.AsofJoin
+    val probe = Seq(
+      (1L, "k1", 100L), // before any ref → NULL
+      (2L, "k1", 200L), // ts == ref ts → inclusive match
+      (3L, "k1", 250L), // between refs → earlier ref
+      (4L, "k1", 300L), // duplicate ref ts at 300 → max payload wins
+      (5L, "k2", 500L)  // other key: isolated, no bleed from k1
+    ).toDF("event_id", "k", "us")
+    val ref = Seq(
+      ("k1", 200L, 20L), ("k1", 300L, 31L), ("k1", 300L, 30L), ("k2", 400L, 40L)
+    ).toDF("k", "us", "ref_id")
+    val out = AsofJoin.backward(probe, ref, Seq("k"), "us", Seq("ref_id"))
+      .select("event_id", "ref_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some(20L), 3L -> Some(20L),
+      4L -> Some(31L), 5L -> Some(40L)))
+    // payload collision with a probe column is rejected loudly
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.backward(probe, ref.withColumnRenamed("ref_id", "event_id"),
+        Seq("k"), "us", Seq("event_id"))).getMessage.contains("collide"))
+  }
+
+  test("interval containment join: inclusive bounds, multi-cell spans, overlap fan-out") {
+    import graft.operators.IntervalJoin
+    val pts = Seq(
+      (1L, "k", 10L),  // == lo of i1: inclusive
+      (2L, "k", 35L),  // inside i1, spans cells with width 10
+      (3L, "k", 40L),  // == hi of i1 AND == lo of i2: matches BOTH
+      (4L, "k", 99L),  // outside all
+      (5L, "z", 15L)   // right key range, wrong key
+    ).toDF("event_id", "k", "us")
+    val iv = Seq(
+      ("k", 10L, 40L, "i1"), ("k", 40L, 60L, "i2")
+    ).toDF("k", "lo", "hi", "name")
+    val out = IntervalJoin.containmentJoin(pts, iv, Seq("k"), "us", "lo", "hi", cellWidth = 10L)
+      .select("event_id", "name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "i1"), (2L, "i1"), (3L, "i1"), (3L, "i2")))
+    // floor cells on negative timestamps: interval [-25, -5] catches -10
+    val neg = IntervalJoin.containmentJoin(
+      Seq((9L, "k", -10L)).toDF("event_id", "k", "us"),
+      Seq(("k", -25L, -5L, "n1")).toDF("k", "lo", "hi", "name"),
+      Seq("k"), "us", "lo", "hi", cellWidth = 10L)
+    assert(neg.select("name").as[String].collect().toSeq == Seq("n1"))
+  }
 }

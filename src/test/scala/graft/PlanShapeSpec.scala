@@ -264,10 +264,16 @@ class PlanShapeSpec extends SparkSpec {
     // llm_audio_vad: the asset-hash exchange feeds frame windows AND the
     // (asset, segment) rollup — the o40 exchange-reuse shape — + the
     // output sort
+    // o41 as-of: ONE user-hash exchange for the union-merge window + the
+    // output sort — the whole point of the union-merge algorithm. o42:
+    // session build (user hash) + the grid-cell equi-join (fixture-size
+    // interval side broadcasts) + output sort. o43: range-frame window
+    // hash + output sort.
     val budgets = Seq(
       "o40_sessionize" -> 2, "llm_curriculum" -> 1,
       "llm_bpe_oov" -> 3, "llm_ctx_histogram" -> 5,
-      "llm_pack_waste" -> 9, "llm_audio_vad" -> 2)
+      "llm_pack_waste" -> 9, "llm_audio_vad" -> 2,
+      "o41_asof_join" -> 2, "o42_interval_join" -> 3, "o43_trailing_window" -> 2)
     budgets.foreach { case (name, budget) =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val ex = plan.linesIterator.count(_.contains("Exchange"))
