@@ -3347,5 +3347,57 @@ object LlmQueries {
              |  min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
              |  count(*) AS n_active_frames
              |FROM g GROUP BY asset_id, seg_idx
-             |ORDER BY asset_id, seg_idx""".stripMargin)))
+             |ORDER BY asset_id, seg_idx""".stripMargin)),
+
+    // ---- BM25 ranked retrieval (inverted-index join) ----
+
+    // hard-negative / targeted-decon lexical scorer: postings index built
+    // in one corpus pass, query-term table broadcast into the term-keyed
+    // probe (the index side never shuffles for a query batch), per-doc
+    // score summed in integer MICRO-UNITS so the BIGINT result is
+    // aggregation-order-independent across engines. Queries = first 8
+    // words of every 100th doc; top-5 per query
+    QueryDef("llm_bm25",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val queries = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("text"))
+        graft.llm.Bm25.topK(docs, queries, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, t.term FROM documents,
+             |    LATERAL (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term) t
+             |  WHERE t.term <> ''),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+             |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+             |q AS (
+             |  SELECT doc_id AS query_id,
+             |    array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:8], ' ') AS qtext
+             |  FROM documents WHERE doc_id % 100 = 0),
+             |qt AS (
+             |  SELECT DISTINCT query_id, u.term
+             |  FROM q, LATERAL (SELECT unnest(string_split_regex(qtext, '\s+')) AS term) u
+             |  WHERE u.term <> ''),
+             |c AS (
+             |  SELECT qt.query_id, tf.doc_id,
+             |    CAST(round(
+             |      ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             |        * (tf.tf * (1.2 + 1.0))
+             |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+             |        * 1000000.0, 0) AS BIGINT) AS cu
+             |  FROM qt JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+             |    JOIN dft ON qt.term = dft.term CROSS JOIN st),
+             |sc AS (
+             |  SELECT query_id, doc_id, CAST(sum(cu) AS BIGINT) AS score_micro
+             |  FROM c GROUP BY query_id, doc_id)
+             |SELECT query_id, doc_id, score_micro,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+             |FROM sc
+             |QUALIFY rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)))
 }

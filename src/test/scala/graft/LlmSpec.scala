@@ -1227,6 +1227,31 @@ class LlmSpec extends SparkSpec {
       Curation.curriculumOrder(ann, bands = Seq(0.5, 0.25))).getMessage.contains("ascending"))
   }
 
+  test("bm25: only matching docs retrieved, multi-term match outranks single, exact tf/dl/df") {
+    import graft.llm.Bm25
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple cherry"),
+      (3L, "durian durian durian")).toDF("doc_id", "text")
+    // postings index is exact
+    val post = Bm25.postings(docs).orderBy("doc_id", "term")
+      .select("doc_id", "term", "tf", "dl").as[(Long, String, Long, Long)].collect().toSet
+    assert(post == Set(
+      (1L, "apple", 1L, 2L), (1L, "banana", 1L, 2L),
+      (2L, "apple", 2L, 3L), (2L, "cherry", 1L, 3L),
+      (3L, "durian", 3L, 3L)))
+    val queries = Seq((10L, "durian"), (20L, "apple cherry")).toDF("query_id", "text")
+    val got = Bm25.topK(docs, queries, topK = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "doc_id", "rank").as[(Long, Long, Long)].collect().toSeq
+    // q10: only doc3 contains durian; q20: doc2 matches both terms and
+    // must outrank doc1's single lower-tf match
+    assert(got == Seq((10L, 3L, 1L), (20L, 2L, 1L), (20L, 1L, 2L)))
+    // scores are positive integers in micro-units (BM25+ idf is > 0)
+    val scores = Bm25.topK(docs, queries, topK = 5).select("score_micro").as[Long].collect()
+    assert(scores.forall(_ > 0L))
+  }
+
   test("oovAudit: held-out words fall back to character segmentation and are counted OOV") {
     import graft.llm.Bpe
     // train on a tiny corpus where "ab" is a learned merge

@@ -314,7 +314,9 @@ class PlanShapeSpec extends SparkSpec {
       "llm_temperature_mixture", "llm_pmi", "llm_bigram_lm",
       // packing-efficiency audit: a single-row corpus rollup — scalar
       // aggregate by definition
-      "llm_pack_waste")
+      "llm_pack_waste",
+      // BM25: corpus stats (N, avgdl) are a one-row scalar aggregate
+      "llm_bm25")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
       "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
       // one-row broadcast composition (smoothing totals / priors crossJoin
@@ -331,7 +333,11 @@ class PlanShapeSpec extends SparkSpec {
       "llm_hard_negatives",
       // one-row broadcast composition again (n_min / corpus totals
       // crossJoin onto a bounded counts table) — never corpus×corpus
-      "llm_temperature_mixture", "llm_pmi", "llm_bigram_lm")
+      "llm_temperature_mixture", "llm_pmi", "llm_bigram_lm",
+      // BM25: the one-row (N, avgdl) stats broadcast crossJoins onto the
+      // bounded (query-term × postings) probe result — the llm_lm_score
+      // class, never corpus×corpus
+      "llm_bm25")
     // Skip ONLY the queries whose lambda runs work at build time (streaming
     // replays, the chain-fold fixture, DSv2 replay, driver fixtures) — an
     // explicit list, not a prefix: the old `startsWith("s")` silently
