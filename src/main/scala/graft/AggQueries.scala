@@ -472,6 +472,41 @@ object AggQueries {
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin)),
 
+    // O44 — ordered funnel (view → click → purchase, 1-day conversion
+    // window): greedy-earliest chain via one keyed agg per step, all
+    // hashing the same user key; integer-µs outputs
+    QueryDef("o44_funnel",
+      (s, dir) => graft.operators.Funnel
+        .funnel(Tables.events(s, dir), Seq("view", "click", "purchase"),
+          windowSeconds = 86400L)
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |t1 AS (SELECT user_id, min(us) AS t1_us FROM e
+             |       WHERE event_type = 'view' GROUP BY user_id),
+             |t2 AS (SELECT e.user_id, min(us) AS t2_us FROM e JOIN t1 USING (user_id)
+             |       WHERE event_type = 'click' AND us > t1_us GROUP BY e.user_id),
+             |t3 AS (SELECT e.user_id, min(us) AS t3_us FROM e JOIN t2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND us > t2_us GROUP BY e.user_id)
+             |SELECT t1.user_id, t1_us, t2_us, t3_us,
+             |  CAST(1 + CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END
+             |         + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
+             |  (t3_us IS NOT NULL AND t3_us - t1_us <= 86400000000) AS converted
+             |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // O45 — cohort retention triangle: first-seen epoch-day cohorts ×
+    // day offsets, distinct-user counts; pure BIGINT day arithmetic
+    QueryDef("o45_retention",
+      (s, dir) => graft.operators.Funnel.retention(Tables.events(s, dir))
+        .orderBy("cohort_day", "day_offset"),
+      Some("""WITH a AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+             |SELECT cohort_day, a.day - cohort_day AS day_offset, count(*) AS n_users
+             |FROM a JOIN c USING (user_id)
+             |GROUP BY cohort_day, day_offset
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
     // F1 — date_trunc bucketing
     QueryDef("f1_date_trunc",
       (s, dir) => Tables.events(s, dir)

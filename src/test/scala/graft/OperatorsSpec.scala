@@ -231,4 +231,54 @@ class OperatorsSpec extends SparkSpec {
       Seq("k"), "us", "lo", "hi", cellWidth = 10L)
     assert(neg.select("name").as[String].collect().toSeq == Seq("n1"))
   }
+
+  test("funnel: strictly-after chaining, stalled chains, window boundary inclusive") {
+    import graft.operators.Funnel
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    val events = Seq(
+      // u1: full chain, conversion exactly AT the window bound (inclusive)
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(100)),
+      // u2: purchase BEFORE the click → chain stalls at step 2
+      (2L, "view", ts(0)), (2L, "purchase", ts(5)), (2L, "click", ts(10)),
+      // u3: click at the SAME instant as view → not strictly after, stalls
+      (3L, "view", ts(0)), (3L, "click", ts(0)),
+      // u4: full chain but too slow for the window
+      (4L, "view", ts(0)), (4L, "click", ts(10)), (4L, "purchase", ts(500)),
+      // u5: never does step 1 → absent from output
+      (5L, "click", ts(0)), (5L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(events, Seq("view", "click", "purchase"), windowSeconds = 100L)
+      .select("user_id", "steps_completed", "converted")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out == Map(
+      1L -> ((3L, true)), 2L -> ((2L, false)),
+      3L -> ((1L, false)), 4L -> ((3L, false))))
+    // u2's click at ts(10) is after its view: step 2 fires, step 3 has no
+    // purchase after the click, so t3 is NULL
+    val u2 = Funnel.funnel(events, Seq("view", "click", "purchase"), 100L)
+      .filter(col("user_id") === 2L).select("t2_us", "t3_us")
+      .as[(Option[Long], Option[Long])].collect()(0)
+    assert(u2._1.nonEmpty && u2._2.isEmpty)
+  }
+
+  test("retention: cohort by first-seen day, distinct users per offset cell") {
+    import graft.operators.Funnel
+    def ts(day: Long, sec: Long = 0L) =
+      new java.sql.Timestamp((day * 86400L + sec) * 1000)
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(0, 60)), // two events same day: counted once
+      (1L, ts(2)),
+      (2L, ts(0)), (2L, ts(1)),
+      (3L, ts(1))                   // later cohort
+    ).toDF("user_id", "ts")
+    val out = Funnel.retention(events)
+      .select("cohort_day", "day_offset", "n_users")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 2L), // u1, u2 on their first day
+      (0L, 1L, 1L), // u2 back next day
+      (0L, 2L, 1L), // u1 back on day 2
+      (1L, 0L, 1L)  // u3's cohort
+    ))
+  }
 }
