@@ -507,6 +507,74 @@ object AggQueries {
              |GROUP BY cohort_day, day_offset
              |ORDER BY cohort_day, day_offset""".stripMargin)),
 
+    // O46 — two-phase salted aggregation (operators/Skew.scala): the skew
+    // hatch for hot grouping keys as a first-class gate. lineitem's 6
+    // (flag, status) groups each carry ~1/6 of the corpus — exactly the
+    // hot-key shape where a plain groupBy leaves 6 reducers doing all the
+    // work; the salt spreads each group over 16 partials first. Results
+    // are salt-invariant (the oracle is a plain GROUP BY): algebraic
+    // measures recombine exactly, ordered open/close picks carry their
+    // (uid, value) ordering key through both phases — (uid, value) and
+    // not bare uid because the synthetic lineitem duplicates
+    // (orderkey, linenumber), so bare-uid argmin would be nondeterministic
+    QueryDef("o46_salted_agg",
+      (s, dir) => {
+        import graft.operators.Skew
+        val li = Tables.lineitem(s, dir)
+          .withColumn("__uid", col("l_orderkey") * 100 + col("l_linenumber"))
+        val ordKey = struct(col("__uid"), col("l_extendedprice"))
+        Skew.saltedAggregate(
+          li,
+          keys = Seq(col("l_returnflag"), col("l_linestatus")),
+          measures = Seq(
+            Skew.sumOf(col("l_quantity").cast("decimal(18,2)"), "total_qty"),
+            Skew.countRows("n"),
+            Skew.minOf(col("l_extendedprice"), "lo"),
+            Skew.maxOf(col("l_extendedprice"), "hi"),
+            Skew.minByOf(col("l_extendedprice"), ordKey, "open"),
+            Skew.maxByOf(col("l_extendedprice"), ordKey, "close")),
+          saltBuckets = 16,
+          saltSource = col("__uid"))
+          .withColumn("total_qty", col("total_qty").cast("double"))
+          .withColumnRenamed("l_returnflag", "flag")
+          .withColumnRenamed("l_linestatus", "status")
+          .orderBy("flag", "status")
+      },
+      Some("""WITH u AS (
+             |  SELECT l_returnflag AS f, l_linestatus AS s, l_quantity AS q,
+             |    l_extendedprice AS p, l_orderkey * 100 + l_linenumber AS uid
+             |  FROM lineitem),
+             |w AS (
+             |  SELECT f, s, q, p,
+             |    row_number() OVER (PARTITION BY f, s ORDER BY uid, p) AS rn_a,
+             |    row_number() OVER (PARTITION BY f, s ORDER BY uid DESC, p DESC) AS rn_d
+             |  FROM u)
+             |SELECT f AS flag, s AS status,
+             |  CAST(sum(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+             |  count(*) AS n,
+             |  min(p) AS lo, max(p) AS hi,
+             |  max(CASE WHEN rn_a = 1 THEN p END) AS "open",
+             |  max(CASE WHEN rn_d = 1 THEN p END) AS "close"
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // O47 — multi-dimensional subtotals (ROLLUP): the per-(lang, source)
+    // token-count report with per-lang subtotals and a grand total — the
+    // standard corpus-composition report a curation pipeline publishes.
+    // grouping_id() disambiguates subtotal NULLs from data NULLs and keys
+    // the deterministic output order; Spark's bitmask convention (first
+    // rollup column = MSB) matches DuckDB's GROUPING(lang, source)
+    QueryDef("o47_rollup",
+      (s, dir) => Tables.documents(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("lang"), asc_nulls_first("source")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+             |FROM documents GROUP BY ROLLUP (lang, source)
+             |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin)),
+
     // F1 — date_trunc bucketing
     QueryDef("f1_date_trunc",
       (s, dir) => Tables.events(s, dir)

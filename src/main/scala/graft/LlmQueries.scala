@@ -3399,5 +3399,130 @@ object LlmQueries {
              |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
              |FROM sc
              |QUALIFY rank <= 5
-             |ORDER BY query_id, rank""".stripMargin)))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion (BM25 ⊕ dense) ----
+
+    // the standard score-free combiner over the lexical and dense top-10
+    // lists (Cormack 2009). Contributions are integer nano-units BEFORE
+    // the per-(query, doc) sum (the bm25 score_micro convention), so the
+    // fused score is a BIGINT independent of aggregation order. Dense
+    // ranks are bit-reproducible cross-engine: dot/norm run in index
+    // order over the same float→double values in both engines (the
+    // llm_ann_bruteforce precedent)
+    QueryDef("llm_rrf_fusion",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val queries = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("text"))
+        val lexical = graft.llm.Bm25.topK(docs, queries, topK = 10)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") % 100 === 0), emb, k = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        graft.llm.Fusion.rrf(Seq(lexical, dense), topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, t.term FROM documents,
+             |    LATERAL (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term) t
+             |  WHERE t.term <> ''),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+             |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+             |q AS (
+             |  SELECT doc_id AS query_id,
+             |    array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:8], ' ') AS qtext
+             |  FROM documents WHERE doc_id % 100 = 0),
+             |qt AS (
+             |  SELECT DISTINCT query_id, u.term
+             |  FROM q, LATERAL (SELECT unnest(string_split_regex(qtext, '\s+')) AS term) u
+             |  WHERE u.term <> ''),
+             |c AS (
+             |  SELECT qt.query_id, tf.doc_id,
+             |    CAST(round(
+             |      ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             |        * (tf.tf * (1.2 + 1.0))
+             |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+             |        * 1000000.0, 0) AS BIGINT) AS cu
+             |  FROM qt JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+             |    JOIN dft ON qt.term = dft.term CROSS JOIN st),
+             |sc AS (
+             |  SELECT query_id, doc_id, CAST(sum(cu) AS BIGINT) AS score_micro
+             |  FROM c GROUP BY query_id, doc_id),
+             |bmr AS (
+             |  SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score_micro DESC, doc_id) AS rank
+             |  FROM sc QUALIFY rank <= 10),
+             |dn AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+             |    row_number() OVER (PARTITION BY a.vec_id
+             |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+             |  QUALIFY rank <= 10),
+             |contrib AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(round(1000000000.0 / (60 + rank), 0) AS BIGINT) AS cnano FROM bmr
+             |  UNION ALL
+             |  SELECT query_id, doc_id,
+             |    CAST(round(1000000000.0 / (60 + rank), 0) AS BIGINT) FROM dn),
+             |fused AS (
+             |  SELECT query_id, doc_id, CAST(sum(cnano) AS BIGINT) AS rrf_nano,
+             |    count(*) AS n_systems
+             |  FROM contrib GROUP BY query_id, doc_id)
+             |SELECT query_id, doc_id, rrf_nano, n_systems,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rank
+             |FROM fused
+             |QUALIFY rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- quality-aware dedup keeper (normalized exact groups) ----
+
+    // RefinedWeb-style policy: dup groups keyed on NORMALIZED text
+    // (lowercase, punctuation→space, whitespace collapsed — the Dolma
+    // canonicalization), keeper = highest quality_score (tie → lowest
+    // id) instead of first-seen. Planted copies of every 7th doc carry
+    // extra punctuation: same dup group, strictly lower quality — the
+    // gate proves the ORIGINAL survives, not the id-ordered winner
+    QueryDef("llm_dedup_keeper",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val noisy = base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" !!! ??? !!!")).as("text"))
+        val scored = TextAnalysis.qualityScore(base.unionByName(noisy))
+          .select(col("doc_id"), col("text"), col("quality_score"))
+        Dedup.exactKeepBest(scored, "quality_score")
+          .select(col("doc_id"), col("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH kc AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000 AS doc_id, text || ' !!! ??? !!!' AS text
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |q AS (
+             |  SELECT doc_id, text,
+             |    round(CASE WHEN n_words < 2 THEN 0.0 ELSE
+             |      greatest(0.0, 1.0 - least(punct_ratio * 2, 0.5) - least(digit_ratio, 0.3)
+             |        - CASE WHEN n_chars_m < 20 THEN 0.2 ELSE 0.0 END) END, 4) AS quality_score
+             |  FROM (
+             |    SELECT doc_id, text, length(text) AS n_chars_m,
+             |      len(string_split_regex(trim(text), '\s+')) AS n_words,
+             |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+             |      CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio
+             |    FROM kc))
+             |SELECT doc_id, quality_score FROM (
+             |  SELECT doc_id, quality_score,
+             |    row_number() OVER (
+             |      PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+             |      ORDER BY quality_score DESC, doc_id) AS rn
+             |  FROM q)
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)))
 }

@@ -31,6 +31,27 @@ object Dedup {
       .agg(count(lit(1)).as("copies"), min(col(idCol)).as("keeper_id"))
       .filter(col("copies") > 1)
 
+  /** Dedup canonicalization (the Dolma/RefinedWeb "exact dedup after
+    * normalization" key): lowercase, non-alphanumerics to spaces,
+    * whitespace collapsed, trimmed. Two copies differing only in case or
+    * punctuation land in one dup group. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Quality-aware keeper: within each normalized-content dup group keep
+    * the HIGHEST-quality copy (tie → lowest id) instead of the first-seen —
+    * the RefinedWeb-style "keep the cleanest duplicate" policy. Same single
+    * content-hash shuffle as [[exact]]; only the within-group order changes. */
+  def exactKeepBest(
+      docs: DataFrame,
+      qualityCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(normalizedText(col(textCol))))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   // ---- shingling / MinHash ----------------------------------------------
 
   /** Word k-shingles of the lowercased text. Row-local single pass — the

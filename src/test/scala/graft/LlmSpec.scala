@@ -1265,4 +1265,37 @@ class LlmSpec extends SparkSpec {
     // de: "cd" seen in training (2 tokens, no merge applied to it)
     assert(out == Seq(("de", 1L, 0L, 2L, 0L), ("en", 2L, 1L, 4L, 3L)))
   }
+
+  test("rrf fusion: two-system consensus outranks either single-system winner") {
+    import graft.llm.Fusion
+    val sysA = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val sysB = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Fusion.rrf(Seq(sysA, sysB), topK = 2)
+      .orderBy("rank")
+      .select("doc_id", "rrf_nano", "n_systems", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 20 appears in both systems (rank 2 + rank 1) and must win;
+    // nano contributions: 1e9/61 = 16393443 (round .62), 1e9/62 = 16129032
+    assert(got == Seq(
+      (20L, 16129032L + 16393443L, 2L, 1L),
+      (10L, 16393443L, 1L, 2L)))
+  }
+
+  test("quality-aware keeper: best copy survives its dup group regardless of id order") {
+    val docs = Seq(
+      (1L, "hello, world!!"), // same normalized group as id 2, lower quality (punct)
+      (2L, "Hello World"),
+      (5L, "distinct doc body"), // exact tie group: quality equal -> min id
+      (6L, "distinct doc body"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("text"), col("quality_score"))
+    val kept = Dedup.exactKeepBest(scored, "quality_score")
+      .select("doc_id").as[Long].collect().toSet
+    // id 2 wins its group on quality despite the higher id; tie -> id 5
+    assert(kept == Set(2L, 5L))
+    // normalization: case/punct variants share a key, distinct bodies don't
+    val keys = docs.select(Dedup.normalizedText(col("text"))).as[String].collect().toSet
+    assert(keys == Set("hello world", "distinct doc body"))
+  }
 }

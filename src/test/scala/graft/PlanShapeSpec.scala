@@ -281,6 +281,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-10 batch-8 operator gates hold their exchange budgets") {
+    // o46: the two-phase salted aggregate is EXACTLY phase-1 (keys+salt
+    // hash) + phase-2 (keys hash) + output sort — the deliberate extra
+    // shuffle that buys hot-key spreading; anything above 3 means a
+    // regression re-shuffled a phase. o47: one expand+hash-agg exchange
+    // for the rollup + output sort. llm_dedup_keeper: one content-hash
+    // window exchange + output sort (same budget class as llm_dedup_exact).
+    // llm_rrf_fusion composes the full BM25 chain (10 exchanges standalone,
+    // minus its output sort inside the fusion) + the dense rank window +
+    // the fused (query, doc) agg + fused rank + output sort = 12.
+    val budgets = Seq(
+      "o46_salted_agg" -> 3, "o47_rollup" -> 2,
+      "llm_dedup_keeper" -> 2, "llm_rrf_fusion" -> 12)
+    budgets.foreach { case (name, budget) =>
+      val plan = executed(SparkEntry.queries(name)(spark, dir))
+      val ex = plan.linesIterator.count(_.contains("Exchange"))
+      assert(ex == budget, s"$name expected $budget exchanges, got $ex:\n$plan")
+    }
+  }
+
   test("single-partition windows are banned from query plans") {
     // a global window/sort demands Exchange SinglePartition via
     // ENSURE_REQUIREMENTS — the representative paths that historically
@@ -316,7 +336,9 @@ class PlanShapeSpec extends SparkSpec {
       // aggregate by definition
       "llm_pack_waste",
       // BM25: corpus stats (N, avgdl) are a one-row scalar aggregate
-      "llm_bm25")
+      "llm_bm25",
+      // RRF fusion runs the BM25 chain (same scalar stats aggregate)
+      "llm_rrf_fusion")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
       "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
       // one-row broadcast composition (smoothing totals / priors crossJoin
@@ -337,7 +359,12 @@ class PlanShapeSpec extends SparkSpec {
       // BM25: the one-row (N, avgdl) stats broadcast crossJoins onto the
       // bounded (query-term × postings) probe result — the llm_lm_score
       // class, never corpus×corpus
-      "llm_bm25")
+      "llm_bm25",
+      // RRF fusion composes the BM25 stats broadcast AND the bounded dense
+      // brute-force (query side capped to vec_id % 100 before the
+      // crossJoin — the llm_ann_bruteforce class); corpus-scale dense path
+      // is the IVF probe, gated separately
+      "llm_rrf_fusion")
     // Skip ONLY the queries whose lambda runs work at build time (streaming
     // replays, the chain-fold fixture, DSv2 replay, driver fixtures) — an
     // explicit list, not a prefix: the old `startsWith("s")` silently

@@ -43,6 +43,24 @@ class SkewSpec extends SparkSpec {
     assert(d == s2)
   }
 
+  test("struct ordering key: argmin/argmax stay deterministic under duplicate uids") {
+    // two rows share uid=1 with different values: a bare-uid argmin is
+    // nondeterministic; the (uid, value) struct key pins the pick
+    val df = Seq(("K", 1L, 9.0), ("K", 1L, 3.0), ("K", 2L, 5.0)).toDF("key", "uid", "value")
+    val ord = struct(col("uid"), col("value"))
+    val got = Skew.saltedAggregate(
+      df,
+      keys = Seq(col("key")),
+      measures = Seq(
+        Skew.minByOf(col("value"), ord, "open"),
+        Skew.maxByOf(col("value"), ord, "close")),
+      saltBuckets = 4,
+      saltSource = col("value"))
+      .select("open", "close").as[(Double, Double)].collect().head
+    // open: min (uid, value) = (1, 3.0); close: max = (2, 5.0)
+    assert(got == ((3.0, 5.0)))
+  }
+
   test("salt actually spreads the hot key across partial groups") {
     val rows = (1 to 1000).map(i => ("HOT", i.toLong, 1.0))
     val df = rows.toDF("key", "uid", "value")
