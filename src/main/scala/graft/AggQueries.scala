@@ -575,6 +575,43 @@ object AggQueries {
              |FROM documents GROUP BY ROLLUP (lang, source)
              |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin)),
 
+    // O48 — pivot (crosstab): per-source doc counts fanned across the five
+    // fixture languages as columns. Spark's pivot with an EXPLICIT value
+    // list (never the two-pass value-discovery scan — a full extra corpus
+    // read at 100 TB); absent combos coalesce to 0 to match the
+    // conditional-sum oracle
+    QueryDef("o48_pivot",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val p = Tables.documents(s, dir)
+          .groupBy(col("source")).pivot("lang", langs).agg(count(lit(1)))
+        langs.foldLeft(p)((acc, l) => acc.withColumn(l, coalesce(col(l), lit(0L))))
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+             |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+             |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+             |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+             |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // O49 — multi-distinct aggregation: daily active users / event-type
+    // diversity — count(DISTINCT x) twice in one grouped agg (Catalyst
+    // plans the expand + two-phase distinct; absent from the reference,
+    // SURVEY §2.4, but table stakes for pipeline reporting)
+    QueryDef("o49_distinct_agg",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000L").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("day"),
+      Some("""SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  count(DISTINCT event_type) AS n_types
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
     // F1 — date_trunc bucketing
     QueryDef("f1_date_trunc",
       (s, dir) => Tables.events(s, dir)

@@ -3524,5 +3524,94 @@ object LlmQueries {
              |      PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
              |      ORDER BY quality_score DESC, doc_id) AS rn
              |  FROM q)
-             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)))
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- near-dup CLUSTER quality keeper (minhash → components → argmax) ----
+
+    // the transitive version of llm_dedup_keeper: verified MinHash pairs →
+    // connected components → keep the highest-quality member per cluster.
+    // The fixture plants the noisy twin at the LOW id and the pristine twin
+    // at the HIGH id, so a min-id keeper would pick the noisy copy — the
+    // gate proves quality ordering wins. Oracle replays the ENTIRE pipeline:
+    // minhash/banding CTEs, exact-Jaccard verify, a RECURSIVE min-label
+    // closure for the components, the quality formula, and the keeper window
+    QueryDef("llm_cluster_keeper",
+      (s, dir) => {
+        import graft.llm.Components
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val sevens = base.filter(col("doc_id") % 7 === 0)
+        val corpus = base.filter(col("doc_id") % 7 =!= 0)
+          .unionByName(sevens.select(col("doc_id"),
+            concat(col("text"), lit(" !!! ??? !!!")).as("text")))
+          .unionByName(sevens.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .localCheckpoint() // feeds signatures, verify, nodes and quality
+        val cands = Dedup.minhashLshCandidates(corpus).localCheckpoint()
+        val pairs = Dedup.jaccardVerify(cands, corpus, threshold = 0.7)
+          .select("id_a", "id_b")
+        val clusters = Components.dupClusters(pairs, corpus.select("doc_id"))
+        val quality = TextAnalysis.qualityScore(corpus)
+          .select(col("doc_id").as("id"), col("quality_score"))
+        clusters.join(quality, Seq("id"))
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("size"),
+            max_by(col("id"), struct(col("quality_score"), (-col("id")).as("nid"))).as("keeper_id"),
+            max(col("quality_score")).as("keeper_quality"))
+          .filter(col("size") > 1)
+          .orderBy("comp")
+      },
+      Some(s"""WITH RECURSIVE kc AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+              |  UNION ALL
+              |  SELECT doc_id, text || ' !!! ??? !!!' AS text
+              |  FROM documents WHERE doc_id % 7 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, text
+              |  FROM documents WHERE doc_id % 7 = 0),
+              |${HashSql.minhashCtes("kc", "k")},
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM kbands a JOIN kbands b
+              |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              |ji AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN kshd x ON x.doc_id = c.id_a
+              |  JOIN kshd y ON y.doc_id = c.id_b AND y.sh = x.sh
+              |  GROUP BY c.id_a, c.id_b),
+              |sz AS (SELECT doc_id, count(*) AS n FROM kshd GROUP BY doc_id),
+              |vp AS (
+              |  SELECT c.id_a, c.id_b
+              |  FROM cand c
+              |  JOIN sz sa ON sa.doc_id = c.id_a
+              |  JOIN sz sb ON sb.doc_id = c.id_b
+              |  LEFT JOIN ji ON ji.id_a = c.id_a AND ji.id_b = c.id_b
+              |  WHERE CAST(coalesce(ji.inter, 0) AS DOUBLE)
+              |    / (sa.n + sb.n - coalesce(ji.inter, 0)) >= 0.7),
+              |edges AS (
+              |  SELECT id_a AS s, id_b AS d FROM vp
+              |  UNION ALL SELECT id_b AS s, id_a AS d FROM vp),
+              |reach(id, lbl) AS (
+              |  SELECT doc_id AS id, doc_id AS lbl FROM kc
+              |  UNION
+              |  SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+              |cmp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+              |q AS (
+              |  SELECT doc_id, round(CASE WHEN n_words < 2 THEN 0.0 ELSE
+              |      greatest(0.0, 1.0 - least(punct_ratio * 2, 0.5) - least(digit_ratio, 0.3)
+              |        - CASE WHEN n_chars_m < 20 THEN 0.2 ELSE 0.0 END) END, 4) AS quality_score
+              |  FROM (
+              |    SELECT doc_id, length(text) AS n_chars_m,
+              |      len(string_split_regex(trim(text), '\\s+')) AS n_words,
+              |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+              |      CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio
+              |    FROM kc)),
+              |k AS (
+              |  SELECT c.comp, c.id, q.quality_score,
+              |    row_number() OVER (PARTITION BY c.comp
+              |      ORDER BY q.quality_score DESC, c.id) AS rn,
+              |    count(*) OVER (PARTITION BY c.comp) AS size
+              |  FROM cmp c JOIN q ON q.doc_id = c.id)
+              |SELECT comp, CAST(size AS BIGINT) AS size, id AS keeper_id,
+              |  quality_score AS keeper_quality
+              |FROM k WHERE rn = 1 AND size > 1 ORDER BY comp""".stripMargin)))
 }

@@ -291,9 +291,16 @@ class PlanShapeSpec extends SparkSpec {
     // llm_rrf_fusion composes the full BM25 chain (10 exchanges standalone,
     // minus its output sort inside the fusion) + the dense rank window +
     // the fused (query, doc) agg + fused rank + output sort = 12.
+    // batch 9: o48 pivot = partial/final agg pair + output sort (explicit
+    // value list — NO second value-discovery scan). o49 multi-distinct =
+    // the expand's two-phase agg + output sort. llm_cluster_keeper reads
+    // the materialized component labels (the iterative propagation runs at
+    // build, its per-round plans pinned by Components' own discipline):
+    // quality join + comp agg + output sort.
     val budgets = Seq(
       "o46_salted_agg" -> 3, "o47_rollup" -> 2,
-      "llm_dedup_keeper" -> 2, "llm_rrf_fusion" -> 12)
+      "llm_dedup_keeper" -> 2, "llm_rrf_fusion" -> 12,
+      "o48_pivot" -> 3, "o49_distinct_agg" -> 3, "llm_cluster_keeper" -> 3)
     budgets.foreach { case (name, budget) =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val ex = plan.linesIterator.count(_.contains("Exchange"))
