@@ -399,5 +399,80 @@ object CoreQueries {
              |FROM nation n
              |JOIN (SELECT UNNEST([1, 3, 5, 7]) AS n_nationkey, UNNEST(['alpha', 'beta', 'gamma', 'delta']) AS tag) u
              |  ON n.n_nationkey = u.n_nationkey
-             |ORDER BY n.n_nationkey""".stripMargin)))
+             |ORDER BY n.n_nationkey""".stripMargin)),
+
+    // O50 — left-SEMI join as a user operator (EXISTS): customers with at
+    // least one order. The reference only issues equi left/inner joins
+    // (SURVEY §2.3 "absent"); semi/anti are first-class here because every
+    // dedup/decontamination survivor set is one. Semi never duplicates the
+    // probe side and prunes the build side's payload columns entirely
+    QueryDef("o50_semi_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // O51 — left-ANTI join (NOT EXISTS): customers with no orders — the
+    // dedup-drop / decontamination shape (anti against the dropped set)
+    QueryDef("o51_anti_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // O52 — the TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem)
+    // + grouped revenue + top-10. The canonical multi-join plan test:
+    // customer filter broadcast, orders⋈lineitem shuffle on the order key,
+    // TakeOrdered for the limit (never a global sort). Revenue summed in
+    // integer CENTS (round before sum — the score_micro convention) so the
+    // BIGINT is aggregation-order-independent across engines
+    QueryDef("o52_multijoin_topk",
+      (s, dir) => {
+        // epoch-day 10378 = 1998-06-01; pure-integer day bounds keep the
+        // cutoff timezone-proof in both engines
+        val cutoffDay = 10378L
+        val c = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = Tables.orders(s, dir)
+          .withColumn("o_day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000L"))
+          .filter(col("o_day") < cutoffDay)
+          .select("o_orderkey", "o_custkey", "o_day", "o_orderpriority")
+        val l = Tables.lineitem(s, dir)
+          .filter(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000L") > cutoffDay)
+          .select(col("l_orderkey"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+              .cast("long").as("cents"))
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_day"), col("o_orderpriority"))
+          .agg(sum(col("cents")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_day, o_orderpriority,
+             |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+             |FROM (
+             |  SELECT l.l_orderkey, epoch_us(o.o_orderdate) // 86400000000 AS o_day,
+             |    o.o_orderpriority,
+             |    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0) AS BIGINT) AS cents
+             |  FROM customer c
+             |  JOIN orders o ON c.c_custkey = o.o_custkey
+             |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  WHERE c.c_mktsegment = 'BUILDING'
+             |    AND epoch_us(o.o_orderdate) // 86400000000 < 10378
+             |    AND epoch_us(l.l_shipdate) // 86400000000 > 10378)
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)))
 }

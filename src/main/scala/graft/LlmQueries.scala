@@ -3613,5 +3613,111 @@ object LlmQueries {
               |  FROM cmp c JOIN q ON q.doc_id = c.id)
               |SELECT comp, CAST(size AS BIGINT) AS size, id AS keeper_id,
               |  quality_score AS keeper_quality
-              |FROM k WHERE rn = 1 AND size > 1 ORDER BY comp""".stripMargin)))
+              |FROM k WHERE rn = 1 AND size > 1 ORDER BY comp""".stripMargin)),
+
+    // ---- MMR diversified retrieval (Carbonell & Goldstein 1998) ----
+
+    // near-dup-aware top-k: greedy λ·rel − (1−λ)·max-sim-to-selected over
+    // the relevance top-10, selectK=3, λ=0.7. The oracle UNROLLS the three
+    // selection steps (s1 = argmax rel; s2/s3 = argmax of the MMR
+    // objective against the growing selected set). Both engines write the
+    // damping as (1.0 - 0.7) so the scalar folds to the SAME IEEE double
+    // (a literal 0.3 is a different double than 1.0-0.7); cosines use the
+    // identical dot/(√·√) formula shape on both sides
+    QueryDef("llm_mmr",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        Similarity.mmrDiversify(emb.filter(col("vec_id") % 100 === 0), emb,
+            candidateK = 10, selectK = 3, lambda = 0.7)
+          .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+            round(col("mmr_score"), 6).as("mmr_score"))
+          .orderBy("query_id", "mmr_rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+             |sc AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, c.v)
+             |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS rel
+             |  FROM q, e c WHERE q.vec_id <> c.vec_id),
+             |cand AS (
+             |  SELECT query_id, neighbor_id, rel FROM sc
+             |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) <= 10),
+             |cs AS (
+             |  SELECT a.query_id, a.neighbor_id AS id_i, b.neighbor_id AS id_j,
+             |    list_dot_product(x.v, y.v)
+             |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+             |  FROM cand a
+             |  JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+             |  JOIN e x ON x.vec_id = a.neighbor_id
+             |  JOIN e y ON y.vec_id = b.neighbor_id),
+             |s1 AS (
+             |  SELECT query_id, neighbor_id, rel FROM cand
+             |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) = 1),
+             |m2 AS (
+             |  SELECT c.query_id, c.neighbor_id, c.rel,
+             |    0.7 * c.rel - (1.0 - 0.7) * cs.sim AS score
+             |  FROM cand c
+             |  JOIN s1 ON s1.query_id = c.query_id AND c.neighbor_id <> s1.neighbor_id
+             |  JOIN cs ON cs.query_id = c.query_id AND cs.id_i = c.neighbor_id
+             |    AND cs.id_j = s1.neighbor_id),
+             |s2 AS (
+             |  SELECT query_id, neighbor_id, score FROM m2
+             |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) = 1),
+             |m3 AS (
+             |  SELECT c.query_id, c.neighbor_id,
+             |    0.7 * c.rel - (1.0 - 0.7) * greatest(c1.sim, c2.sim) AS score
+             |  FROM cand c
+             |  JOIN s1 ON s1.query_id = c.query_id AND c.neighbor_id <> s1.neighbor_id
+             |  JOIN s2 ON s2.query_id = c.query_id AND c.neighbor_id <> s2.neighbor_id
+             |  JOIN cs c1 ON c1.query_id = c.query_id AND c1.id_i = c.neighbor_id
+             |    AND c1.id_j = s1.neighbor_id
+             |  JOIN cs c2 ON c2.query_id = c.query_id AND c2.id_i = c.neighbor_id
+             |    AND c2.id_j = s2.neighbor_id),
+             |s3 AS (
+             |  SELECT query_id, neighbor_id, score FROM m3
+             |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) = 1)
+             |SELECT query_id, neighbor_id, 1 AS mmr_rank, round(rel, 6) AS mmr_score FROM s1
+             |UNION ALL
+             |SELECT query_id, neighbor_id, 2 AS mmr_rank, round(score, 6) AS mmr_score FROM s2
+             |UNION ALL
+             |SELECT query_id, neighbor_id, 3 AS mmr_rank, round(score, 6) AS mmr_score FROM s3
+             |ORDER BY query_id, mmr_rank""".stripMargin)),
+
+    // ---- langid confusion matrix (the labeling-quality audit) ----
+
+    // per-(true, predicted) counts + integer basis-point recall — the
+    // audit table a curation pipeline reviews before trusting a cheap
+    // classifier on 100 TB. Pure BIGINT (n·10000 div total), no float
+    QueryDef("llm_langid_confusion",
+      (s, dir) => {
+        val pred = Tables.documents(s, dir)
+          .select(col("lang"), TextAnalysis.languageId(col("text")).as("pred_lang"))
+        val cm = pred.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        val tot = pred.groupBy(col("lang")).agg(count(lit(1)).as("lang_total"))
+        cm.join(tot, Seq("lang"))
+          .withColumn("recall_bp", expr("n * 10000 div lang_total"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some("""WITH p AS (
+             |  SELECT lang,
+             |    CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+             |         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+             |         WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+             |         WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+             |         ELSE 'de' END AS pred_lang
+             |  FROM (
+             |    SELECT lang,
+             |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|a)\b')) AS s_en,
+             |      len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS s_es,
+             |      len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS s_fr,
+             |      len(regexp_extract_all(lower(text), '\b(der|die|und|das|von|zu|mit|den|im|ein)\b')) AS s_de
+             |    FROM documents)),
+             |cm AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+             |tot AS (SELECT lang, count(*) AS lang_total FROM p GROUP BY 1)
+             |SELECT cm.lang, cm.pred_lang, cm.n, tot.lang_total,
+             |  cm.n * 10000 // tot.lang_total AS recall_bp
+             |FROM cm JOIN tot ON cm.lang = tot.lang
+             |ORDER BY 1, 2""".stripMargin)))
 }

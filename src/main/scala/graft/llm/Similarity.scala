@@ -61,6 +61,65 @@ object Similarity {
     topKPerQuery(scored, "cosine", k)
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998): greedily select `selectK` of the `candidateK` most
+    * relevant candidates, each step maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-selected. The retrieval-side
+    * complement of SemDeDup: a near-dup-aware result list.
+    *
+    * Scale shape: the candidate pool is bounded (|Q|·candidateK rows,
+    * materialized once); the selection loop is DRIVER-UNROLLED over
+    * selectK — a small constant, the candle-ladder convention — and each
+    * step is a bounded join of the pool against the ≤|Q|·step selected
+    * rows plus one per-query rank window. No UDF, no iterative shuffle
+    * growth. Ties break on neighbor id at every argmax. The first pick's
+    * score is its raw relevance; later scores are the MMR objective. */
+  def mmrDiversify(
+      queries: DataFrame,
+      corpus: DataFrame,
+      candidateK: Int,
+      selectK: Int,
+      lambda: Double,
+      queryIdCol: String = "vec_id",
+      corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(selectK >= 1 && candidateK >= selectK,
+      s"need candidateK >= selectK >= 1: $candidateK, $selectK")
+    val emb = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__v"))
+    val pool = bruteForceTopK(queries, corpus, candidateK, queryIdCol, corpusIdCol, vecCol)
+      .withColumnRenamed("cosine", "rel")
+      .join(emb, Seq("neighbor_id"))
+      .localCheckpoint() // feeds every step's anti-join AND sim join
+    var result = pool.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("__v"),
+        lit(1).as("mmr_rank"), col("rel").as("mmr_score"))
+      .localCheckpoint()
+    var step = 2
+    while (step <= selectK) {
+      val selV = result.select(col("query_id"),
+        col("neighbor_id").as("__sid"), col("__v").as("__sv"))
+      val rem = pool.join(
+        result.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = rem.join(selV, Seq("query_id"))
+        .withColumn("__sim", cosine(col("__v"), col("__sv")))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("rel")).as("rel"), max(col("__v")).as("__v"),
+          max(col("__sim")).as("__maxsim"))
+        .withColumn("__score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__maxsim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__score").desc, col("neighbor_id"))
+      val pick = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("__v"),
+          lit(step).as("mmr_rank"), col("__score").as("mmr_score"))
+      result = result.unionByName(pick).localCheckpoint()
+      step += 1
+    }
+    result.drop("__v")
+  }
+
   /** Deterministic pseudo-centroids: the `numCells` corpus vectors with the
     * smallest 64-bit hash of their id — a deterministic pseudo-random sample.
     * (k-means would iterate; for the engine the *plumbing* — assign, bucket,

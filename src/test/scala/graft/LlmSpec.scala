@@ -1281,6 +1281,27 @@ class LlmSpec extends SparkSpec {
       (10L, 16393443L, 1L, 2L)))
   }
 
+  test("mmr: diversity-weighted selection promotes the non-duplicate candidate") {
+    // a (id 1) and b (id 2) are near-identical and maximally relevant to q;
+    // c (id 3) is less relevant but diverse. With λ=0.3 (diversity-heavy)
+    // MMR must select a, then c, then b — pure relevance would give a, b, c.
+    val q = Seq((0L, Seq(1.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1.0, 1.0, 0.01)),
+      (2L, Seq(1.0, 1.0, -0.01)),
+      (3L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrDiversify(q, corpus, candidateK = 3, selectK = 3, lambda = 0.3)
+      .orderBy("mmr_rank")
+      .select("neighbor_id", "mmr_rank").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (3L, 2), (2L, 3)))
+    // rank-1 ties break on id: a and b have bit-identical relevance shapes
+    val got2 = Similarity.mmrDiversify(q,
+      Seq((5L, Seq(1.0, 1.0, 0.0)), (4L, Seq(1.0, 1.0, 0.0))).toDF("vec_id", "embedding"),
+      candidateK = 2, selectK = 1, lambda = 0.5)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got2 == Seq(4L))
+  }
+
   test("quality-aware keeper: best copy survives its dup group regardless of id order") {
     val docs = Seq(
       (1L, "hello, world!!"), // same normalized group as id 2, lower quality (punct)

@@ -297,10 +297,20 @@ class PlanShapeSpec extends SparkSpec {
     // the materialized component labels (the iterative propagation runs at
     // build, its per-round plans pinned by Components' own discipline):
     // quality join + comp agg + output sort.
+    // batch 10: o50/o51 semi/anti = the two join-side hash exchanges (the
+    // orders side is the bigger relation — a broadcast would ship it).
+    // o52 = orders⋈lineitem shuffle pair + the grouped-agg exchange; the
+    // customer filter broadcasts and TakeOrdered never sorts globally.
+    // llm_mmr's candidate pool and selection rounds materialize at build
+    // (localCheckpoint per step, the cluster_keeper convention) — the
+    // final plan is one output sort. langid_confusion: cm agg + tot agg +
+    // their join + output sort.
     val budgets = Seq(
       "o46_salted_agg" -> 3, "o47_rollup" -> 2,
       "llm_dedup_keeper" -> 2, "llm_rrf_fusion" -> 12,
-      "o48_pivot" -> 3, "o49_distinct_agg" -> 3, "llm_cluster_keeper" -> 3)
+      "o48_pivot" -> 3, "o49_distinct_agg" -> 3, "llm_cluster_keeper" -> 3,
+      "o50_semi_join" -> 2, "o51_anti_join" -> 2, "o52_multijoin_topk" -> 3,
+      "llm_mmr" -> 1, "llm_langid_confusion" -> 4)
     budgets.foreach { case (name, budget) =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val ex = plan.linesIterator.count(_.contains("Exchange"))
@@ -371,7 +381,10 @@ class PlanShapeSpec extends SparkSpec {
       // brute-force (query side capped to vec_id % 100 before the
       // crossJoin — the llm_ann_bruteforce class); corpus-scale dense path
       // is the IVF probe, gated separately
-      "llm_rrf_fusion")
+      "llm_rrf_fusion",
+      // MMR pools candidates via the same bounded brute-force (capped query
+      // side); the selection loop itself is bounded joins over the pool
+      "llm_mmr")
     // Skip ONLY the queries whose lambda runs work at build time (streaming
     // replays, the chain-fold fixture, DSv2 replay, driver fixtures) — an
     // explicit list, not a prefix: the old `startsWith("s")` silently
