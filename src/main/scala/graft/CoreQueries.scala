@@ -474,5 +474,48 @@ object CoreQueries {
              |    AND epoch_us(o.o_orderdate) // 86400000000 < 10378
              |    AND epoch_us(l.l_shipdate) // 86400000000 > 10378)
              |GROUP BY 1, 2, 3
-             |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)))
+             |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // O53 — ntile ranking (absent from the reference, SURVEY §2.5): per-
+    // nation account-balance quartiles — the standard "bucket a metric
+    // within each group" report. PARTITIONED window (a global ntile would
+    // funnel through one partition — banned by the plan sweep); the order
+    // key carries c_custkey so ties are deterministic
+    QueryDef("o53_ntile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            ntile(4).over(w).as("balance_quartile"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+             |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal, c_custkey) AS INT) AS balance_quartile
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // O54 — INTERSECT / EXCEPT set operators (absent from the reference,
+    // SURVEY §2.6): customers with orders in BOTH statuses vs F-only.
+    // Both engines use DISTINCT set semantics
+    QueryDef("o54_set_ops",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        val p = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        f.intersect(p).withColumn("op", lit("both"))
+          .unionByName(f.except(p).withColumn("op", lit("f_only")))
+          .orderBy("op", "o_custkey")
+      },
+      Some("""SELECT o_custkey, 'both' AS op FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |UNION ALL
+             |SELECT o_custkey, 'f_only' AS op FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |ORDER BY op, o_custkey""".stripMargin)))
 }

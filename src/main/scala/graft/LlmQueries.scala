@@ -3719,5 +3719,46 @@ object LlmQueries {
              |SELECT cm.lang, cm.pred_lang, cm.n, tot.lang_total,
              |  cm.n * 10000 // tot.lang_total AS recall_bp
              |FROM cm JOIN tot ON cm.lang = tot.lang
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- contrastive positive-pair mining (Contriever/E5 shape) ----
+
+    // consecutive overlapping chunks of one document as (anchor, positive)
+    // training pairs — the self-supervised pair source a retrieval-model
+    // pipeline ships; both sides length-filtered (≥20 tokens). ONE
+    // doc-keyed self-join, co-located with the chunk explosion's key; at
+    // corpus scale in-batch negatives are implicit (InfoNCE), so no
+    // negative join is needed
+    QueryDef("llm_pair_mining",
+      (s, dir) => {
+        import graft.llm.Curation
+        val ch = Curation.chunkDocuments(Tables.documents(s, dir), chunkSize = 40, overlap = 8)
+        val a = ch.select(col("doc_id"), col("chunk_idx").as("anchor_idx"),
+          col("chunk_text").as("anchor_text"), col("chunk_tokens").as("__at"))
+        val p = ch.select(col("doc_id"), (col("chunk_idx") - 1).as("anchor_idx"),
+          col("chunk_text").as("positive_text"), col("chunk_tokens").as("__pt"))
+        a.join(p, Seq("doc_id", "anchor_idx"))
+          .filter(col("__at") >= 20 && col("__pt") >= 20)
+          .select("doc_id", "anchor_idx", "anchor_text", "positive_text")
+          .orderBy("doc_id", "anchor_idx")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+             |n AS (
+             |  SELECT doc_id, words,
+             |    greatest(CAST(ceil(CAST(len(words) - 8 AS DOUBLE) / 32) AS INT), 1) AS n_chunks
+             |  FROM w),
+             |c AS (
+             |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, words FROM n),
+             |ch AS (
+             |  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |    array_to_string(words[chunk_idx * 32 + 1 : chunk_idx * 32 + 40], ' ') AS chunk_text,
+             |    CAST(least(len(words) - chunk_idx * 32, 40) AS INT) AS chunk_tokens
+             |  FROM c)
+             |SELECT a.doc_id, a.chunk_idx AS anchor_idx,
+             |  a.chunk_text AS anchor_text, p.chunk_text AS positive_text
+             |FROM ch a JOIN ch p
+             |  ON a.doc_id = p.doc_id AND p.chunk_idx = a.chunk_idx + 1
+             |WHERE a.chunk_tokens >= 20 AND p.chunk_tokens >= 20
              |ORDER BY 1, 2""".stripMargin)))
 }

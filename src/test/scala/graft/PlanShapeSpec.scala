@@ -310,7 +310,12 @@ class PlanShapeSpec extends SparkSpec {
       "llm_dedup_keeper" -> 2, "llm_rrf_fusion" -> 12,
       "o48_pivot" -> 3, "o49_distinct_agg" -> 3, "llm_cluster_keeper" -> 3,
       "o50_semi_join" -> 2, "o51_anti_join" -> 2, "o52_multijoin_topk" -> 3,
-      "llm_mmr" -> 1, "llm_langid_confusion" -> 4)
+      "llm_mmr" -> 1, "llm_langid_confusion" -> 4,
+      // batch 11: o53 = nation-hash window + output sort. o54 = the two
+      // set-op join shuffle pairs + output sort (each leg's filters reach
+      // the scan). llm_pair_mining = ONE doc-hash exchange feeding both
+      // self-join sides (co-located with the chunk key) + output sort
+      "o53_ntile" -> 2, "o54_set_ops" -> 5, "llm_pair_mining" -> 2)
     budgets.foreach { case (name, budget) =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val ex = plan.linesIterator.count(_.contains("Exchange"))
