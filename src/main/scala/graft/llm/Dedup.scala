@@ -41,7 +41,11 @@ object Dedup {
   /** Quality-aware keeper: within each normalized-content dup group keep
     * the HIGHEST-quality copy (tie → lowest id) instead of the first-seen —
     * the RefinedWeb-style "keep the cleanest duplicate" policy. Same single
-    * content-hash shuffle as [[exact]]; only the within-group order changes. */
+    * content-hash shuffle as [[exact]]; only the within-group order changes.
+    *
+    * Caveat: documents whose NORMALIZED text is empty (all punctuation /
+    * whitespace) share one key and collapse to a single survivor — run a
+    * length/quality filter upstream if that is not the intended policy. */
   def exactKeepBest(
       docs: DataFrame,
       qualityCol: String,

@@ -29,7 +29,10 @@ object Fusion {
   /** Fuse rankings (each with columns query_id, doc_id, rank) into
     * (query_id, doc_id, rrf_nano, n_systems, rank), keeping `topK` fused
     * results per query ordered by (rrf_nano desc, doc_id). `k0` is the
-    * standard RRF damping constant (60 in the paper). */
+    * standard RRF damping constant (60 in the paper). Each input ranking
+    * must carry at most ONE row per (query_id, doc_id) — a duplicate would
+    * double-contribute; [[Bm25.topK]] and the Similarity top-k searches
+    * satisfy this by construction. */
   def rrf(rankings: Seq[DataFrame], topK: Int, k0: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrf needs at least one ranking")
     require(topK > 0, s"topK must be positive: $topK")
