@@ -417,6 +417,82 @@ object AggQueries {
              |SELECT event_id, user_id, us, ref_id FROM w WHERE side = 1
              |ORDER BY event_id""".stripMargin)),
 
+    // O41b — FORWARD as-of join (pandas merge_asof direction='forward'):
+    // first reference at-or-after each probe; probe sorts BEFORE the
+    // reference at equal ts (inclusive), first_value over the following
+    // frame carries the payload backward. Same single key-hash shuffle
+    QueryDef("o41b_asof_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+        val probe = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val ref = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us"), col("event_id").as("ref_id"))
+        graft.operators.AsofJoin.forward(probe, ref, Seq("user_id"), "us", Seq("ref_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id AS ref_id FROM events
+             |  WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, us, 1 AS side, CAST(NULL AS BIGINT) AS event_id, ref_id FROM c
+             |  UNION ALL
+             |  SELECT user_id, us, 0, event_id, CAST(NULL AS BIGINT) FROM v),
+             |w AS (
+             |  SELECT user_id, us, side, event_id,
+             |    first_value(ref_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ref_id
+             |  FROM u)
+             |SELECT event_id, user_id, us, ref_id FROM w WHERE side = 0
+             |ORDER BY event_id""".stripMargin)),
+
+    // O41c — NEAREST as-of join (pandas direction='nearest', ties →
+    // backward): ONE union, TWO frame windows over the same key-hash sort;
+    // the forward window is exclusive at equal ts, exact because distance-0
+    // matches already belong to the inclusive backward window. Emits the
+    // matched reference timestamp so the distance choice is auditable
+    QueryDef("o41c_asof_nearest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+        val probe = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val ref = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us"), col("event_id").as("ref_id"))
+        graft.operators.AsofJoin.nearest(probe, ref, Seq("user_id"), "us", Seq("ref_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id AS ref_id FROM events
+             |  WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, us, 0 AS side, CAST(NULL AS BIGINT) AS event_id, ref_id,
+             |    us AS ref_us FROM c
+             |  UNION ALL
+             |  SELECT user_id, us, 1, event_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v),
+             |w AS (
+             |  SELECT user_id, us, side, event_id,
+             |    last_value(ref_id IGNORE NULLS) OVER wp AS b_id,
+             |    last_value(ref_us IGNORE NULLS) OVER wp AS b_us,
+             |    first_value(ref_id IGNORE NULLS) OVER wf AS f_id,
+             |    first_value(ref_us IGNORE NULLS) OVER wf AS f_us
+             |  FROM u
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wf AS (PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT event_id, user_id, us,
+             |  CASE WHEN f_id IS NULL THEN b_id WHEN b_id IS NULL THEN f_id
+             |       WHEN us - b_us <= f_us - us THEN b_id ELSE f_id END AS ref_id,
+             |  CASE WHEN f_id IS NULL THEN b_us WHEN b_id IS NULL THEN f_us
+             |       WHEN us - b_us <= f_us - us THEN b_us ELSE f_us END AS asof_ts
+             |FROM w WHERE side = 1
+             |ORDER BY event_id""".stripMargin)),
+
     // O42 — range (interval-containment) join: events matched into their
     // containing session windows via the grid-bucket equi-join (cells
     // exploded per interval, points keyed to one cell, exact BETWEEN

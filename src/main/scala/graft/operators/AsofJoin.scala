@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,9 +21,45 @@ import org.apache.spark.sql.functions._
   * requirement on either side, no range-bucketing tuning knob; the merge
   * scales with (probe + reference) like a sort-merge join would. Catalyst
   * sees a plain window plan, so AQE/skew handling applies as usual. Ties
-  * inside one side are broken by `refOrder` (max wins), making the result
-  * fully deterministic on duplicate reference timestamps. */
+  * inside one side are broken by the payload struct (max wins for
+  * backward, min for forward), making the result fully deterministic on
+  * duplicate reference timestamps.
+  *
+  * All three pandas `merge_asof` directions are provided: [[backward]],
+  * [[forward]], and [[nearest]] (closer match by |Δts|, ties to backward).
+  */
 object AsofJoin {
+
+  /** Tag + union the two sides. `refFirstAtTies` controls which side sorts
+    * first at equal timestamps: true → reference first (inclusive backward
+    * visibility), false → probe first (inclusive forward visibility).
+    * Returns (union, probe's original columns, ref side tag value). */
+  private def unionTagged(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      refFirstAtTies: Boolean): (DataFrame, Seq[String], Int) = {
+    require(payloadCols.nonEmpty, "payloadCols must name at least one reference column")
+    val probeCols = probe.columns.toSeq
+    require(payloadCols.forall(!probeCols.contains(_)),
+      s"payload columns collide with probe columns: ${payloadCols.filter(probeCols.contains)}")
+    val pay = struct(payloadCols.map(col): _*)
+    val (refTag, probeTag) = if (refFirstAtTies) (0, 1) else (1, 0)
+    val refSide = reference
+      .select((keyCols.map(col) :+ col(tsCol) :+ lit(refTag).as("__side") :+ pay.as("__pay")) ++
+        probeCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val probeSide = probe
+      .select((keyCols.map(col) :+ col(tsCol) :+ lit(probeTag).as("__side") :+
+        lit(null).cast(refSide.schema("__pay").dataType).as("__pay")) ++
+        probeCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
+    (refSide.unionByName(probeSide), probeCols, refTag)
+  }
+
+  private def orderCols(tsCol: String): Seq[Column] =
+    Seq(col(tsCol), col("__side"), col("__pay"))
 
   /** Backward as-of join: for each `probe` row, the `reference` row with
     * the greatest `tsCol` satisfying `ref.ts <= probe.ts` on the same
@@ -36,30 +72,77 @@ object AsofJoin {
       keyCols: Seq[String],
       tsCol: String,
       payloadCols: Seq[String]): DataFrame = {
-    require(payloadCols.nonEmpty, "payloadCols must name at least one reference column")
-    val probeCols = probe.columns.toSeq
-    require(payloadCols.forall(!probeCols.contains(_)),
-      s"payload columns collide with probe columns: ${payloadCols.filter(probeCols.contains)}")
-    val pay = struct(payloadCols.map(col): _*)
-    // reference rows: side 0 (visible at equal ts); probe rows: side 1
-    val refSide = reference
-      .select((keyCols.map(col) :+ col(tsCol) :+ lit(0).as("__side") :+ pay.as("__pay")) ++
-        probeCols.filterNot(c => keyCols.contains(c) || c == tsCol)
-          .map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
-    val probeSide = probe
-      .select((keyCols.map(col) :+ col(tsCol) :+ lit(1).as("__side") :+
-        lit(null).cast(refSide.schema("__pay").dataType).as("__pay")) ++
-        probeCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
+    val (u, probeCols, refTag) =
+      unionTagged(probe, reference, keyCols, tsCol, payloadCols, refFirstAtTies = true)
     // total order inside one (key, ts): reference first, then by payload —
     // duplicate reference timestamps resolve to the MAX payload struct
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("__side"), col("__pay"))
+      .orderBy(orderCols(tsCol): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    refSide.unionByName(probeSide)
-      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    u.withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") =!= refTag)
       .select(probeCols.map(col) ++
         payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
+  /** Forward as-of join: for each `probe` row, the `reference` row with
+    * the SMALLEST `tsCol` satisfying `ref.ts >= probe.ts` (inclusive).
+    * The mirror of [[backward]]: probe rows sort BEFORE reference rows at
+    * equal timestamps, and the payload is carried backward with
+    * `first(ignoreNulls)` over the following frame; duplicate reference
+    * timestamps resolve to the MIN payload struct. */
+  def forward(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val (u, probeCols, refTag) =
+      unionTagged(probe, reference, keyCols, tsCol, payloadCols, refFirstAtTies = false)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols(tsCol): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("__asof", first(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") =!= refTag)
+      .select(probeCols.map(col) ++
+        payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
+  /** Nearest as-of join: the closer of the backward and forward matches by
+    * |ref.ts − probe.ts|, equal distance → backward (the pandas
+    * `merge_asof` nearest tie rule). ONE union and two frame windows over
+    * the SAME key-hash sort — the forward window is exclusive at equal
+    * timestamps, which is exact because an equal-ts reference is distance
+    * zero and the inclusive backward window already claims it. Emits the
+    * probe columns, the payload columns, and `asof_ts` (the matched
+    * reference timestamp; NULL when the key has no reference at all). */
+  def nearest(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(!probe.columns.contains("asof_ts"),
+      "probe must not already carry an asof_ts column")
+    val payAll = payloadCols :+ "__ref_ts"
+    val (u, probeCols, refTag) = unionTagged(
+      probe, reference.withColumn("__ref_ts", col(tsCol)),
+      keyCols, tsCol, payAll, refFirstAtTies = true)
+    val part = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols(tsCol): _*)
+    val wb = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val chosen = when(col("__f").isNull, col("__b"))
+      .when(col("__b").isNull, col("__f"))
+      .when(col(tsCol) - col("__b.__ref_ts") <= col("__f.__ref_ts") - col(tsCol), col("__b"))
+      .otherwise(col("__f"))
+    u.withColumn("__b", last(col("__pay"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__pay"), ignoreNulls = true).over(wf))
+      .filter(col("__side") =!= refTag)
+      .withColumn("__n", chosen)
+      .select(probeCols.map(col) ++
+        payloadCols.map(c => col(s"__n.$c").as(c)) :+
+        col("__n.__ref_ts").as("asof_ts"): _*)
   }
 }

@@ -209,6 +209,36 @@ class OperatorsSpec extends SparkSpec {
         Seq("k"), "us", Seq("event_id"))).getMessage.contains("collide"))
   }
 
+  test("asofForward/Nearest: inclusive forward, min-payload dup ties, nearest distance + tie to backward") {
+    import graft.operators.AsofJoin
+    val probe = Seq(
+      (1L, "k1", 100L), // fwd: first ref after → 20; nearest: only fwd side
+      (2L, "k1", 200L), // == ref ts → inclusive fwd match; nearest dist 0 → backward
+      (3L, "k1", 260L), // bwd 200 (d=60), fwd 300 (d=40) → nearest = fwd
+      (4L, "k1", 250L), // equidistant (200/300) → nearest ties to backward
+      (5L, "k1", 400L), // after last ref → fwd NULL; nearest = bwd
+      (6L, "k1", 290L)  // fwd hits the duplicate ts 300 → MIN payload (30)
+    ).toDF("event_id", "k", "us")
+    val ref = Seq(
+      ("k1", 200L, 20L), ("k1", 300L, 31L), ("k1", 300L, 30L)
+    ).toDF("k", "us", "ref_id")
+    val fwd = AsofJoin.forward(probe, ref, Seq("k"), "us", Seq("ref_id"))
+      .select("event_id", "ref_id").as[(Long, Option[Long])].collect().toMap
+    assert(fwd == Map(1L -> Some(20L), 2L -> Some(20L), 3L -> Some(30L),
+      4L -> Some(30L), 5L -> None, 6L -> Some(30L)))
+    val near = AsofJoin.nearest(probe, ref, Seq("k"), "us", Seq("ref_id"))
+      .select("event_id", "ref_id", "asof_ts")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(near == Map(
+      1L -> ((Some(20L), Some(200L))),
+      2L -> ((Some(20L), Some(200L))),  // distance 0 via backward
+      3L -> ((Some(30L), Some(300L))),  // fwd closer (40 < 60); dup ts → min payload
+      4L -> ((Some(20L), Some(200L))),  // equidistant → backward
+      5L -> ((Some(31L), Some(300L))),  // no fwd → bwd (dup ts → MAX payload)
+      6L -> ((Some(30L), Some(300L)))))
+  }
+
   test("interval containment join: inclusive bounds, multi-cell spans, overlap fan-out") {
     import graft.operators.IntervalJoin
     val pts = Seq(

@@ -315,7 +315,11 @@ class PlanShapeSpec extends SparkSpec {
       // set-op join shuffle pairs + output sort (each leg's filters reach
       // the scan). llm_pair_mining = ONE doc-hash exchange feeding both
       // self-join sides (co-located with the chunk key) + output sort
-      "o53_ntile" -> 2, "o54_set_ops" -> 5, "llm_pair_mining" -> 2)
+      "o53_ntile" -> 2, "o54_set_ops" -> 5, "llm_pair_mining" -> 2,
+      // batch 12: forward/nearest share backward's contract — ONE key-hash
+      // exchange for the union-merge window(s) + the output sort; nearest's
+      // two frame windows ride the same sort, no second shuffle
+      "o41b_asof_forward" -> 2, "o41c_asof_nearest" -> 2)
     budgets.foreach { case (name, budget) =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val ex = plan.linesIterator.count(_.contains("Exchange"))
