@@ -449,6 +449,44 @@ object AggQueries {
              |SELECT event_id, user_id, us, ref_id FROM w WHERE side = 0
              |ORDER BY event_id""".stripMargin)),
 
+    // O41d — backward as-of with a TOLERANCE bound (pandas merge_asof
+    // tolerance): matches staler than 1h are nulled — the staleness guard
+    // on slowly-updating reference feeds. Same single-shuffle union-merge;
+    // the bound is one row-local predicate on the carried match
+    QueryDef("o41d_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+        val probe = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val ref = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us"), col("event_id").as("ref_id"))
+        graft.operators.AsofJoin.backwardWithin(probe, ref, Seq("user_id"), "us",
+            Seq("ref_id"), tolerance = 3600L * 1000000L)
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id AS ref_id FROM events
+             |  WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, us, 0 AS side, CAST(NULL AS BIGINT) AS event_id, ref_id,
+             |    us AS ref_us FROM c
+             |  UNION ALL
+             |  SELECT user_id, us, 1, event_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v),
+             |w AS (
+             |  SELECT user_id, us, side, event_id,
+             |    last_value(ref_id IGNORE NULLS) OVER wp AS b_id,
+             |    last_value(ref_us IGNORE NULLS) OVER wp AS b_us
+             |  FROM u
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, us,
+             |  CASE WHEN b_id IS NOT NULL AND us - b_us <= 3600000000 THEN b_id END AS ref_id,
+             |  CASE WHEN b_id IS NOT NULL AND us - b_us <= 3600000000 THEN b_us END AS asof_ts
+             |FROM w WHERE side = 1
+             |ORDER BY event_id""".stripMargin)),
+
     // O41c — NEAREST as-of join (pandas direction='nearest', ties →
     // backward): ONE union, TWO frame windows over the same key-hash sort;
     // the forward window is exclusive at equal ts, exact because distance-0

@@ -110,6 +110,41 @@ object AsofJoin {
         payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** Backward as-of join with a TOLERANCE bound (pandas `merge_asof`
+    * tolerance): a reference older than `tolerance` time units below the
+    * probe is treated as no match (payload NULL) — the staleness guard a
+    * feature-assembly pipeline puts on slowly-updating reference feeds.
+    * Same single-shuffle union-merge as [[backward]]; the bound is one
+    * row-local predicate on the carried match, and `asof_ts` (the matched
+    * reference timestamp, NULL when out of tolerance) is emitted for
+    * auditability. `tsCol` must be numeric (e.g. epoch micros). */
+  def backwardWithin(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be non-negative: $tolerance")
+    require(!probe.columns.contains("asof_ts"),
+      "probe must not already carry an asof_ts column")
+    val payAll = payloadCols :+ "__ref_ts"
+    val (u, probeCols, refTag) = unionTagged(
+      probe, reference.withColumn("__ref_ts", col(tsCol)),
+      keyCols, tsCol, payAll, refFirstAtTies = true)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols(tsCol): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .withColumn("__ok",
+        col("__asof").isNotNull && col(tsCol) - col("__asof.__ref_ts") <= tolerance)
+      .filter(col("__side") =!= refTag)
+      .select(probeCols.map(col) ++
+        payloadCols.map(c => when(col("__ok"), col(s"__asof.$c")).as(c)) :+
+        when(col("__ok"), col("__asof.__ref_ts")).as("asof_ts"): _*)
+  }
+
   /** Nearest as-of join: the closer of the backward and forward matches by
     * |ref.ts − probe.ts|, equal distance → backward (the pandas
     * `merge_asof` nearest tie rule). ONE union and two frame windows over

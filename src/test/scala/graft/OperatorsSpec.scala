@@ -226,6 +226,16 @@ class OperatorsSpec extends SparkSpec {
       .select("event_id", "ref_id").as[(Long, Option[Long])].collect().toMap
     assert(fwd == Map(1L -> Some(20L), 2L -> Some(20L), 3L -> Some(30L),
       4L -> Some(30L), 5L -> None, 6L -> Some(30L)))
+    // tolerance: gap == tolerance is inclusive; beyond it both payload and
+    // asof_ts null out together; no-ref keys stay null
+    val tol = AsofJoin.backwardWithin(probe, ref, Seq("k"), "us", Seq("ref_id"), tolerance = 60L)
+      .select("event_id", "ref_id", "asof_ts")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(tol(1L) == ((None, None)))            // before any ref
+    assert(tol(2L) == ((Some(20L), Some(200L)))) // gap 0
+    assert(tol(3L) == ((Some(20L), Some(200L)))) // gap 60 == tolerance: inclusive
+    assert(tol(5L) == ((None, None)))            // gap 100 > tolerance: stale
     val near = AsofJoin.nearest(probe, ref, Seq("k"), "us", Seq("ref_id"))
       .select("event_id", "ref_id", "asof_ts")
       .as[(Long, Option[Long], Option[Long])].collect()

@@ -319,7 +319,8 @@ class PlanShapeSpec extends SparkSpec {
       // batch 12: forward/nearest share backward's contract — ONE key-hash
       // exchange for the union-merge window(s) + the output sort; nearest's
       // two frame windows ride the same sort, no second shuffle
-      "o41b_asof_forward" -> 2, "o41c_asof_nearest" -> 2)
+      "o41b_asof_forward" -> 2, "o41c_asof_nearest" -> 2,
+      "o41d_asof_tolerance" -> 2)
     budgets.foreach { case (name, budget) =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val ex = plan.linesIterator.count(_.contains("Exchange"))
