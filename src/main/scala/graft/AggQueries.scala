@@ -531,6 +531,43 @@ object AggQueries {
              |FROM w WHERE side = 1
              |ORDER BY event_id""".stripMargin)),
 
+    // O41e — time-SLICED backward as-of join: semantics identical to o41
+    // (the oracle SQL is o41's verbatim — the gate hash-matches the
+    // unsliced operator), but the carry-forward window partitions by
+    // (user, 6h-cell) so one hot user's history spreads across cells
+    // instead of serializing through a single window task; the cross-cell
+    // carry runs over the tiny (user, cell)-level table. The 100 TB skew
+    // hatch, proven equivalent on the real fixture here and on a planted
+    // 100:1 hot key in SkewSpec
+    QueryDef("o41e_asof_sliced",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+        val probe = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val ref = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us"), col("event_id").as("ref_id"))
+        graft.operators.AsofJoin.backwardSliced(probe, ref, Seq("user_id"), "us",
+            Seq("ref_id"), cellWidth = 6L * 3600L * 1000000L)
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id AS ref_id FROM events
+             |  WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, us, 0 AS side, CAST(NULL AS BIGINT) AS event_id, ref_id FROM c
+             |  UNION ALL
+             |  SELECT user_id, us, 1, event_id, CAST(NULL AS BIGINT) FROM v),
+             |w AS (
+             |  SELECT user_id, us, side, event_id,
+             |    last_value(ref_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_id
+             |  FROM u)
+             |SELECT event_id, user_id, us, ref_id FROM w WHERE side = 1
+             |ORDER BY event_id""".stripMargin)),
+
     // O42 — range (interval-containment) join: events matched into their
     // containing session windows via the grid-bucket equi-join (cells
     // exploded per interval, points keyed to one cell, exact BETWEEN
@@ -547,6 +584,42 @@ object AggQueries {
         graft.operators.IntervalJoin.containmentJoin(
             pts, sessions, Seq("user_id"), "us",
             "session_start_us", "session_end_us", cellWidth = 3600L * 1000000)
+          .select(col("event_id"), col("user_id"), col("session_idx"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_id < 5000),
+             |f AS (
+             |  SELECT user_id, event_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (
+             |  SELECT user_id, event_id,
+             |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
+             |  FROM f)
+             |SELECT event_id, user_id, session_idx FROM g ORDER BY event_id""".stripMargin)),
+
+    // O42b — SPAN-SPLIT interval join: semantics identical to o42 (the
+    // oracle SQL is o42's verbatim — the gate hash-matches the unsliced
+    // operator), but the interval table splits by span: sessions covering
+    // at most 2 fifteen-minute grid cells take the grid-bucket equi-join,
+    // the long tail broadcasts and hash-joins on user + exact BETWEEN —
+    // no explode blow-up from degenerate long intervals. The 100 TB
+    // long-interval hatch, proven on a planted week-long interval in
+    // SkewSpec
+    QueryDef("o42b_interval_split",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("event_id") < 5000)
+        val pts = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        val sessions = graft.operators.Sessionize.summarize(ev, gapSeconds = 1800L)
+          .select(col("user_id"), col("session_idx"),
+            col("session_start_us"), col("session_end_us"))
+        graft.operators.IntervalJoin.containmentJoinSplit(
+            pts, sessions, Seq("user_id"), "us",
+            "session_start_us", "session_end_us",
+            cellWidth = 900L * 1000000, maxCells = 2)
           .select(col("event_id"), col("user_id"), col("session_idx"))
           .orderBy("event_id")
       },

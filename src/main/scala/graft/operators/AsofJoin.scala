@@ -145,6 +145,98 @@ object AsofJoin {
         when(col("__ok"), col("__asof.__ref_ts")).as("asof_ts"): _*)
   }
 
+  /** Time-SLICED backward as-of join — the skew hatch for [[backward]].
+    *
+    * [[backward]] partitions its carry-forward window by key only, so ONE
+    * hot key (one asset pair, one power user) serializes its entire
+    * history through a single window task. This variant breaks the hot
+    * key across fixed-width time cells (`cellWidth` units of `tsCol`):
+    *
+    *   1. IN-CELL merge: the same union-merge window, but partitioned by
+    *      (key, cell) — a hot key's history now spreads over as many
+    *      tasks as it spans cells;
+    *   2. CELL CARRY: per (key, cell) the last reference payload is
+    *      aggregated (max (ts, payload) struct — the [[backward]] dup-ts
+    *      rule), then carried forward across cells with one window over
+    *      the CELL-level table (rows ≈ distinct (key, cell), orders of
+    *      magnitude smaller than the event table, so the per-key sort is
+    *      trivially cheap even for the hot key);
+    *   3. each probe takes its in-cell match, else the carry-in from the
+    *      latest earlier cell.
+    *
+    * Exactly [[backward]]'s semantics (inclusive `ref.ts <= probe.ts`,
+    * left-join NULLs, dup-ts → MAX payload) at the cost of one extra
+    * bounded pass over the reference side. Pick `cellWidth` so a hot
+    * key's per-cell row count fits one task comfortably; the cell-level
+    * carry table stays bounded by (keys × observed cells). */
+  def backwardSliced(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      cellWidth: Long): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
+    require(payloadCols.nonEmpty, "payloadCols must name at least one reference column")
+    val probeCols = probe.columns.toSeq
+    require(payloadCols.forall(!probeCols.contains(_)),
+      s"payload columns collide with probe columns: ${payloadCols.filter(probeCols.contains)}")
+    require(!probeCols.contains("__cell"), "probe must not already carry a __cell column")
+    def cellOf(c: Column): Column =
+      ((c.cast("long") - pmod(c.cast("long"), lit(cellWidth))) / cellWidth).cast("long")
+    val pay = struct(payloadCols.map(col): _*)
+    val refC = reference.withColumn("__cell", cellOf(col(tsCol)))
+    val probeC = probe.withColumn("__cell", cellOf(col(tsCol)))
+
+    // (2) cell-level carry: last reference payload per (key, cell),
+    // carried forward so a probe cell sees the latest STRICTLY-EARLIER
+    // cell's last payload (probe rows sort before ref rows at the same
+    // cell: the in-cell merge owns same-cell references)
+    val cellLast = refC
+      .groupBy((keyCols :+ "__cell").map(col): _*)
+      .agg(max(struct(col(tsCol).as("__t"), pay.as("__p"))).as("__m"))
+      .select((keyCols :+ "__cell").map(col) :+ lit(1).as("__cside") :+
+        col("__m.__p").as("__cpay"): _*)
+    val probeCells = probeC
+      .select((keyCols :+ "__cell").map(col): _*).distinct()
+      .select((keyCols :+ "__cell").map(col) :+ lit(0).as("__cside") :+
+        lit(null).cast(cellLast.schema("__cpay").dataType).as("__cpay"): _*)
+    val wCarry = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__cell"), col("__cside"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = probeCells.unionByName(cellLast)
+      .withColumn("__carry", last(col("__cpay"), ignoreNulls = true).over(wCarry))
+      .filter(col("__cside") === 0)
+      .select((keyCols :+ "__cell").map(col) :+ col("__carry"): _*)
+
+    // (1) in-cell union-merge, partitioned by (key, cell)
+    val refSide = refC
+      .select((keyCols.map(col) :+ col("__cell") :+ col(tsCol) :+
+        lit(0).as("__side") :+ pay.as("__pay")) ++
+        probeCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val probeSide = probeC
+      .select((keyCols.map(col) :+ col("__cell") :+ col(tsCol) :+
+        lit(1).as("__side") :+
+        lit(null).cast(refSide.schema("__pay").dataType).as("__pay")) ++
+        probeCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
+    val wCell = Window
+      .partitionBy((keyCols :+ "__cell").map(col): _*)
+      .orderBy(orderCols(tsCol): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = refSide.unionByName(probeSide)
+      .withColumn("__in", last(col("__pay"), ignoreNulls = true).over(wCell))
+      .filter(col("__side") =!= 0)
+
+    // (3) in-cell match wins; else the carry-in from earlier cells
+    merged
+      .join(carry, keyCols :+ "__cell", "left")
+      .withColumn("__asof", coalesce(col("__in"), col("__carry")))
+      .select(probeCols.map(col) ++
+        payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
   /** Nearest as-of join: the closer of the backward and forward matches by
     * |ref.ts − probe.ts|, equal distance → backward (the pandas
     * `merge_asof` nearest tie rule). ONE union and two frame windows over

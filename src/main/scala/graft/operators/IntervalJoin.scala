@@ -47,6 +47,47 @@ object IntervalJoin {
       .drop("__cell")
   }
 
+  /** Span-split containment join — the long-interval skew hatch
+    * [[containmentJoin]]'s scaladoc calls for. A degenerate long interval
+    * (a week-long "session", an always-open validity range) explodes onto
+    * `span / cellWidth + 1` grid cells; past a few thousand cells that one
+    * row dominates the explode output and its cell rows all hash to hot
+    * buckets. Here the interval table is SPLIT by span:
+    *
+    *   - intervals spanning at most `maxCells` grid cells take the normal
+    *     grid-bucket equi-join;
+    *   - the long tail is BROADCAST and joined on `keyCols` + the exact
+    *     BETWEEN predicate — a BroadcastHashJoin (the equi keys keep it
+    *     off the nested-loop path), no explode at all.
+    *
+    * Each interval goes through exactly one path, so the union is exactly
+    * [[containmentJoin]]'s result. The broadcast bounds the long tail
+    * loudly: if "rare degenerate intervals" turns out to be a corpus-scale
+    * population, the broadcast build fails instead of silently exploding
+    * the grid — cap or clamp spans upstream in that case. */
+  def containmentJoinSplit(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      loCol: String,
+      hiCol: String,
+      cellWidth: Long,
+      maxCells: Long): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
+    require(maxCells > 0, s"maxCells must be positive: $maxCells")
+    def cellOf(c: Column): Column = floorDiv(c, lit(cellWidth))
+    val nCells = cellOf(col(hiCol)) - cellOf(col(loCol)) + 1
+    val short = intervals.filter(nCells <= maxCells)
+    val long = intervals.filter(nCells > maxCells)
+    val gridPart = containmentJoin(points, short, keyCols, tsCol, loCol, hiCol, cellWidth)
+    val longPart = points
+      .join(broadcast(long), keyCols)
+      .filter(col(tsCol) >= col(loCol) && col(tsCol) <= col(hiCol))
+      .select(gridPart.columns.map(col).toIndexedSeq: _*)
+    gridPart.unionByName(longPart)
+  }
+
   private def floorDiv(c: Column, divisor: Column): Column =
     // floor division in pure integer math (`div` truncates toward zero,
     // which would mis-cell negative epochs): subtract the non-negative

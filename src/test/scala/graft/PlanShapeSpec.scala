@@ -328,6 +328,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-11 skew-hatch gates hold their exchange budgets") {
+    // o41e sliced as-of: the (key,cell) in-cell window exchange, the
+    // cell-level carry chain (cellLast agg + probe-cell distinct + the
+    // tiny per-key carry window + its broadcast back onto the merged
+    // side), and the output sort — the ONE extra bounded pass that buys
+    // hot-key slicing. o42b span-split: o42's budget + the long-tail
+    // BroadcastExchange + the session-window exchange showing once more
+    // (both split legs read the session build; the split filters are free).
+    val budgets = Seq("o41e_asof_sliced" -> 6, "o42b_interval_split" -> 5)
+    budgets.foreach { case (name, budget) =>
+      val plan = executed(SparkEntry.queries(name)(spark, dir))
+      val ex = plan.linesIterator.count(_.contains("Exchange"))
+      assert(ex == budget, s"$name expected $budget exchanges, got $ex:\n$plan")
+    }
+  }
+
   test("single-partition windows are banned from query plans") {
     // a global window/sort demands Exchange SinglePartition via
     // ENSURE_REQUIREMENTS — the representative paths that historically

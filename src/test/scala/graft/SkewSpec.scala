@@ -89,4 +89,52 @@ class SkewSpec extends SparkSpec {
       .linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, "plain path should not pay the two-phase shuffle")
   }
+
+  test("sliced backward as-of equals the unsliced operator on a planted 100:1 hot key") {
+    import graft.operators.AsofJoin
+    // one hot key carrying 100× the tail's history, spanning many cells;
+    // probes and refs interleave, with cells that have no reference at all
+    // (forcing the cross-cell carry), equal-ts ties, and duplicate ref ts
+    val hot = (1 to 2000).map(i => (i.toLong, "HOT", i.toLong * 37L))
+    val tail = (1 to 20).map(i => (10000L + i, s"k${i % 5}", i.toLong * 1000L))
+    val probe = (hot ++ tail).toDF("event_id", "k", "us")
+    val hotRef = (1 to 500).map(i => ("HOT", i.toLong * 101L, i.toLong))
+    val dupTs = Seq(("HOT", 101L, 9999L)) // duplicate ts 101 → MAX payload rule
+    val tailRef = (1 to 10).map(i => (s"k${i % 5}", i.toLong * 1500L, 1000L + i))
+    val ref = (hotRef ++ dupTs ++ tailRef).toDF("k", "us", "ref_id")
+    val plain = AsofJoin.backward(probe, ref, Seq("k"), "us", Seq("ref_id"))
+    // cellWidth 1000 → the hot key spans ~74 cells; many probe cells have
+    // no in-cell ref (us step 37 vs ref step 101) and need the carry
+    val sliced = AsofJoin.backwardSliced(probe, ref, Seq("k"), "us", Seq("ref_id"), cellWidth = 1000L)
+    assert(plain.exceptAll(sliced).count() == 0 && sliced.exceptAll(plain).count() == 0,
+      s"sliced as-of divergence:\n${plain.exceptAll(sliced).collect().take(5).mkString("\n")}")
+    // the dup-ts MAX-payload rule survives slicing
+    val at101 = sliced.filter(col("event_id") === 3L).select("ref_id")
+      .as[Option[Long]].collect().head
+    assert(at101.contains(9999L))
+  }
+
+  test("span-split interval join equals the grid join with a planted degenerate long interval") {
+    import graft.operators.IntervalJoin
+    val pts = ((1 to 1000).map(i => (i.toLong, "HOT", i.toLong * 100L)) ++
+      (1 to 50).map(i => (2000L + i, s"k${i % 3}", i.toLong * 777L))).toDF("event_id", "k", "us")
+    // short intervals plus one week-equivalent degenerate interval that
+    // would explode onto ~100k grid cells on the grid path
+    val ivs = ((1 to 30).map(i => ("HOT", i.toLong, i.toLong * 3000L, i.toLong * 3000L + 2000L)) ++
+      Seq(("HOT", 99L, 0L, 100000000L), ("k1", 50L, 0L, 40000L)))
+      .toDF("k", "iv_id", "lo", "hi")
+    val grid = IntervalJoin.containmentJoin(pts, ivs, Seq("k"), "us", "lo", "hi", cellWidth = 1000L)
+    val split = IntervalJoin.containmentJoinSplit(
+      pts, ivs, Seq("k"), "us", "lo", "hi", cellWidth = 1000L, maxCells = 5L)
+    assert(grid.exceptAll(split).count() == 0 && split.exceptAll(grid).count() == 0,
+      s"span-split divergence:\n${grid.exceptAll(split).collect().take(5).mkString("\n")}")
+    // the degenerate interval genuinely routed through the broadcast tail
+    // (its grid path would have produced 100k explode rows); the long
+    // side's matches are present and exact
+    assert(split.filter(col("iv_id") === 99L).count() == 1000L)
+    // the long side plans as a broadcast HASH join (equi keys), never BNLJ
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"long tail fell off the hash-join path:\n$plan")
+  }
 }
