@@ -434,10 +434,15 @@ object CoreQueries {
 
     // O52 — the TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem)
     // + grouped revenue + top-10. The canonical multi-join plan test:
-    // customer filter broadcast, orders⋈lineitem shuffle on the order key,
-    // TakeOrdered for the limit (never a global sort). Revenue summed in
-    // integer CENTS (round before sum — the score_micro convention) so the
-    // BIGINT is aggregation-order-independent across engines
+    // the customer side carries NO broadcast hint — the segment filter
+    // keeps ~1/5 of customers, which broadcasts by SIZE at fixture scale
+    // (under autoBroadcastJoinThreshold / AQE) but is billions of rows at
+    // 100 TB, where the same code correctly shuffles on c_custkey instead
+    // of shipping a multi-GB build side to every task. orders⋈lineitem
+    // shuffles on the order key; TakeOrdered for the limit (never a
+    // global sort). Revenue summed in integer CENTS (round before sum —
+    // the score_micro convention) so the BIGINT is aggregation-order-
+    // independent across engines
     QueryDef("o52_multijoin_topk",
       (s, dir) => {
         // epoch-day 10378 = 1998-06-01; pure-integer day bounds keep the
@@ -454,7 +459,7 @@ object CoreQueries {
           .select(col("l_orderkey"),
             round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
               .cast("long").as("cents"))
-        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        o.join(c, col("o_custkey") === col("c_custkey"))
           .join(l, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("o_day"), col("o_orderpriority"))
           .agg(sum(col("cents")).as("revenue_cents"))

@@ -3521,7 +3521,10 @@ object LlmQueries {
              |SELECT doc_id, quality_score FROM (
              |  SELECT doc_id, quality_score,
              |    row_number() OVER (
-             |      PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+             |      PARTITION BY md5(CASE
+             |        WHEN trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) = ''
+             |        THEN 'raw:' || text
+             |        ELSE 'norm:' || trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) END)
              |      ORDER BY quality_score DESC, doc_id) AS rn
              |  FROM q)
              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),

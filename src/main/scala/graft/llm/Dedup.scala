@@ -32,26 +32,34 @@ object Dedup {
       .filter(col("copies") > 1)
 
   /** Dedup canonicalization (the Dolma/RefinedWeb "exact dedup after
-    * normalization" key): lowercase, non-alphanumerics to spaces,
+    * normalization" key): lowercase, non-(letter|digit) to spaces,
     * whitespace collapsed, trimmed. Two copies differing only in case or
-    * punctuation land in one dup group. */
+    * punctuation land in one dup group. UNICODE letter/number classes
+    * (`\p{L}\p{N}` — Java and RE2 agree), so non-Latin text (the zh slice
+    * of the documents fixture) keeps its content instead of normalizing
+    * to empty and collapsing whole script families into one dup group. */
   def normalizedText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
 
   /** Quality-aware keeper: within each normalized-content dup group keep
     * the HIGHEST-quality copy (tie → lowest id) instead of the first-seen —
     * the RefinedWeb-style "keep the cleanest duplicate" policy. Same single
     * content-hash shuffle as [[exact]]; only the within-group order changes.
     *
-    * Caveat: documents whose NORMALIZED text is empty (all punctuation /
-    * whitespace) share one key and collapse to a single survivor — run a
-    * length/quality filter upstream if that is not the intended policy. */
+    * Documents whose NORMALIZED text is empty (all punctuation /
+    * whitespace in every script) are NOT considered duplicates of each
+    * other: they fall back to their RAW text as the group key, so only
+    * byte-identical empties collapse. The `raw:`/`norm:` prefixes keep
+    * the two key spaces disjoint. */
   def exactKeepBest(
       docs: DataFrame,
       qualityCol: String,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(md5(normalizedText(col(textCol))))
+    val norm = normalizedText(col(textCol))
+    val key = when(norm === lit(""), concat(lit("raw:"), col(textCol)))
+      .otherwise(concat(lit("norm:"), norm))
+    val w = Window.partitionBy(md5(key))
       .orderBy(col(qualityCol).desc, col(idCol))
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }

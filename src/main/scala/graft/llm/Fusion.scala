@@ -29,18 +29,29 @@ object Fusion {
   /** Fuse rankings (each with columns query_id, doc_id, rank) into
     * (query_id, doc_id, rrf_nano, n_systems, rank), keeping `topK` fused
     * results per query ordered by (rrf_nano desc, doc_id). `k0` is the
-    * standard RRF damping constant (60 in the paper). Each input ranking
-    * must carry at most ONE row per (query_id, doc_id) — a duplicate would
-    * double-contribute; [[Bm25.topK]] and the Similarity top-k searches
-    * satisfy this by construction. */
+    * standard RRF damping constant (60 in the paper).
+    *
+    * A ranking carrying DUPLICATE (query_id, doc_id) rows is tolerated:
+    * each system contributes its BEST (min-rank ⇔ max-contribution — the
+    * contribution is monotone in rank) row exactly once, enforced by a
+    * per-(query, doc, system) max-aggregation on the tagged union. At
+    * worst one bounded exchange, independent of the system count — and
+    * zero when every input ranking arrives partitioned by query_id (the
+    * top-k rank windows guarantee it), since the union propagates the
+    * common partitioning and {query_id} clusters every downstream key.
+    * A duplicate can no longer silently double-contribute or inflate
+    * n_systems. */
   def rrf(rankings: Seq[DataFrame], topK: Int, k0: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrf needs at least one ranking")
     require(topK > 0, s"topK must be positive: $topK")
-    val contrib = rankings
-      .map(_.select(col("query_id"), col("doc_id"),
+    val contrib = rankings.zipWithIndex
+      .map { case (r, i) => r.select(col("query_id"), col("doc_id"),
+        lit(i).as("__sys"),
         round(lit(1.0e9) / (lit(k0).cast("double") + col("rank").cast("double")), 0)
-          .cast("long").as("__rrf_c")))
+          .cast("long").as("__rrf_c")) }
       .reduce(_.unionByName(_))
+      .groupBy("query_id", "doc_id", "__sys")
+      .agg(max(col("__rrf_c")).as("__rrf_c"))
     val fused = contrib
       .groupBy("query_id", "doc_id")
       .agg(sum(col("__rrf_c")).as("rrf_nano"), count(lit(1)).as("n_systems"))

@@ -1281,6 +1281,21 @@ class LlmSpec extends SparkSpec {
       (10L, 16393443L, 1L, 2L)))
   }
 
+  test("rrf fusion: a duplicated (query, doc) row within one system contributes once, at its best rank") {
+    import graft.llm.Fusion
+    // sysA carries doc 10 TWICE (ranks 1 and 3) — contract violation; the
+    // enforcement keeps only the min-rank contribution and n_systems = 1
+    val sysA = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 10L, 3L)).toDF("query_id", "doc_id", "rank")
+    val sysB = Seq((1L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
+    val got = Fusion.rrf(Seq(sysA, sysB), topK = 3)
+      .orderBy("rank")
+      .select("doc_id", "rrf_nano", "n_systems", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (20L, 16129032L + 16393443L, 2L, 1L),
+      (10L, 16393443L, 1L, 2L))) // NOT 16393443 + 1e9/63 and NOT n_systems 2
+  }
+
   test("mmr: diversity-weighted selection promotes the non-duplicate candidate") {
     // a (id 1) and b (id 2) are near-identical and maximally relevant to q;
     // c (id 3) is less relevant but diverse. With λ=0.3 (diversity-heavy)
@@ -1318,5 +1333,25 @@ class LlmSpec extends SparkSpec {
     // normalization: case/punct variants share a key, distinct bodies don't
     val keys = docs.select(Dedup.normalizedText(col("text"))).as[String].collect().toSet
     assert(keys == Set("hello world", "distinct doc body"))
+  }
+
+  test("keeper normalization is Unicode-aware and never merges distinct all-punct docs") {
+    // non-Latin text keeps its content under \p{L}\p{N} — the zh docs are
+    // NOT one dup group (the pre-r11 [a-z0-9] class normalized both to '')
+    val docs = Seq(
+      (1L, "中文 文档 一"),
+      (2L, "中文 文档 二"),
+      (3L, "中文, 文档, 一!!"), // punct variant of id 1 -> same group
+      (4L, "!!! ???"), // empty-normalized: keys on RAW text
+      (5L, "*** &&&"), // distinct raw -> distinct group, survives
+      (6L, "!!! ???")) // raw-identical to id 4 -> collapses with it
+      .toDF("doc_id", "text")
+    assert(docs.select(Dedup.normalizedText(col("text"))).as[String].collect().toSet ==
+      Set("中文 文档 一", "中文 文档 二", ""))
+    val scored = docs.withColumn("quality_score", lit(1.0) - col("doc_id") / 100.0)
+    val kept = Dedup.exactKeepBest(scored, "quality_score")
+      .select("doc_id").as[Long].collect().toSet
+    // 1 beats 3 on quality; 2 is its own group; 4 beats 6; 5 survives alone
+    assert(kept == Set(1L, 2L, 4L, 5L))
   }
 }

@@ -217,7 +217,8 @@ class OperatorsSpec extends SparkSpec {
       (3L, "k1", 260L), // bwd 200 (d=60), fwd 300 (d=40) → nearest = fwd
       (4L, "k1", 250L), // equidistant (200/300) → nearest ties to backward
       (5L, "k1", 400L), // after last ref → fwd NULL; nearest = bwd
-      (6L, "k1", 290L)  // fwd hits the duplicate ts 300 → MIN payload (30)
+      (6L, "k1", 290L), // fwd hits the duplicate ts 300 → MIN payload (30)
+      (7L, "k1", 330L)  // bwd hits the duplicate ts 300 WITHIN tolerance → MAX payload (31)
     ).toDF("event_id", "k", "us")
     val ref = Seq(
       ("k1", 200L, 20L), ("k1", 300L, 31L), ("k1", 300L, 30L)
@@ -225,7 +226,7 @@ class OperatorsSpec extends SparkSpec {
     val fwd = AsofJoin.forward(probe, ref, Seq("k"), "us", Seq("ref_id"))
       .select("event_id", "ref_id").as[(Long, Option[Long])].collect().toMap
     assert(fwd == Map(1L -> Some(20L), 2L -> Some(20L), 3L -> Some(30L),
-      4L -> Some(30L), 5L -> None, 6L -> Some(30L)))
+      4L -> Some(30L), 5L -> None, 6L -> Some(30L), 7L -> None))
     // tolerance: gap == tolerance is inclusive; beyond it both payload and
     // asof_ts null out together; no-ref keys stay null
     val tol = AsofJoin.backwardWithin(probe, ref, Seq("k"), "us", Seq("ref_id"), tolerance = 60L)
@@ -235,7 +236,10 @@ class OperatorsSpec extends SparkSpec {
     assert(tol(1L) == ((None, None)))            // before any ref
     assert(tol(2L) == ((Some(20L), Some(200L)))) // gap 0
     assert(tol(3L) == ((Some(20L), Some(200L)))) // gap 60 == tolerance: inclusive
+    assert(tol(4L) == ((Some(20L), Some(200L)))) // gap 50 < tolerance
     assert(tol(5L) == ((None, None)))            // gap 100 > tolerance: stale
+    assert(tol(6L) == ((None, None)))            // bwd match is 200 (gap 90): stale
+    assert(tol(7L) == ((Some(31L), Some(300L)))) // dup-ts ref in tolerance → MAX payload
     val near = AsofJoin.nearest(probe, ref, Seq("k"), "us", Seq("ref_id"))
       .select("event_id", "ref_id", "asof_ts")
       .as[(Long, Option[Long], Option[Long])].collect()
@@ -246,7 +250,8 @@ class OperatorsSpec extends SparkSpec {
       3L -> ((Some(30L), Some(300L))),  // fwd closer (40 < 60); dup ts → min payload
       4L -> ((Some(20L), Some(200L))),  // equidistant → backward
       5L -> ((Some(31L), Some(300L))),  // no fwd → bwd (dup ts → MAX payload)
-      6L -> ((Some(30L), Some(300L)))))
+      6L -> ((Some(30L), Some(300L))),
+      7L -> ((Some(31L), Some(300L))))) // no fwd → bwd dup ts → MAX payload
   }
 
   test("interval containment join: inclusive bounds, multi-cell spans, overlap fan-out") {

@@ -290,7 +290,11 @@ class PlanShapeSpec extends SparkSpec {
     // window exchange + output sort (same budget class as llm_dedup_exact).
     // llm_rrf_fusion composes the full BM25 chain (10 exchanges standalone,
     // minus its output sort inside the fusion) + the dense rank window +
-    // the fused (query, doc) agg + fused rank + output sort = 12.
+    // the fused (query, doc) agg + fused rank + output sort = 12. The r11
+    // per-(query, doc, system) contract-enforcement agg costs NO exchange:
+    // both union branches end hashpartitioned on query_id (their rank
+    // windows), the union propagates it, and {query_id} ⊆ every
+    // downstream clustering key.
     // batch 9: o48 pivot = partial/final agg pair + output sort (explicit
     // value list — NO second value-discovery scan). o49 multi-distinct =
     // the expand's two-phase agg + output sort. llm_cluster_keeper reads
@@ -300,7 +304,9 @@ class PlanShapeSpec extends SparkSpec {
     // batch 10: o50/o51 semi/anti = the two join-side hash exchanges (the
     // orders side is the bigger relation — a broadcast would ship it).
     // o52 = orders⋈lineitem shuffle pair + the grouped-agg exchange; the
-    // customer filter broadcasts and TakeOrdered never sorts globally.
+    // customer filter broadcasts BY SIZE at fixture scale (no hint — r11:
+    // the segment filter is SF-proportional, so a pinned broadcast would
+    // be wrong at 100 TB) and TakeOrdered never sorts globally.
     // llm_mmr's candidate pool and selection rounds materialize at build
     // (localCheckpoint per step, the cluster_keeper convention) — the
     // final plan is one output sort. langid_confusion: cm agg + tot agg +
