@@ -24,6 +24,34 @@ object Bench {
     * the r9 clean rerun's merged artifact). */
   private def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.length - 1) / 2)
 
+  /** Uniform-drift (contended-window) detector. Container contention
+    * inflates EVERY query in a window by roughly the same factor —
+    * r8-r10 all diagnosed such windows by hand from NOTES narrative.
+    * This makes the artifact self-identifying: per shared query compute
+    * this run's time over its HISTORICAL FLOOR (the min across prior
+    * clean same-sf runs — contention only ever inflates, so the min is
+    * the best true-cost estimate), restrict to queries with a
+    * non-trivial floor (tiny queries are JVM-noise-dominated), and flag
+    * contended when the MEDIAN ratio exceeds `threshold`: a real
+    * regression moves few queries, contention moves the middle of the
+    * whole distribution. Returns None (unknown) when fewer than
+    * `minShared` queries qualify — a fresh history or a gate-set break
+    * must not masquerade as a clean verdict. */
+  private[graft] def contendedFlag(
+      current: Map[String, Double],
+      priors: Seq[Map[String, Double]],
+      threshold: Double = 1.15,
+      minFloorSec: Double = 0.2,
+      minShared: Int = 20): Option[Boolean] = {
+    val floors: Map[String, Double] = priors.flatten
+      .groupMapReduce(_._1)(_._2)(math.min)
+      .filter { case (_, f) => f >= minFloorSec }
+    val ratios = current.toSeq.collect {
+      case (q, v) if v > 0 && floors.contains(q) => v / floors(q)
+    }
+    if (ratios.size < minShared) None else Some(median(ratios) > threshold)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,11 +99,11 @@ object Bench {
     if (failedNames.nonEmpty)
       System.err.println(s"BENCH ${failedNames.size} FAILED queries: ${failedNames.mkString(", ")}")
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    def jsonLine(qs: Map[String, Double]): String = {
+    def jsonLine(qs: Map[String, Double], extra: String = ""): String = {
       val body = qs.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = if (qs.nonEmpty) qs.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$body,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$body,"sf":"$sfDir"$extra}"""
     }
 
     // The artifact of record is the per-query MEDIAN across runs, not one
@@ -96,7 +124,7 @@ object Bench {
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       catch { case e: java.io.IOException => System.err.println(s"bench_history append failed: $e") }
     }
-    val priorRuns: Seq[Map[String, Double]] =
+    val allPriorRuns: Seq[Map[String, Double]] =
       try {
         if (only.isEmpty && Files.exists(histPath)) {
           import scala.jdk.CollectionConverters._
@@ -114,16 +142,21 @@ object Bench {
             // floor keeps ancient small-era runs out.
             .filter(_.keySet.intersect(results.keySet).size >= results.size * 8 / 10)
             // a failing run was never appended, so this run is on disk only
-            // when it was clean; window = 3 runs either way
-            .dropRight(if (failedNames.isEmpty) 1 else 0).takeRight(2)
+            // when it was clean
+            .dropRight(if (failedNames.isEmpty) 1 else 0)
         } else Nil
       } catch { case _: java.io.IOException => Nil }
+    // merging window = 3 runs (this + last 2); the contended detector sees
+    // ALL prior clean runs — its floor is historical, not windowed
+    val priorRuns = allPriorRuns.takeRight(2)
+    val contended = contendedFlag(results, allPriorRuns)
+    val contendedExtra = s""","contended":${contended.map(_.toString).getOrElse("null")}"""
     val merged = results.map { case (name, v) =>
       // a failure stays a visible -1 — merging it into clean prior medians
       // would hide the breakage from the driver's artifact
       name -> (if (v < 0) -1.0 else median(priorRuns.flatMap(_.get(name)).filter(_ >= 0) :+ v))
     }
-    val line = jsonLine(merged)
+    val line = jsonLine(merged, contendedExtra)
     // bench_out.json is the artifact of record AT THE DRIVER'S SCALE
     // (sf0.1) — only clean FULL runs at that scale replace it; a clean
     // full run at another sf (an sf0.001 smoke) writes its own
@@ -150,7 +183,7 @@ object Bench {
     // parses the FINAL stdout line, so emit a short summary line last; the
     // full per-query map stays above (and in bench_out.json / history).
     val total = merged.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","nq":${merged.size},"failed":${failedNames.size}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","nq":${merged.size},"failed":${failedNames.size}$contendedExtra}""")
     System.out.flush()
   }
 }

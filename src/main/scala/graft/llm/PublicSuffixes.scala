@@ -166,8 +166,33 @@ object PublicSuffixes {
     "nd.us", "ne.us", "nh.us", "nj.us", "nm.us", "nv.us", "ny.us",
     "oh.us", "ok.us", "or.us", "pa.us", "ri.us", "sc.us", "sd.us",
     "tn.us", "tx.us", "ut.us", "va.us", "vt.us", "wa.us", "wi.us",
-    "wv.us", "wy.us")
+    "wv.us", "wy.us",
+    // PRIVATE-registry two-label suffixes (the PSL PRIVATE section —
+    // hosting/platform domains where each customer subdomain is an
+    // independent registrant; without these, one blocklist/quota key
+    // would swallow every site on the platform)
+    "blogspot.com", "github.io", "gitlab.io", "herokuapp.com",
+    "appspot.com", "cloudfront.net", "azurewebsites.net",
+    "firebaseapp.com", "web.app", "netlify.app", "vercel.app",
+    "pages.dev", "workers.dev", "glitch.me", "readthedocs.io",
+    "neocities.org", "onrender.com", "fly.dev", "surge.sh")
 
-  /** Membership set (for driver-side checks / tests). */
+  /** THREE-label private-registry suffixes: a host's registrable domain
+    * is its last FOUR labels when the last three match one of these
+    * (`mybucket.s3.amazonaws.com` is a registrant-controlled bucket, not
+    * part of `amazonaws.com` — critical for URL dedup / quotas over web
+    * crawls heavy in S3-hosted content).
+    *
+    * Boundary (declared): WILDCARD PSL rules (`*.compute.amazonaws.com`
+    * and friends, where every label under the suffix is itself a suffix)
+    * and 4+-label suffixes are NOT modeled — hosts under them group one
+    * level too coarse. They are a vanishing slice of crawl traffic;
+    * swap in the full PSL with wildcard handling for production use. */
+  val threeLabel: Seq[String] = Seq(
+    "s3.amazonaws.com",
+    "s3-website-us-east-1.amazonaws.com")
+
+  /** Membership sets (for driver-side checks / tests). */
   val twoLabelSet: Set[String] = twoLabel.toSet
+  val threeLabelSet: Set[String] = threeLabel.toSet
 }

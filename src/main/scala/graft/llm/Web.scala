@@ -55,8 +55,12 @@ object Web {
     regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
 
   /** Registrable domain of a host, public-suffix-aware: when the host's
-    * last two labels are a known two-label public suffix
-    * ([[PublicSuffixes.twoLabel]], a static PSL subset), the registrable
+    * last three labels are a known three-label private-registry suffix
+    * ([[PublicSuffixes.threeLabel]] — `s3.amazonaws.com`-class), the
+    * registrable domain is the last FOUR labels; when the last two labels
+    * are a known two-label suffix ([[PublicSuffixes.twoLabel]], a static
+    * PSL subset incl. the high-traffic PRIVATE-registry platforms —
+    * `blogspot.com`-class), the registrable
     * domain is the last THREE labels (`a.b.co.uk` → `b.co.uk` — quota and
     * blocklist keys group by registrant, not by `co.uk`); otherwise the
     * last two (`a.b.example.com` → `example.com`). Hosts with fewer than
@@ -67,7 +71,10 @@ object Web {
   def registrableDomain(hostCol: Column): Column = {
     val last2 = regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)
     val last3 = regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(hostCol.rlike("[^.]+\\.[^.]+\\.[^.]+$") &&
+    val last4 = regexp_extract(hostCol, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(hostCol.rlike("[^.]+\\.[^.]+\\.[^.]+\\.[^.]+$") &&
+        last3.isin(PublicSuffixes.threeLabel: _*), last4)
+      .when(hostCol.rlike("[^.]+\\.[^.]+\\.[^.]+$") &&
         last2.isin(PublicSuffixes.twoLabel: _*), last3)
       .when(hostCol.rlike("[^.]+\\.[^.]+$"), last2)
       .otherwise(hostCol)

@@ -22,6 +22,11 @@ object TableStore {
 
   val HeightBucketSize = 1000
 
+  /** uid = height * UidPerHeight + idx (convert.rs:45-72 — see
+    * [[graft.convert.TxConvert]]): uid is height-monotonic, which is what
+    * lets a uid range prune height-bucket partitions. */
+  val UidPerHeight = 100000L
+
   def heightBucket(heightCol: String = "height"): org.apache.spark.sql.Column =
     (col(heightCol) / HeightBucketSize).cast("int").as("height_bucket")
 
@@ -82,6 +87,24 @@ object TableStore {
     * Partition columns come back typed from the directory layout. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(path)
+
+  /** Read a [[writeFact]] table pruned to a uid range — the (sender, uid)
+    * / (address, uid) read pattern the reference serves with btree indexes
+    * (`up.sql:530-719`). uid is height-monotonic ([[UidPerHeight]]), so
+    * the range maps to a height-bucket range: the derived predicate on the
+    * PARTITION column prunes whole directories before Spark lists a file,
+    * and the uid bounds themselves push into the parquet scan where the
+    * within-file uid sort makes row-group min/max skipping exact. Callers
+    * layer the entity predicate (sender = X) on top — it reaches the scan
+    * as a pushed filter. */
+  def readFactUidRange(spark: SparkSession, path: String, loUid: Long, hiUid: Long): DataFrame = {
+    require(loUid <= hiUid, s"empty uid range: [$loUid, $hiUid]")
+    val loBucket = (loUid / UidPerHeight / HeightBucketSize).toInt
+    val hiBucket = (hiUid / UidPerHeight / HeightBucketSize).toInt
+    readAny(spark, path)
+      .filter(col("height_bucket").between(loBucket, hiBucket))
+      .filter(col("uid").between(loUid, hiUid))
+  }
 
   def readAny(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure tests for the bench harness's self-diagnostics — no Spark.
+  * The contended-window detector (VERDICT r10 task 5) must classify a
+  * uniformly-inflated window as contended, a clean window as clean, a
+  * single-query regression as NOT contended, and refuse a verdict when
+  * the shared history is too thin to mean anything. */
+class BenchSpec extends AnyFunSuite {
+
+  // 30 queries with floors 0.3..3.2 s — all above the 0.2 s noise cut
+  private val floor: Map[String, Double] =
+    (1 to 30).map(i => f"q$i%02d" -> (0.2 + i * 0.1)).toMap
+  private val history = Seq(
+    floor.map { case (k, v) => k -> v * 1.05 }, // a slightly-warm run
+    floor)                                      // the floor run
+
+  test("uniform 30% inflation over the historical floor flags contended") {
+    val noisy = floor.map { case (k, v) => k -> v * 1.30 }
+    assert(Bench.contendedFlag(noisy, history).contains(true))
+  }
+
+  test("a clean window at floor is not contended") {
+    val clean = floor.map { case (k, v) => k -> v * 1.02 }
+    assert(Bench.contendedFlag(clean, history).contains(false))
+  }
+
+  test("one real 5x regression does not flag the window (median, not mean)") {
+    val oneBad = floor.updated("q15", floor("q15") * 5.0)
+    assert(Bench.contendedFlag(oneBad, history).contains(false))
+  }
+
+  test("the floor is the MIN across all prior runs, not the latest") {
+    // latest run was itself contended at 1.4x; current at 1.3x over the
+    // true floor must still flag — a dirty prior must not raise the bar
+    val dirtyLatest = floor.map { case (k, v) => k -> v * 1.4 }
+    val noisy = floor.map { case (k, v) => k -> v * 1.30 }
+    assert(Bench.contendedFlag(noisy, history :+ dirtyLatest).contains(true))
+  }
+
+  test("no verdict without enough shared non-trivial queries") {
+    // empty history
+    assert(Bench.contendedFlag(floor, Nil).isEmpty)
+    // only 5 shared queries — below the minShared floor
+    val tiny = floor.take(5)
+    assert(Bench.contendedFlag(tiny, Seq(tiny)).isEmpty)
+    // floors all below the 0.2 s cut: JVM noise, no verdict
+    val sub = (1 to 30).map(i => f"s$i%02d" -> 0.05).toMap
+    assert(Bench.contendedFlag(sub, Seq(sub)).isEmpty)
+  }
+
+  test("failed (-1) entries in the current run are excluded from the ratio pool") {
+    val noisy = floor.map { case (k, v) => k -> v * 1.30 }.updated("q01", -1.0)
+    assert(Bench.contendedFlag(noisy, history).contains(true))
+  }
+
+  test("parseQueries survives the contended suffix on a bench line") {
+    val line = """{"metric":"total","value":1.5,"unit":"sec","queries":{"a":0.5,"b":1.0},"sf":"/x/sf0.1","contended":false}"""
+    assert(Bench.parseQueries(line) == Map("a" -> 0.5, "b" -> 1.0))
+  }
+}

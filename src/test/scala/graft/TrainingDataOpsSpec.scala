@@ -62,6 +62,21 @@ class TrainingDataOpsSpec extends SparkSpec {
     val out = cases.map(_._1).toDF("h")
       .select(Web.registrableDomain(col("h"))).as[String].collect()
     assert(out.toSeq == cases.map(_._2))
+    // PRIVATE-registry suffixes (PSL PRIVATE section, r11): platform
+    // customer subdomains are independent registrants — two-label
+    // (blogspot.com-class) and three-label (s3.amazonaws.com-class)
+    val priv = Seq(
+      "foo.blogspot.com" -> "foo.blogspot.com",
+      "www.foo.blogspot.com" -> "foo.blogspot.com",
+      "alice.github.io" -> "alice.github.io",
+      "blogspot.com" -> "blogspot.com", // bare private suffix: pass-through
+      "mybucket.s3.amazonaws.com" -> "mybucket.s3.amazonaws.com",
+      "assets.mybucket.s3.amazonaws.com" -> "mybucket.s3.amazonaws.com",
+      "s3.amazonaws.com" -> "amazonaws.com", // bare 3-label suffix: last-two fallback
+      "www.amazonaws.com" -> "amazonaws.com")
+    val privOut = priv.map(_._1).toDF("h")
+      .select(Web.registrableDomain(col("h"))).as[String].collect()
+    assert(privOut.toSeq == priv.map(_._2))
     val df = Seq(
       (1L, "https://spam.com/a", "x"),
       (2L, "https://spam.com/b", "yy"),
