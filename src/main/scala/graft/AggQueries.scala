@@ -1163,6 +1163,49 @@ object AggQueries {
              |FROM g GROUP BY user_id, session_idx
              |ORDER BY user_id, session_idx""".stripMargin)),
 
+    // ST14 — streaming as-of enrichment: probes and reference updates
+    // replayed through the flatMapGroupsWithState cursor (one (ts,
+    // payload) pair of state per key) must hash-match the BATCH o41
+    // union-merge oracle over the same slice — the st13 pattern applied
+    // to as-of enrichment (r10 VERDICT task 4)
+    QueryDef("st14_asof_stream",
+      (s, dir) => {
+        import graft.streaming.StreamingAsof
+        val rows = Tables.events(s, dir).filter(col("event_id") < 2000)
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+            when(col("event_type") === "click", 0).otherwise(1).as("side"))
+          .collect()
+          .map { r =>
+            val probe = r.getInt(3) == 1
+            StreamingAsof.AsofEvent(
+              eventId = if (probe) r.getLong(0) else 0L,
+              userId = r.getLong(1), tsUs = r.getLong(2),
+              side = r.getInt(3),
+              refId = if (probe) 0L else r.getLong(0))
+          }
+          .sortBy(e => (e.tsUs, e.side, e.refId))
+        StreamingAsof.replay(s, rows.toSeq, chunk = 700).orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+             |  WHERE event_type = 'view' AND event_id < 2000),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id AS ref_id FROM events
+             |  WHERE event_type = 'click' AND event_id < 2000),
+             |u AS (
+             |  SELECT user_id, us, 0 AS side, CAST(NULL AS BIGINT) AS event_id, ref_id FROM c
+             |  UNION ALL
+             |  SELECT user_id, us, 1, event_id, CAST(NULL AS BIGINT) FROM v),
+             |w AS (
+             |  SELECT user_id, us, side, event_id,
+             |    last_value(ref_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_id
+             |  FROM u)
+             |SELECT event_id, user_id, us, ref_id FROM w WHERE side = 1
+             |ORDER BY event_id""".stripMargin)),
+
     // Views — tickers (O20 over asset_tickers, up.sql:432-435)
     QueryDef("view_tickers",
       (s, dir) => {

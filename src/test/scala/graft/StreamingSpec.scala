@@ -447,4 +447,38 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got2 == want.map(t => (t._1, t._2, t._5)))
   }
+
+  test("streaming as-of enrichment equals the batch operator (ST14)") {
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.AsofEvent
+    def ref(uid: Long, ts: Long, refId: Long) = AsofEvent(0L, uid, ts, 0, refId)
+    def probe(id: Long, uid: Long, ts: Long) = AsofEvent(id, uid, ts, 1, 0L)
+    // the batch semantics table, replayed with chunk = 2 so every
+    // interesting transition crosses a micro-batch boundary: cross-batch
+    // state carry, inclusive equal-ts, dup-ts MAX payload, no-ref key
+    val events = Seq(
+      probe(1, 1, 100),             // before any ref -> null
+      ref(1, 200, 20),
+      probe(2, 1, 200),             // equal ts: ref visible (inclusive)
+      ref(1, 300, 31), ref(1, 300, 30), // dup ts -> MAX payload (31)
+      probe(3, 1, 250),             // between refs -> 20 (carry from batch 1)
+      probe(4, 1, 300),             // at the dup ts -> 31
+      ref(2, 400, 40),
+      probe(5, 2, 500),             // second key: independent state -> 40
+      probe(6, 2, 600),             // -> 40, state carried across batches
+      probe(7, 1, 9999)             // far future -> still 31
+    ).sortBy(e => (e.tsUs, e.side, e.refId))
+    val got = StreamingAsof.replay(spark, events, chunk = 2)
+      .select("event_id", "ref_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val batchProbe = events.filter(_.side == 1)
+      .map(e => (e.eventId, e.userId, e.tsUs)).toDF("event_id", "user_id", "us")
+    val batchRef = events.filter(_.side == 0)
+      .map(e => (e.userId, e.tsUs, e.refId)).toDF("user_id", "us", "ref_id")
+    val want = graft.operators.AsofJoin.backward(batchProbe, batchRef, Seq("user_id"), "us", Seq("ref_id"))
+      .select("event_id", "ref_id").as[(Long, Option[Long])].collect().toMap
+    assert(got == want, s"stream=$got batch=$want")
+    assert(got == Map(1L -> None, 2L -> Some(20L), 3L -> Some(20L),
+      4L -> Some(31L), 5L -> Some(40L), 6L -> Some(40L), 7L -> Some(31L)))
+  }
 }
