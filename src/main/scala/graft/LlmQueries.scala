@@ -477,7 +477,11 @@ object LlmQueries {
       corpus: DataFrame): (Seq[graft.llm.Bpe.Merge], DataFrame) = {
     import graft.llm.Bpe
     val (merges, vocabRows) = cache.getOrCompute(s, dir) {
-      val (m, vocab) = Bpe.trainMerges(Bpe.wordFrequencies(corpus), numMerges = 8)
+      // the incremental (delta-update) trainer — bit-identical merges and
+      // vocab to the full-recompute path (Bpe.trainMergesIncremental
+      // scaladoc; equivalence spec in TrainingDataOpsSpec), per-merge cost
+      // bounded by the merged pair's support instead of the whole vocab
+      val (m, vocab) = Bpe.trainMergesIncremental(Bpe.wordFrequencies(corpus), numMerges = 8)
       (m, vocab.select(col("word"), col("freq"), col("s")).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq)
     }

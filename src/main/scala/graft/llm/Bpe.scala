@@ -111,6 +111,77 @@ object Bpe {
   private def sqlLit(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+  /** [[trainMerges]] with the standard incremental-trainer optimization
+    * (the delta update every serious BPE implementation ships — Sennrich's
+    * reference `learn_bpe` maintains the same running pair-stats): instead
+    * of recomputing the full adjacent-pair aggregation from the whole
+    * distinct-word table every iteration (numMerges full explode+shuffle
+    * passes — the r10 VERDICT's scale ceiling at a 100k-merge production
+    * vocab), maintain the pair-stats table across iterations and update it
+    * with the DELTA of the words the merge actually changed:
+    *
+    *   - only words whose segmentation contains the merged pair change —
+    *     a map-only `contains` filter finds them (no shuffle; the one
+    *     remaining per-iteration vocab pass is embarrassingly parallel);
+    *   - the delta is `pairCounts(changed after) − pairCounts(changed
+    *     before)`, aggregated over the CHANGED subset only — for a single
+    *     merge that subset is the pair's support, orders of magnitude
+    *     smaller than the vocab (Zipf: most merges touch few words);
+    *   - stats' = stats ⊎ delta, zero-count pairs dropped; both the vocab
+    *     and the stats table `localCheckpoint` per iteration (the Lloyd's-
+    *     loop lineage-cut lesson), so per-merge cost is bounded by the
+    *     changed subset + the stats table, not the corpus-derived vocab.
+    *
+    * Exact-arithmetic deltas over BIGINT counts ⇒ the stats table equals
+    * the full recomputation bit-for-bit at every iteration, so the merge
+    * sequence (argmax + tie-breaks) and final vocab are IDENTICAL to
+    * [[trainMerges]] — proven pairwise in TrainingDataOpsSpec and by the
+    * llm_bpe_train gate hash staying green after the swap. */
+  def trainMergesIncremental(wordFreq: DataFrame, numMerges: Int): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    var vocab = wordFreq.localCheckpoint()
+    // the per-iteration filter⊎union vocab update concatenates partition
+    // lists; without this guard the partition count grows by the changed
+    // subset's every merge (32 → 64 → 96 …) and checkpoint latency with it
+    // (the bpeCtes r9 lesson). Coalesce back to the starting width.
+    val parts = math.max(1, vocab.rdd.getNumPartitions)
+    var stats = pairCounts(vocab).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = stats
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, l, r, cnt)
+        val pat = SymOpen + l + SymClose + SymOpen + r + SymClose
+        val applyMerge = expr(
+          s"replace(s, ${sqlLit(pat)}, ${sqlLit(SymOpen + l + r + SymClose)})")
+        val changedBefore = vocab.filter(col("s").contains(pat)).localCheckpoint()
+        val changedAfter = changedBefore.withColumn("s", applyMerge).localCheckpoint()
+        stats = stats
+          .unionByName(pairCounts(changedAfter))
+          .unionByName(pairCounts(changedBefore).withColumn("cnt", -col("cnt")))
+          .groupBy("l", "r")
+          .agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0)
+          .localCheckpoint()
+        // unchanged words keep their segmentation; the merge applies only
+        // to the changed subset (replace is identity elsewhere anyway)
+        vocab = vocab.filter(!col("s").contains(pat))
+          .unionByName(changedAfter)
+          .coalesce(parts)
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
   /** The trained merge table as a DataFrame (rank, lhs, rhs, pair_count) —
     * the artifact a tokenizer ships. */
   def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {

@@ -15,13 +15,18 @@ import org.apache.spark.sql.functions._
   * driver-side graph. State is materialized per round (localCheckpoint) so
   * lineage stays flat across iterations.
   *
-  * Scale shape: rounds needed = graph diameter. Near-dup graphs are
-  * clique-ish (LSH emits most in-bucket pairs), so diameter is small —
-  * typically 2-4 rounds. For adversarial long-chain graphs the
-  * large-star/small-star pointer-jumping variant (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond") halves chains per round; the
-  * propagation loop below is the same join pattern, so swapping the step is
-  * local to this file if diameter ever dominates.
+  * Scale shape: rounds needed = O(log diameter), not diameter: each round
+  * is neighbor-min propagation PLUS a pointer-jumping shortcut
+  * (`comp := comp(comp)` — the label-doubling step of Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond"), so a length-d chain
+  * converges in ~log₂(d) rounds instead of d (r11; LlmSpec proves a
+  * 100-node path inside the 20-round guard, which plain propagation
+  * cannot reach). Near-dup graphs are clique-ish anyway (LSH emits most
+  * in-bucket pairs — 2-4 rounds); the shortcut is what keeps adversarial
+  * chains from blowing the round guard at 100 TB. The shortcut join keys
+  * on the label, which is hot for a giant component — AQE skew-join
+  * splits it; the alternative (dropping the shortcut) trades that for
+  * diameter-many full rounds, a worse deal.
   */
 object Components {
 
@@ -57,12 +62,21 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIter) {
       // one round = ONE join + ONE aggregation: own label and every
-      // neighbor-carried label union together, min per node
-      val next = materialize(
-        labels.unionByName(
+      // neighbor-carried label union together, min per node ...
+      val propagated = labels.unionByName(
           sym.join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
             .select(col("dst").as("id"), col("comp")))
-          .groupBy("id").agg(min(col("comp")).as("comp")))
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+      // ... then the pointer-jumping shortcut: follow the label one more
+      // hop (comp := comp's own comp). Labels are node ids and every node
+      // is in `propagated`, so the lookup always hits (coalesce is
+      // defensive); labels stay monotone non-increasing, same fixpoint,
+      // remaining chain depth halves per round
+      val next = materialize(
+        propagated.join(
+            propagated.select(col("id").as("comp"), col("comp").as("__pc")),
+            Seq("comp"), "left")
+          .select(col("id"), coalesce(col("__pc"), col("comp")).as("comp")))
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -70,8 +84,8 @@ object Components {
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
-      "(graph diameter exceeds the guard — raise maxIter or switch the step " +
-      "to large-star/small-star pointer jumping)")
+      "(log2(diameter) exceeds the guard even with pointer jumping — " +
+      "raise maxIter; a graph needing that many rounds has diameter > 2^maxIter)")
     labels
   }
 

@@ -70,6 +70,21 @@ class LlmSpec extends SparkSpec {
     assert(comps.size == 8)
   }
 
+  test("pointer jumping: a 100-node path converges inside the 20-round guard (r11)") {
+    import graft.llm.Components
+    // plain min-label propagation needs ~99 rounds on this graph and would
+    // blow the maxIter=20 require; the comp := comp(comp) shortcut halves
+    // remaining depth per round (~log2(100) ≈ 7)
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Components.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == 100 && comps.values.forall(_ == 1L))
+    // and the min label still wins when the chain is numbered in reverse
+    val rev = (1L until 100L).map(i => (101L - i, 100L - i)).toDF("id_a", "id_b")
+    val comps2 = Components.connectedComponents(rev).as[(Long, Long)].collect().toMap
+    assert(comps2.size == 100 && comps2.values.forall(_ == 1L))
+  }
+
   test("clustered dedup collapses under-connected pairs that pairwise removal over-keeps") {
     import graft.llm.Components
     // pairs (A,C) and (B,C) with no (A,B): one component, one survivor

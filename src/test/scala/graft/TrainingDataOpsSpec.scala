@@ -346,6 +346,34 @@ class TrainingDataOpsSpec extends SparkSpec {
       Seq(("a", "a", 2L), ("aa", "a", 1L)))
   }
 
+  test("incremental BPE trainer equals the full-recompute path merge-for-merge (r11)") {
+    import graft.llm.Bpe
+    // a corpus exercising every delta case: overlapping runs (greedy
+    // left-to-right), ties on count (lexicographic tie-break), pairs whose
+    // count DECAYS to zero mid-training (must leave the stats table),
+    // words untouched by most merges, and early exhaustion
+    val docs = Seq(
+      "aaa aab abab banana banana apple",
+      "aa ab ba nan apple apple",
+      "xyz xyz q").toDF("text")
+    for (n <- Seq(1, 3, 12)) {
+      val (mFull, vFull) = Bpe.trainMerges(Bpe.wordFrequencies(docs), numMerges = n)
+      val (mInc, vInc) = Bpe.trainMergesIncremental(Bpe.wordFrequencies(docs), numMerges = n)
+      assert(mInc == mFull, s"merge sequences diverge at numMerges=$n")
+      val fullSet = vFull.select("word", "freq", "s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val incSet = vInc.select("word", "freq", "s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(incSet == fullSet, s"final vocab state diverges at numMerges=$n")
+    }
+    // exhaustion parity: both stop after the same number of merges when
+    // every word is a single symbol
+    val tiny = Seq("ab ab").toDF("text")
+    val (mf, _) = Bpe.trainMerges(Bpe.wordFrequencies(tiny), numMerges = 10)
+    val (mi, _) = Bpe.trainMergesIncremental(Bpe.wordFrequencies(tiny), numMerges = 10)
+    assert(mi == mf && mi.size == 1)
+  }
+
   // ---- temperature mixture ----
 
   test("temperatureMixture keeps the scarcest stratum whole and flattens the head") {
