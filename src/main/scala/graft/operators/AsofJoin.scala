@@ -237,6 +237,40 @@ object AsofJoin {
         payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** Hot-key audit for the as-of family: keys whose combined probe+ref
+    * row count exceeds `threshold` — one cheap map-side-partial count per
+    * live key, the [[graft.operators.Candles.hotPairs]] convention. */
+  def hotKeys(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      threshold: Long): DataFrame =
+    probe.select(keyCols.map(col): _*)
+      .unionByName(reference.select(keyCols.map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("rows"))
+      .filter(col("rows") > threshold)
+
+  /** Skew-aware backward as-of: time-slice ([[backwardSliced]]) only when
+    * some key exceeds `hotKeyRowThreshold` rows across both sides (one
+    * cheap count-per-key pass), else the plain single-window
+    * [[backward]] — the [[graft.operators.Candles.minuteCandlesAuto]]
+    * dispatch convention applied to the as-of family. Both paths are
+    * hash-identical (o41e reuses o41's oracle verbatim), so the dispatch
+    * can never change results, only the plan. */
+  def backwardAuto(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      cellWidth: Long,
+      hotKeyRowThreshold: Long = 10000000L): DataFrame =
+    if (hotKeys(probe, reference, keyCols, hotKeyRowThreshold).isEmpty)
+      backward(probe, reference, keyCols, tsCol, payloadCols)
+    else
+      backwardSliced(probe, reference, keyCols, tsCol, payloadCols, cellWidth)
+
   /** Nearest as-of join: the closer of the backward and forward matches by
     * |ref.ts − probe.ts|, equal distance → backward (the pandas
     * `merge_asof` nearest tie rule). ONE union and two frame windows over

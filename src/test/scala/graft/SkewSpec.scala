@@ -114,6 +114,24 @@ class SkewSpec extends SparkSpec {
     assert(at101.contains(9999L))
   }
 
+  test("backwardAuto slices only past the hot-key threshold") {
+    import graft.operators.AsofJoin
+    val probe = (1 to 100).map(i => (i.toLong, "HOT", i.toLong * 10L)).toDF("event_id", "k", "us")
+    val ref = (1 to 30).map(i => ("HOT", i.toLong * 33L, i.toLong)).toDF("k", "us", "ref_id")
+    // under threshold: the plain single-window plan (its (key)-hash window,
+    // no cell carry machinery — 2 exchanges incl. the implicit output sort)
+    val plain = AsofJoin.backwardAuto(probe, ref, Seq("k"), "us", Seq("ref_id"),
+      cellWidth = 100L, hotKeyRowThreshold = 1000L)
+    assert(!plain.queryExecution.executedPlan.toString.contains("__cell"),
+      "plain path must not build cell columns")
+    // over threshold: the sliced plan kicks in, results identical
+    val sliced = AsofJoin.backwardAuto(probe, ref, Seq("k"), "us", Seq("ref_id"),
+      cellWidth = 100L, hotKeyRowThreshold = 50L)
+    assert(sliced.queryExecution.executedPlan.toString.contains("__cell"),
+      "hot key must route through the sliced operator")
+    assert(plain.exceptAll(sliced).count() == 0 && sliced.exceptAll(plain).count() == 0)
+  }
+
   test("span-split interval join equals the grid join with a planted degenerate long interval") {
     import graft.operators.IntervalJoin
     val pts = ((1 to 1000).map(i => (i.toLong, "HOT", i.toLong * 100L)) ++
