@@ -13,6 +13,9 @@ object CoreQueries {
   /** Reference insert chunk sizing: `(65535 / ncols) / 10 * 10` (`pg.rs:31-32`). */
   def chunkRows(ncols: Int): Int = 65535 / ncols / 10 * 10
 
+  /** o55's written fact-layout path, one write per (session, sf). */
+  private val layoutCache = new graft.util.SessionCache[String]
+
   val all: Vector[QueryDef] = Vector(
 
     // S1 — streaming source: a real Structured-Streaming query (MemoryStream
@@ -522,5 +525,47 @@ object CoreQueries {
              |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
              |  EXCEPT
              |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-             |ORDER BY op, o_custkey""".stripMargin)))
+             |ORDER BY op, o_custkey""".stripMargin)),
+
+    // O55 — the declared-layout read path END TO END as an oracle gate
+    // (r11; PlanShapeSpec proves the PLAN prunes — this gate proves the
+    // pruned read returns exactly the right ROWS): write the chain-
+    // convention fact layout (height-bucket partitions, uid-sorted files)
+    // and serve the reference's (sender, uid-range) pagination read
+    // through TableStore.readFactUidRange, whose derived height_bucket
+    // predicate prunes partitions before listing. The oracle replays the
+    // same derivation + filters over the raw events table — the layout
+    // round-trip must be invisible to results
+    QueryDef("o55_layout_read",
+      (s, dir) => {
+        import graft.sinks.TableStore
+        // the layout write is a shared fixture (SessionCache, the bpeCache
+        // convention): one write per (session, sf), so repeated bench reps
+        // measure the PRUNED READ — the path the gate exists to exercise
+        val out = layoutCache.getOrCompute(s, dir) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-o55").toString
+          val facts = Tables.events(s, dir).select(
+            (col("event_id") % 20000).cast("int").as("height"),
+            ((col("event_id") % 20000) * TableStore.UidPerHeight +
+              expr("event_id div 20000")).as("uid"),
+            concat(lit("addr"), (col("user_id") % 50).cast("string")).as("sender"),
+            col("value").as("payload"))
+          TableStore.writeFact(facts, s"$tmp/txs")
+          s"$tmp/txs"
+        }
+        TableStore.readFactUidRange(s, out,
+            3000L * TableStore.UidPerHeight, 5000L * TableStore.UidPerHeight - 1)
+          .filter(col("sender") === "addr7")
+          .select("uid", "height", "sender", "payload")
+          .orderBy("uid")
+      },
+      Some("""SELECT CAST((event_id % 20000) * 100000 + event_id // 20000 AS BIGINT) AS uid,
+             |  CAST(event_id % 20000 AS INT) AS height,
+             |  'addr' || CAST(user_id % 50 AS VARCHAR) AS sender,
+             |  value AS payload
+             |FROM events
+             |WHERE (event_id % 20000) * 100000 + event_id // 20000
+             |    BETWEEN 300000000 AND 499999999
+             |  AND user_id % 50 = 7
+             |ORDER BY uid""".stripMargin)))
 }
