@@ -92,6 +92,9 @@ object AggQueries {
   private def withTrades(body: String): String =
     s"WITH trades AS (${Tables.tradesOracleSql}),\n$body"
 
+  /** o56's written candle-layout path, one write per (session, sf). */
+  private val candleLayoutCache = new graft.util.SessionCache[String]
+
   /** Shared fixture for the chain_fold_* queries: 240 events → three key
     * blocks of exchange txs (every 10th carries an asset state update),
     * folded by the production orchestrator in one batch, then a rollback
@@ -163,6 +166,43 @@ object AggQueries {
         ladderCte("15m", "30m", 1800),
         ladderCte("30m", "1h", 3600)).mkString(",\n")) +
         "\n" + candleSelect("ts_1h") + "\nFROM c1h " + orderTail)),
+
+    // O56 — the CANDLE declared-layout read path end-to-end (r11, pairs
+    // with o55's fact layout): write 1m + 1h candles interval-partitioned
+    // (TableStore.writeCandles, one write per session via SessionCache),
+    // then serve the reference's hottest read — one interval, one pair, a
+    // time range (pg.rs:760) — through readCandleRange, whose interval
+    // equality prunes the partition directory and whose pair/time bounds
+    // push to the scan. The oracle recomputes the 1h ladder from raw
+    // trades and applies the same filters: the layout round-trip must be
+    // invisible to results
+    QueryDef("o56_candle_layout_read",
+      (s, dir) => {
+        import graft.sinks.TableStore
+        val path = candleLayoutCache.getOrCompute(s, dir) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-o56").toString
+          val c1m = Candles.partitionForLadder(Candles.minuteCandles(Tables.trades(s, dir)))
+          val c5 = Candles.ladderStep(c1m, "1m", "5m")
+          val c15 = Candles.ladderStep(c5, "5m", "15m")
+          val c30 = Candles.ladderStep(c15, "15m", "30m")
+          val c1h = Candles.ladderStep(c30, "30m", "1h")
+          TableStore.writeCandles(c1m.unionByName(c1h), s"$tmp/candles")
+          s"$tmp/candles"
+        }
+        candleOut(TableStore.readCandleRange(s, path, "1h", "A1", "P2",
+          java.sql.Timestamp.valueOf("2024-01-08 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+      },
+      Some(withTrades(Seq(
+        c1mCte(),
+        ladderCte("1m", "5m", 300),
+        ladderCte("5m", "15m", 900),
+        ladderCte("15m", "30m", 1800),
+        ladderCte("30m", "1h", 3600)).mkString(",\n")) +
+        "\n" + candleSelect("ts_1h") + "\nFROM c1h " +
+        """WHERE amount_asset_id = 'A1' AND price_asset_id = 'P2'
+          |  AND ts_1h BETWEEN 1704672000 AND 1705881600
+          |""".stripMargin + orderTail)),
 
     // A2b — full ladder through the calendar buckets (1d→1w, 1d→1M): the
     // non-fixed-width path the reference takes via date_trunc week/month

@@ -108,6 +108,29 @@ object TableStore {
 
   def readAny(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** Read a [[writeCandles]] table for ONE interval, one pair, and a
+    * time range — the reference's hottest candle read (`pg.rs:760`: every
+    * query names exactly one interval). The interval equality prunes to
+    * its partition DIRECTORY before any file is listed; the pair and raw
+    * time_start bounds (plain column comparisons — never wrap the column
+    * in an expression, which would kill pushdown) push into the parquet
+    * scan where the (pair, time_start) within-file sort makes row-group
+    * min/max skipping exact. PlanShapeSpec pins the pruning; the
+    * o56 gate proves the round-trip returns exactly the right rows. */
+  def readCandleRange(
+      spark: SparkSession,
+      path: String,
+      interval: String,
+      amountAssetId: String,
+      priceAssetId: String,
+      lo: java.sql.Timestamp,
+      hi: java.sql.Timestamp): DataFrame =
+    readAny(spark, path)
+      .filter(col("interval") === interval &&
+        col("amount_asset_id") === amountAssetId &&
+        col("price_asset_id") === priceAssetId &&
+        col("time_start").between(lit(lo), lit(hi)))
+
   /** Persist a join-heavy index (e.g. [[graft.llm.Dedup.bandSignatures]],
     * [[graft.llm.Similarity.lshBucketIndex]]) HASH-BUCKETED on its join
     * keys: a catalog table written with `bucketBy(joinKeys)` reports
