@@ -608,6 +608,42 @@ object AggQueries {
              |SELECT event_id, user_id, us, ref_id FROM w WHERE side = 1
              |ORDER BY event_id""".stripMargin)),
 
+    // O41f — time-SLICED forward as-of join: semantics identical to o41b
+    // (the oracle SQL is o41b's verbatim — the gate hash-matches the
+    // unsliced operator), with the (user, 6h-cell) in-cell merge and the
+    // BACKWARD-running cell carry (a probe cell takes the earliest ref of
+    // the nearest later cell). Completes the skew-hatch family: both
+    // as-of directions now have a hot-key path, proven equivalent here
+    // and on a planted 100:1 hot key in SkewSpec
+    QueryDef("o41f_asof_forward_sliced",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+        val probe = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val ref = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us"), col("event_id").as("ref_id"))
+        graft.operators.AsofJoin.forwardSliced(probe, ref, Seq("user_id"), "us",
+            Seq("ref_id"), cellWidth = 6L * 3600L * 1000000L)
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id AS ref_id FROM events
+             |  WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, us, 1 AS side, CAST(NULL AS BIGINT) AS event_id, ref_id FROM c
+             |  UNION ALL
+             |  SELECT user_id, us, 0, event_id, CAST(NULL AS BIGINT) FROM v),
+             |w AS (
+             |  SELECT user_id, us, side, event_id,
+             |    first_value(ref_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ref_id
+             |  FROM u)
+             |SELECT event_id, user_id, us, ref_id FROM w WHERE side = 0
+             |ORDER BY event_id""".stripMargin)),
+
     // O42 — range (interval-containment) join: events matched into their
     // containing session windows via the grid-bucket equi-join (cells
     // exploded per interval, points keyed to one cell, exact BETWEEN

@@ -237,6 +237,87 @@ object AsofJoin {
         payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** Time-SLICED forward as-of join — [[backwardSliced]]'s mirror for
+    * [[forward]]: the in-cell union-merge partitions by (key, cell) with
+    * the forward frame (probe before ref at equal ts — inclusive; dup-ts
+    * refs → MIN payload via the (ts, payload)-ascending order), and the
+    * cell-level carry runs BACKWARD: per (key, cell) the FIRST reference
+    * (min (ts, payload) struct) is aggregated, then each probe cell takes
+    * the earliest reference of the nearest LATER cell over the tiny
+    * (key, cell) table — any ref in a later cell is strictly after every
+    * probe ts in this cell, so the carry is exact. Same cost shape as the
+    * backward hatch: one extra bounded pass over the reference side. */
+  def forwardSliced(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      cellWidth: Long): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
+    require(payloadCols.nonEmpty, "payloadCols must name at least one reference column")
+    val probeCols = probe.columns.toSeq
+    require(payloadCols.forall(!probeCols.contains(_)),
+      s"payload columns collide with probe columns: ${payloadCols.filter(probeCols.contains)}")
+    require(!probeCols.contains("__cell"), "probe must not already carry a __cell column")
+    def cellOf(c: Column): Column =
+      ((c.cast("long") - pmod(c.cast("long"), lit(cellWidth))) / cellWidth).cast("long")
+    val pay = struct(payloadCols.map(col): _*)
+    val refC = reference.withColumn("__cell", cellOf(col(tsCol)))
+    val probeC = probe.withColumn("__cell", cellOf(col(tsCol)))
+
+    // (2) cell-level carry: FIRST reference payload per (key, cell),
+    // carried backward so a probe cell sees the nearest STRICTLY-LATER
+    // cell's first payload (ref rows sort before probe rows at the same
+    // cell, so the following frame from a probe starts at the next cell:
+    // the in-cell merge owns same-cell references)
+    val cellFirst = refC
+      .groupBy((keyCols :+ "__cell").map(col): _*)
+      .agg(min(struct(col(tsCol).as("__t"), pay.as("__p"))).as("__m"))
+      .select((keyCols :+ "__cell").map(col) :+ lit(0).as("__cside") :+
+        col("__m.__p").as("__cpay"): _*)
+    val probeCells = probeC
+      .select((keyCols :+ "__cell").map(col): _*).distinct()
+      .select((keyCols :+ "__cell").map(col) :+ lit(1).as("__cside") :+
+        lit(null).cast(cellFirst.schema("__cpay").dataType).as("__cpay"): _*)
+    val wCarry = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__cell"), col("__cside"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carry = cellFirst.unionByName(probeCells)
+      .withColumn("__carry", first(col("__cpay"), ignoreNulls = true).over(wCarry))
+      .filter(col("__cside") === 1)
+      .select((keyCols :+ "__cell").map(col) :+ col("__carry"): _*)
+
+    // (1) in-cell union-merge, partitioned by (key, cell) — the forward
+    // frame: probe (side 0) before ref (side 1) at equal ts, first
+    // payload at-or-after wins, dup-ts refs resolve to MIN payload
+    val refSide = refC
+      .select((keyCols.map(col) :+ col("__cell") :+ col(tsCol) :+
+        lit(1).as("__side") :+ pay.as("__pay")) ++
+        probeCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val probeSide = probeC
+      .select((keyCols.map(col) :+ col("__cell") :+ col(tsCol) :+
+        lit(0).as("__side") :+
+        lit(null).cast(refSide.schema("__pay").dataType).as("__pay")) ++
+        probeCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
+    val wCell = Window
+      .partitionBy((keyCols :+ "__cell").map(col): _*)
+      .orderBy(orderCols(tsCol): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val merged = refSide.unionByName(probeSide)
+      .withColumn("__in", first(col("__pay"), ignoreNulls = true).over(wCell))
+      .filter(col("__side") =!= 1)
+
+    // (3) in-cell match wins; else the carry-in from later cells
+    merged
+      .join(carry, keyCols :+ "__cell", "left")
+      .withColumn("__asof", coalesce(col("__in"), col("__carry")))
+      .select(probeCols.map(col) ++
+        payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
   /** Hot-key audit for the as-of family: keys whose combined probe+ref
     * row count exceeds `threshold` — one cheap map-side-partial count per
     * live key, the [[graft.operators.Candles.hotPairs]] convention. */

@@ -342,7 +342,8 @@ class PlanShapeSpec extends SparkSpec {
     // hot-key slicing. o42b span-split: o42's budget + the long-tail
     // BroadcastExchange + the session-window exchange showing once more
     // (both split legs read the session build; the split filters are free).
-    val budgets = Seq("o41e_asof_sliced" -> 6, "o42b_interval_split" -> 5)
+    val budgets = Seq("o41e_asof_sliced" -> 6, "o41f_asof_forward_sliced" -> 6,
+      "o42b_interval_split" -> 5)
     budgets.foreach { case (name, budget) =>
       val plan = executed(SparkEntry.queries(name)(spark, dir))
       val ex = plan.linesIterator.count(_.contains("Exchange"))

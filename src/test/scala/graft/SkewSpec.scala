@@ -114,6 +114,28 @@ class SkewSpec extends SparkSpec {
     assert(at101.contains(9999L))
   }
 
+  test("sliced forward as-of equals the unsliced operator on a planted 100:1 hot key") {
+    import graft.operators.AsofJoin
+    // the backward fixture mirrored: probes need refs from LATER cells
+    // (cross-cell backward carry), equal-ts inclusivity, dup-ts MIN rule
+    val hot = (1 to 2000).map(i => (i.toLong, "HOT", i.toLong * 37L))
+    val tail = (1 to 20).map(i => (10000L + i, s"k${i % 5}", i.toLong * 1000L))
+    val probe = (hot ++ tail).toDF("event_id", "k", "us")
+    val hotRef = (1 to 500).map(i => ("HOT", i.toLong * 101L, i.toLong))
+    val dupTs = Seq(("HOT", 101L, 9999L)) // duplicate ts 101 → MIN payload rule
+    val tailRef = (1 to 10).map(i => (s"k${i % 5}", i.toLong * 1500L, 1000L + i))
+    val ref = (hotRef ++ dupTs ++ tailRef).toDF("k", "us", "ref_id")
+    val plain = AsofJoin.forward(probe, ref, Seq("k"), "us", Seq("ref_id"))
+    val sliced = AsofJoin.forwardSliced(probe, ref, Seq("k"), "us", Seq("ref_id"), cellWidth = 1000L)
+    assert(plain.exceptAll(sliced).count() == 0 && sliced.exceptAll(plain).count() == 0,
+      s"sliced forward as-of divergence:\n${plain.exceptAll(sliced).collect().take(5).mkString("\n")}")
+    // dup-ts MIN-payload: probe at us=74 (event 2) forward-matches ts 101
+    // where refs 1 and 9999 collide → 1 wins
+    val at74 = sliced.filter(col("event_id") === 2L).select("ref_id")
+      .as[Option[Long]].collect().head
+    assert(at74.contains(1L))
+  }
+
   test("backwardAuto slices only past the hot-key threshold") {
     import graft.operators.AsofJoin
     val probe = (1 to 100).map(i => (i.toLong, "HOT", i.toLong * 10L)).toDF("event_id", "k", "us")
