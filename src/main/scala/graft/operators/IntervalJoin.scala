@@ -88,6 +88,33 @@ object IntervalJoin {
     gridPart.unionByName(longPart)
   }
 
+  /** Skew-aware containment join: span-split ([[containmentJoinSplit]])
+    * only when some interval actually spans more than `maxCells` grid
+    * cells (one cheap map-side count over the interval table — the
+    * [[graft.operators.AsofJoin.backwardAuto]] dispatch convention), else
+    * the plain grid join with no split machinery. Both paths are
+    * hash-identical, so the dispatch can only change the plan. */
+  def containmentJoinAuto(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      loCol: String,
+      hiCol: String,
+      cellWidth: Long,
+      maxCells: Long): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
+    require(maxCells > 0, s"maxCells must be positive: $maxCells")
+    def cellOf(c: Column): Column = floorDiv(c, lit(cellWidth))
+    val hasLong = !intervals
+      .filter(cellOf(col(hiCol)) - cellOf(col(loCol)) + 1 > maxCells)
+      .isEmpty
+    if (hasLong)
+      containmentJoinSplit(points, intervals, keyCols, tsCol, loCol, hiCol, cellWidth, maxCells)
+    else
+      containmentJoin(points, intervals, keyCols, tsCol, loCol, hiCol, cellWidth)
+  }
+
   private def floorDiv(c: Column, divisor: Column): Column =
     // floor division in pure integer math (`div` truncates toward zero,
     // which would mis-cell negative epochs): subtract the non-negative

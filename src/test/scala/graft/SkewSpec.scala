@@ -176,5 +176,18 @@ class SkewSpec extends SparkSpec {
     val plan = split.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"long tail fell off the hash-join path:\n$plan")
+    // auto dispatch: with the degenerate interval present the split path
+    // engages (broadcast leg in plan); without it the plain grid join runs
+    val auto = IntervalJoin.containmentJoinAuto(
+      pts, ivs, Seq("k"), "us", "lo", "hi", cellWidth = 1000L, maxCells = 5L)
+    // the split path is a UNION of the grid leg and the broadcast leg;
+    // the plain grid join has no union — a size-independent plan signal
+    assert(auto.queryExecution.executedPlan.toString.contains("Union"))
+    assert(grid.exceptAll(auto).count() == 0 && auto.exceptAll(grid).count() == 0)
+    val shortOnly = ivs.filter(col("iv_id") =!= 99L && col("iv_id") =!= 50L)
+    val autoPlain = IntervalJoin.containmentJoinAuto(
+      pts, shortOnly, Seq("k"), "us", "lo", "hi", cellWidth = 1000L, maxCells = 5L)
+    assert(!autoPlain.queryExecution.executedPlan.toString.contains("Union"),
+      "short-only interval table must take the plain grid path")
   }
 }
