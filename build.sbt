@@ -35,5 +35,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default TZ too: java.sql.Timestamp.valueOf and
+  // Timestamp#toString use it, so Scala-side literal construction and
+  // fixture rendering stay aligned with the UTC session TZ on any host
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

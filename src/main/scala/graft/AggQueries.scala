@@ -189,9 +189,13 @@ object AggQueries {
           TableStore.writeCandles(c1m.unionByName(c1h), s"$tmp/candles")
           s"$tmp/candles"
         }
+        // Instant-based bounds: Timestamp.valueOf parses in the JVM
+        // default timezone, which would shift the read window (and break
+        // the UTC-epoch oracle literals 1704672000/1705881600) on a
+        // non-UTC host; Timestamp.from(Instant) is TZ-independent
         candleOut(TableStore.readCandleRange(s, path, "1h", "A1", "P2",
-          java.sql.Timestamp.valueOf("2024-01-08 00:00:00"),
-          java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704672000L)),
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1705881600L))))
       },
       Some(withTrades(Seq(
         c1mCte(),
@@ -642,6 +646,89 @@ object AggQueries {
              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ref_id
              |  FROM u)
              |SELECT event_id, user_id, us, ref_id FROM w WHERE side = 0
+             |ORDER BY event_id""".stripMargin)),
+
+    // O41g — time-SLICED nearest as-of join (r12, completing the skew-
+    // hatch family): semantics identical to o41c (oracle verbatim — the
+    // hash IS the equivalence proof). ONE (user, 6h-cell) sort serves
+    // both frames, and TWO cross-cell carries (last-earlier / first-later
+    // reference) run over the tiny cell table
+    QueryDef("o41g_asof_nearest_sliced",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+        val probe = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val ref = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us"), col("event_id").as("ref_id"))
+        graft.operators.AsofJoin.nearestSliced(probe, ref, Seq("user_id"), "us",
+            Seq("ref_id"), cellWidth = 6L * 3600L * 1000000L)
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id AS ref_id FROM events
+             |  WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, us, 0 AS side, CAST(NULL AS BIGINT) AS event_id, ref_id,
+             |    us AS ref_us FROM c
+             |  UNION ALL
+             |  SELECT user_id, us, 1, event_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v),
+             |w AS (
+             |  SELECT user_id, us, side, event_id,
+             |    last_value(ref_id IGNORE NULLS) OVER wp AS b_id,
+             |    last_value(ref_us IGNORE NULLS) OVER wp AS b_us,
+             |    first_value(ref_id IGNORE NULLS) OVER wf AS f_id,
+             |    first_value(ref_us IGNORE NULLS) OVER wf AS f_us
+             |  FROM u
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wf AS (PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT event_id, user_id, us,
+             |  CASE WHEN f_id IS NULL THEN b_id WHEN b_id IS NULL THEN f_id
+             |       WHEN us - b_us <= f_us - us THEN b_id ELSE f_id END AS ref_id,
+             |  CASE WHEN f_id IS NULL THEN b_us WHEN b_id IS NULL THEN f_us
+             |       WHEN us - b_us <= f_us - us THEN b_us ELSE f_us END AS asof_ts
+             |FROM w WHERE side = 1
+             |ORDER BY event_id""".stripMargin)),
+
+    // O41h — time-SLICED tolerance-bounded backward as-of (r12): o41d's
+    // semantics through the skew hatch, oracle verbatim; the staleness
+    // bound stays a row-local predicate on the reattached match
+    QueryDef("o41h_asof_tolerance_sliced",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+        val probe = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val ref = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us"), col("event_id").as("ref_id"))
+        graft.operators.AsofJoin.backwardWithinSliced(probe, ref, Seq("user_id"), "us",
+            Seq("ref_id"), tolerance = 3600L * 1000000L,
+            cellWidth = 6L * 3600L * 1000000L)
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id AS ref_id FROM events
+             |  WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, us, 0 AS side, CAST(NULL AS BIGINT) AS event_id, ref_id,
+             |    us AS ref_us FROM c
+             |  UNION ALL
+             |  SELECT user_id, us, 1, event_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v),
+             |w AS (
+             |  SELECT user_id, us, side, event_id,
+             |    last_value(ref_id IGNORE NULLS) OVER wp AS b_id,
+             |    last_value(ref_us IGNORE NULLS) OVER wp AS b_us
+             |  FROM u
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, side, ref_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, us,
+             |  CASE WHEN b_id IS NOT NULL AND us - b_us <= 3600000000 THEN b_id END AS ref_id,
+             |  CASE WHEN b_id IS NOT NULL AND us - b_us <= 3600000000 THEN b_us END AS asof_ts
+             |FROM w WHERE side = 1
              |ORDER BY event_id""".stripMargin)),
 
     // O42 — range (interval-containment) join: events matched into their
@@ -1281,6 +1368,37 @@ object AggQueries {
              |  FROM u)
              |SELECT event_id, user_id, us, ref_id FROM w WHERE side = 1
              |ORDER BY event_id""".stripMargin)),
+
+    // ST15 — stream-STREAM watermarked join (r12): two live streams
+    // (views, clicks) joined on user + an event-time range condition
+    // ("click within the 30 min before the view") with Spark's built-in
+    // watermarked inner join — state bounded by the window, never by
+    // history. The replay's final table must equal the plain batch
+    // range-join over the same slice
+    QueryDef("st15_stream_stream_join",
+      (s, dir) => {
+        import graft.streaming.StreamStreamJoin
+        val ev = Tables.events(s, dir).filter(col("event_id") < 2000)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .orderBy("us", "event_id").collect()
+          .map(r => StreamStreamJoin.ViewEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .orderBy("us", "event_id").collect()
+          .map(r => StreamStreamJoin.ClickEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+        StreamStreamJoin.replay(s, views.toSeq, clicks.toSeq,
+            windowUs = 1800L * 1000000L, chunk = 400)
+          .orderBy("event_id", "ref_id")
+      },
+      Some("""SELECT v.event_id, v.user_id, epoch_us(v.ts) AS view_us,
+             |  c.event_id AS ref_id, epoch_us(c.ts) AS click_us
+             |FROM events v JOIN events c
+             |  ON v.user_id = c.user_id
+             |  AND epoch_us(c.ts) BETWEEN epoch_us(v.ts) - 1800000000 AND epoch_us(v.ts)
+             |WHERE v.event_type = 'view' AND c.event_type = 'click'
+             |  AND v.event_id < 2000 AND c.event_id < 2000
+             |ORDER BY v.event_id, c.event_id""".stripMargin)),
 
     // Views — tickers (O20 over asset_tickers, up.sql:432-435)
     QueryDef("view_tickers",

@@ -18,7 +18,17 @@ object Dedup {
   // ---- exact -------------------------------------------------------------
 
   /** Exact dedup via content-hash groupBy: keep the lowest-id copy per
-    * normalized text. One shuffle on the 128-bit md5 — no skew (hash keys). */
+    * BYTE-IDENTICAL raw text. One shuffle on the 128-bit md5 — no skew
+    * (hash keys).
+    *
+    * Contract vs [[exactKeepBest]] (declared, not an accident): this
+    * entry point does NO normalization — two docs collapse only when
+    * their raw text is identical, so distinct all-punctuation docs stay
+    * distinct here, which AGREES with [[exactKeepBest]]'s `raw:` fallback
+    * for empty-normalized docs. The two entry points differ only on docs
+    * with a NON-empty normalized form ([[exactKeepBest]] also collapses
+    * case/punctuation variants); callers wanting normalized keying use
+    * [[exactKeepBest]] (or [[normalizedText]] + this). */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")

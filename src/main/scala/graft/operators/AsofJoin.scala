@@ -61,6 +61,30 @@ object AsofJoin {
   private def orderCols(tsCol: String): Seq[Column] =
     Seq(col(tsCol), col("__side"), col("__pay"))
 
+  /** Reattach the cell-level carry to the merged probe rows — with
+    * NULL-SAFE key equality. The plain operators' carry runs through a
+    * window whose `partitionBy` groups NULL key values into ONE partition
+    * (SQL window semantics: NULL keys match each other), so the sliced
+    * variants' carry reattachment must match NULL keys too; a plain
+    * equi-join (`NULL = NULL` → false) would silently drop a NULL-key
+    * probe's cross-cell carry and break the sliced ≡ plain equivalence
+    * [[backwardAuto]]'s "dispatch can never change results" contract
+    * rests on. Hence `<=>` on every key and on the cell (whose NULL
+    * mirrors a NULL probe timestamp). */
+  private def joinCarry(
+      merged: DataFrame,
+      carry: DataFrame,
+      keyCols: Seq[String],
+      carryCol: String = "__carry",
+      tag: String = ""): DataFrame = {
+    val renamed = carry.select(
+      keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"__ck$tag$i") } ++
+        Seq(col("__cell").as(s"__ccell$tag"), col(carryCol)): _*)
+    val cond = (keyCols.zipWithIndex.map { case (k, i) => col(k) <=> col(s"__ck$tag$i") } :+
+      (col("__cell") <=> col(s"__ccell$tag"))).reduce(_ && _)
+    merged.join(renamed, cond, "left")
+  }
+
   /** Backward as-of join: for each `probe` row, the `reference` row with
     * the greatest `tsCol` satisfying `ref.ts <= probe.ts` on the same
     * `keyCols`; probe rows with no visible reference keep NULL (left-join
@@ -176,15 +200,33 @@ object AsofJoin {
       tsCol: String,
       payloadCols: Seq[String],
       cellWidth: Long): DataFrame = {
+    val (merged, probeCols) =
+      backwardSlicedCore(probe, reference, keyCols, tsCol, payloadCols, cellWidth)
+    merged.select(probeCols.map(col) ++
+      payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
+  /** Shared core of the sliced backward join: emits the probe columns plus
+    * `__asof` — a struct of `payloadCols` and `__ref_ts` (the matched
+    * reference timestamp), NULL when no reference is visible. The extra
+    * trailing `__ref_ts` field cannot change which reference wins any
+    * tie: every struct comparison that reaches it has already tied on the
+    * timestamp and the full payload. */
+  private def backwardSlicedCore(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      cellWidth: Long): (DataFrame, Seq[String]) = {
     require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
     require(payloadCols.nonEmpty, "payloadCols must name at least one reference column")
     val probeCols = probe.columns.toSeq
     require(payloadCols.forall(!probeCols.contains(_)),
       s"payload columns collide with probe columns: ${payloadCols.filter(probeCols.contains)}")
     require(!probeCols.contains("__cell"), "probe must not already carry a __cell column")
-    def cellOf(c: Column): Column =
-      ((c.cast("long") - pmod(c.cast("long"), lit(cellWidth))) / cellWidth).cast("long")
-    val pay = struct(payloadCols.map(col): _*)
+    def cellOf(c: Column): Column = TimeCells.floorDiv(c, lit(cellWidth))
+    val pay = struct(payloadCols.map(col) :+ col(tsCol).as("__ref_ts"): _*)
     val refC = reference.withColumn("__cell", cellOf(col(tsCol)))
     val probeC = probe.withColumn("__cell", cellOf(col(tsCol)))
 
@@ -230,11 +272,8 @@ object AsofJoin {
       .filter(col("__side") =!= 0)
 
     // (3) in-cell match wins; else the carry-in from earlier cells
-    merged
-      .join(carry, keyCols :+ "__cell", "left")
-      .withColumn("__asof", coalesce(col("__in"), col("__carry")))
-      .select(probeCols.map(col) ++
-        payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
+    (joinCarry(merged, carry, keyCols)
+      .withColumn("__asof", coalesce(col("__in"), col("__carry"))), probeCols)
   }
 
   /** Time-SLICED forward as-of join — [[backwardSliced]]'s mirror for
@@ -254,15 +293,29 @@ object AsofJoin {
       tsCol: String,
       payloadCols: Seq[String],
       cellWidth: Long): DataFrame = {
+    val (merged, probeCols) =
+      forwardSlicedCore(probe, reference, keyCols, tsCol, payloadCols, cellWidth)
+    merged.select(probeCols.map(col) ++
+      payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
+  /** [[backwardSlicedCore]]'s forward mirror: probe columns + `__asof`
+    * struct of `payloadCols` and `__ref_ts`. */
+  private def forwardSlicedCore(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      cellWidth: Long): (DataFrame, Seq[String]) = {
     require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
     require(payloadCols.nonEmpty, "payloadCols must name at least one reference column")
     val probeCols = probe.columns.toSeq
     require(payloadCols.forall(!probeCols.contains(_)),
       s"payload columns collide with probe columns: ${payloadCols.filter(probeCols.contains)}")
     require(!probeCols.contains("__cell"), "probe must not already carry a __cell column")
-    def cellOf(c: Column): Column =
-      ((c.cast("long") - pmod(c.cast("long"), lit(cellWidth))) / cellWidth).cast("long")
-    val pay = struct(payloadCols.map(col): _*)
+    def cellOf(c: Column): Column = TimeCells.floorDiv(c, lit(cellWidth))
+    val pay = struct(payloadCols.map(col) :+ col(tsCol).as("__ref_ts"): _*)
     val refC = reference.withColumn("__cell", cellOf(col(tsCol)))
     val probeC = probe.withColumn("__cell", cellOf(col(tsCol)))
 
@@ -311,12 +364,173 @@ object AsofJoin {
       .filter(col("__side") =!= 1)
 
     // (3) in-cell match wins; else the carry-in from later cells
-    merged
-      .join(carry, keyCols :+ "__cell", "left")
-      .withColumn("__asof", coalesce(col("__in"), col("__carry")))
-      .select(probeCols.map(col) ++
-        payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
+    (joinCarry(merged, carry, keyCols)
+      .withColumn("__asof", coalesce(col("__in"), col("__carry"))), probeCols)
   }
+
+  /** Time-sliced [[backwardWithin]] — the tolerance-bounded backward join
+    * through the skew hatch. The slicing machinery already carries the
+    * matched reference timestamp (`__ref_ts` in the core's `__asof`
+    * struct), so the staleness bound stays a row-local predicate on the
+    * reattached match, exactly as in the plain operator: same output
+    * schema (payload columns NULLed when out of tolerance, plus
+    * `asof_ts`). */
+  def backwardWithinSliced(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      tolerance: Long,
+      cellWidth: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be non-negative: $tolerance")
+    require(!probe.columns.contains("asof_ts"),
+      "probe must not already carry an asof_ts column")
+    val (merged, probeCols) =
+      backwardSlicedCore(probe, reference, keyCols, tsCol, payloadCols, cellWidth)
+    merged
+      .withColumn("__ok",
+        col("__asof").isNotNull && col(tsCol) - col("__asof.__ref_ts") <= tolerance)
+      .select(probeCols.map(col) ++
+        payloadCols.map(c => when(col("__ok"), col(s"__asof.$c")).as(c)) :+
+        when(col("__ok"), col("__asof.__ref_ts")).as("asof_ts"): _*)
+  }
+
+  /** Time-sliced [[nearest]] — the skew hatch for the bidirectional
+    * variant, in ONE pass over the event table: the in-cell union-merge
+    * sorts once per (key, cell) and serves BOTH frames (inclusive
+    * backward, exclusive-at-equal-ts forward — exact because an equal-ts
+    * reference is distance zero and the backward frame already claims
+    * it), and the two cross-cell carries (last-earlier-cell reference
+    * forward, first-later-cell reference backward) run over the tiny
+    * (key, cell) table. Output schema matches [[nearest]]: probe columns,
+    * payload columns, `asof_ts`. */
+  def nearestSliced(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      cellWidth: Long): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
+    require(payloadCols.nonEmpty, "payloadCols must name at least one reference column")
+    val probeCols = probe.columns.toSeq
+    require(payloadCols.forall(!probeCols.contains(_)),
+      s"payload columns collide with probe columns: ${payloadCols.filter(probeCols.contains)}")
+    require(!probeCols.contains("__cell"), "probe must not already carry a __cell column")
+    require(!probeCols.contains("asof_ts"),
+      "probe must not already carry an asof_ts column")
+    def cellOf(c: Column): Column = TimeCells.floorDiv(c, lit(cellWidth))
+    val pay = struct(payloadCols.map(col) :+ col(tsCol).as("__ref_ts"): _*)
+    val refC = reference.withColumn("__cell", cellOf(col(tsCol)))
+    val probeC = probe.withColumn("__cell", cellOf(col(tsCol)))
+
+    // ONE cell-level aggregation pass serves both carries: per (key, cell)
+    // the LAST reference (max (ts, pay) — the backward dup-ts rule) and
+    // the FIRST (min (ts, pay) — the forward rule)
+    val cellAgg = refC
+      .groupBy((keyCols :+ "__cell").map(col): _*)
+      .agg(max(struct(col(tsCol).as("__t"), pay.as("__p"))).as("__mx"),
+        min(struct(col(tsCol).as("__t"), pay.as("__p"))).as("__mn"))
+    val probeCells = probeC.select((keyCols :+ "__cell").map(col): _*).distinct()
+    val payType = refC.select(pay.as("__pay")).schema("__pay").dataType
+
+    // backward carry: probe cells sort BEFORE the same cell's aggregate
+    // (the in-cell merge owns same-cell refs), last earlier-cell payload
+    val bUnion = probeCells
+      .select((keyCols :+ "__cell").map(col) :+ lit(0).as("__cside") :+
+        lit(null).cast(payType).as("__cpay"): _*)
+      .unionByName(cellAgg.select((keyCols :+ "__cell").map(col) :+
+        lit(1).as("__cside") :+ col("__mx.__p").as("__cpay"): _*))
+    val wB = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__cell"), col("__cside"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carryB = bUnion
+      .withColumn("__bcarry", last(col("__cpay"), ignoreNulls = true).over(wB))
+      .filter(col("__cside") === 0)
+      .select((keyCols :+ "__cell").map(col) :+ col("__bcarry"): _*)
+
+    // forward carry: the mirror — cell aggregates sort BEFORE probe cells,
+    // first later-cell payload
+    val fUnion = cellAgg
+      .select((keyCols :+ "__cell").map(col) :+ lit(0).as("__cside") :+
+        col("__mn.__p").as("__cpay"): _*)
+      .unionByName(probeCells.select((keyCols :+ "__cell").map(col) :+
+        lit(1).as("__cside") :+ lit(null).cast(payType).as("__cpay"): _*))
+    val wF = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__cell"), col("__cside"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carryF = fUnion
+      .withColumn("__fcarry", first(col("__cpay"), ignoreNulls = true).over(wF))
+      .filter(col("__cside") === 1)
+      .select((keyCols :+ "__cell").map(col) :+ col("__fcarry"): _*)
+
+    // in-cell union-merge: reference rows first at equal timestamps (the
+    // [[nearest]] ordering); one (key, cell) sort, two frames
+    val refSide = refC
+      .select((keyCols.map(col) :+ col("__cell") :+ col(tsCol) :+
+        lit(0).as("__side") :+ pay.as("__pay")) ++
+        probeCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val probeSide = probeC
+      .select((keyCols.map(col) :+ col("__cell") :+ col(tsCol) :+
+        lit(1).as("__side") :+
+        lit(null).cast(refSide.schema("__pay").dataType).as("__pay")) ++
+        probeCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
+    val part = Window.partitionBy((keyCols :+ "__cell").map(col): _*)
+      .orderBy(orderCols(tsCol): _*)
+    val merged = refSide.unionByName(probeSide)
+      .withColumn("__b_in", last(col("__pay"), ignoreNulls = true)
+        .over(part.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__f_in", first(col("__pay"), ignoreNulls = true)
+        .over(part.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__side") =!= 0)
+
+    val chosen = when(col("__f").isNull, col("__b"))
+      .when(col("__b").isNull, col("__f"))
+      .when(col(tsCol) - col("__b.__ref_ts") <= col("__f.__ref_ts") - col(tsCol), col("__b"))
+      .otherwise(col("__f"))
+    joinCarry(joinCarry(merged, carryB, keyCols, "__bcarry", tag = "b"),
+        carryF, keyCols, "__fcarry", tag = "f")
+      .withColumn("__b", coalesce(col("__b_in"), col("__bcarry")))
+      .withColumn("__f", coalesce(col("__f_in"), col("__fcarry")))
+      .withColumn("__n", chosen)
+      .select(probeCols.map(col) ++
+        payloadCols.map(c => col(s"__n.$c").as(c)) :+
+        col("__n.__ref_ts").as("asof_ts"): _*)
+  }
+
+  /** Skew-aware [[backwardWithin]]: the [[backwardAuto]] dispatch applied
+    * to the tolerance variant — both paths share the output schema and
+    * semantics, so the dispatch only ever changes the plan. */
+  def backwardWithinAuto(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      tolerance: Long,
+      cellWidth: Long,
+      hotKeyRowThreshold: Long = 10000000L): DataFrame =
+    if (hotKeys(probe, reference, keyCols, hotKeyRowThreshold).isEmpty)
+      backwardWithin(probe, reference, keyCols, tsCol, payloadCols, tolerance)
+    else
+      backwardWithinSliced(probe, reference, keyCols, tsCol, payloadCols, tolerance, cellWidth)
+
+  /** Skew-aware [[nearest]]: plain single-sort plan until a key crosses
+    * the hot-key threshold, then [[nearestSliced]]. */
+  def nearestAuto(
+      probe: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      cellWidth: Long,
+      hotKeyRowThreshold: Long = 10000000L): DataFrame =
+    if (hotKeys(probe, reference, keyCols, hotKeyRowThreshold).isEmpty)
+      nearest(probe, reference, keyCols, tsCol, payloadCols)
+    else
+      nearestSliced(probe, reference, keyCols, tsCol, payloadCols, cellWidth)
 
   /** Hot-key audit for the as-of family: keys whose combined probe+ref
     * row count exceeds `threshold` — one cheap map-side-partial count per

@@ -116,8 +116,5 @@ object IntervalJoin {
   }
 
   private def floorDiv(c: Column, divisor: Column): Column =
-    // floor division in pure integer math (`div` truncates toward zero,
-    // which would mis-cell negative epochs): subtract the non-negative
-    // remainder first, then the division is exact
-    ((c.cast("long") - pmod(c.cast("long"), divisor)) / divisor).cast("long")
+    TimeCells.floorDiv(c, divisor)
 }

@@ -136,6 +136,34 @@ class SkewSpec extends SparkSpec {
     assert(at74.contains(1L))
   }
 
+  test("sliced nearest and tolerance as-of equal the unsliced operators on the hot-key fixture") {
+    import graft.operators.AsofJoin
+    // the backward fixture: hot key spanning ~74 cells at width 1000,
+    // interleaved probe/ref steps so many probes need a cross-cell carry
+    // in one or both directions, plus dup-ts ties on both sides
+    val hot = (1 to 2000).map(i => (i.toLong, "HOT", i.toLong * 37L))
+    val tail = (1 to 20).map(i => (10000L + i, s"k${i % 5}", i.toLong * 1000L))
+    val probe = (hot ++ tail).toDF("event_id", "k", "us")
+    val hotRef = (1 to 500).map(i => ("HOT", i.toLong * 101L, i.toLong))
+    val dupTs = Seq(("HOT", 101L, 9999L))
+    val tailRef = (1 to 10).map(i => (s"k${i % 5}", i.toLong * 1500L, 1000L + i))
+    val ref = (hotRef ++ dupTs ++ tailRef).toDF("k", "us", "ref_id")
+
+    val pn = AsofJoin.nearest(probe, ref, Seq("k"), "us", Seq("ref_id"))
+    val sn = AsofJoin.nearestSliced(probe, ref, Seq("k"), "us", Seq("ref_id"), cellWidth = 1000L)
+    assert(pn.exceptAll(sn).count() == 0 && sn.exceptAll(pn).count() == 0,
+      s"sliced nearest divergence:\n${pn.exceptAll(sn).collect().take(5).mkString("\n")}")
+
+    val pt = AsofJoin.backwardWithin(probe, ref, Seq("k"), "us", Seq("ref_id"), tolerance = 500L)
+    val st = AsofJoin.backwardWithinSliced(probe, ref, Seq("k"), "us", Seq("ref_id"),
+      tolerance = 500L, cellWidth = 1000L)
+    assert(pt.exceptAll(st).count() == 0 && st.exceptAll(pt).count() == 0,
+      s"sliced tolerance divergence:\n${pt.exceptAll(st).collect().take(5).mkString("\n")}")
+    // the tolerance genuinely nulls stale matches through the sliced path
+    assert(st.filter(col("ref_id").isNull).count() > 0)
+    assert(st.filter(col("ref_id").isNotNull && col("us") - col("asof_ts") > 500L).isEmpty)
+  }
+
   test("backwardAuto slices only past the hot-key threshold") {
     import graft.operators.AsofJoin
     val probe = (1 to 100).map(i => (i.toLong, "HOT", i.toLong * 10L)).toDF("event_id", "k", "us")
@@ -152,6 +180,54 @@ class SkewSpec extends SparkSpec {
     assert(sliced.queryExecution.executedPlan.toString.contains("__cell"),
       "hot key must route through the sliced operator")
     assert(plain.exceptAll(sliced).count() == 0 && sliced.exceptAll(plain).count() == 0)
+  }
+
+  test("sliced as-of variants match the plain operators on NULL key values") {
+    import graft.operators.AsofJoin
+    // SQL window partitioning groups NULL keys into ONE partition, so the
+    // plain operators MATCH null-key probes to null-key refs; the sliced
+    // carry reattachment must do the same (null-safe <=> join — ADVICE
+    // r11 medium). The null-key ref sits many cells before its probes,
+    // forcing the cross-cell carry for the null key specifically.
+    val probe = Seq(
+      (1L, Option("A"), 500L), (2L, Option.empty[String], 5500L),
+      (3L, Option.empty[String], 9500L), (4L, Option("A"), 9800L)
+    ).toDF("event_id", "k", "us")
+    val ref = Seq(
+      (Option("A"), 100L, 10L), (Option.empty[String], 200L, 20L)
+    ).toDF("k", "us", "ref_id")
+    val pb = AsofJoin.backward(probe, ref, Seq("k"), "us", Seq("ref_id"))
+    val sb = AsofJoin.backwardSliced(probe, ref, Seq("k"), "us", Seq("ref_id"), cellWidth = 1000L)
+    assert(pb.exceptAll(sb).count() == 0 && sb.exceptAll(pb).count() == 0,
+      s"null-key backward divergence:\n${pb.exceptAll(sb).collect().mkString("\n")}")
+    // the null-key probes genuinely carried the null-key ref across cells
+    assert(sb.filter(col("event_id") === 2L).select("ref_id")
+      .as[Option[Long]].collect().head.contains(20L))
+    val pf = AsofJoin.forward(probe, ref.withColumn("us", col("us") + 100000L),
+      Seq("k"), "us", Seq("ref_id"))
+    val sf = AsofJoin.forwardSliced(probe, ref.withColumn("us", col("us") + 100000L),
+      Seq("k"), "us", Seq("ref_id"), cellWidth = 1000L)
+    assert(pf.exceptAll(sf).count() == 0 && sf.exceptAll(pf).count() == 0,
+      s"null-key forward divergence:\n${pf.exceptAll(sf).collect().mkString("\n")}")
+    assert(sf.filter(col("event_id") === 3L).select("ref_id")
+      .as[Option[Long]].collect().head.contains(20L))
+  }
+
+  test("cell assignment is exact past 2^53 and floors negative epochs") {
+    import graft.operators.TimeCells
+    // 9007199254740993 mod 3 = 2 → numerator 9007199254740993 - 2 + 2 ...
+    // the planted vector: c = 2^53 + 3, width 3. The double-division form
+    // rounds the odd >2^53 numerator to its even neighbour and mis-cells
+    // by one; the decimal form is exact (ADVICE r11 low).
+    val df = Seq(
+      (9007199254740995L, 3L, 3002399751580331L),   // odd multiple > 2^53
+      (-1L, 1000L, -1L),                            // negative epoch floors down
+      (-1000L, 1000L, -1L),
+      (Long.MaxValue, 1L, Long.MaxValue)
+    ).toDF("c", "w", "expect")
+    val got = df.withColumn("cell", TimeCells.floorDiv(col("c"), col("w")))
+      .filter(col("cell") =!= col("expect"))
+    assert(got.isEmpty, s"floorDiv mismatch:\n${got.collect().mkString("\n")}")
   }
 
   test("span-split interval join equals the grid join with a planted degenerate long interval") {
