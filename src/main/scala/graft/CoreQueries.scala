@@ -567,5 +567,44 @@ object CoreQueries {
              |WHERE (event_id % 20000) * 100000 + event_id // 20000
              |    BETWEEN 300000000 AND 499999999
              |  AND user_id % 50 = 7
-             |ORDER BY uid""".stripMargin)))
+             |ORDER BY uid""".stripMargin)),
+
+    // O57 — the Z-ORDER layout read path end-to-end (r12, completing the
+    // o55/o56 layout family): write the events facts Morton-clustered on
+    // (addr_bucket, hour_bucket) — the composite (address, timestamp)
+    // btree pattern (up.sql:530-719) where NEITHER column alone is
+    // selective — then serve a box read through TableStore.readBox. The
+    // single-dimension-sorted control can only keep min/max tight on one
+    // column; the Z layout skips row groups on BOTH predicates
+    // (PlanShapeSpec pins the skip ratio) and this gate proves the
+    // clustered round-trip returns exactly the right rows
+    QueryDef("o57_zorder_read",
+      (s, dir) => {
+        import graft.sinks.TableStore
+        val out = layoutCache.getOrCompute(s, "z:" + dir) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-o57").toString
+          val facts = Tables.events(s, dir).select(
+            col("event_id"),
+            (col("user_id") % 64).cast("long").as("addr_bucket"),
+            floor(Tables.epochSecs(col("ts")) / 3600).cast("long").as("hour_bucket"),
+            col("value").as("payload"))
+          // hour rebased/rescaled to a 6-bit grid so both dims contribute
+          // comparably to the interleave (writeZOrdered's width contract)
+          TableStore.writeZOrdered(facts, s"$tmp/z",
+            col("addr_bucket"), ((col("hour_bucket") - 473352L) / 12).cast("long"),
+            files = 32)
+          s"$tmp/z"
+        }
+        TableStore.readBox(s, out,
+            "addr_bucket", 10L, 12L, "hour_bucket", 473400L, 473600L)
+          .select("event_id", "addr_bucket", "hour_bucket", "payload")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(user_id % 64 AS BIGINT) AS addr_bucket,
+             |  CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+             |  value AS payload
+             |FROM events
+             |WHERE user_id % 64 BETWEEN 10 AND 12
+             |  AND CAST(floor(epoch(ts)) AS BIGINT) // 3600 BETWEEN 473400 AND 473600
+             |ORDER BY event_id""".stripMargin)))
 }

@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (args: Seq[Expression]) => VectorDot(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (args: Seq[Expression]) => ZOrderKey(args.head, args(1))))
   }
 }
 
@@ -65,6 +69,10 @@ object GraftExtensions {
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (args: Seq[Expression]) => VectorDot(args.head, args(1)))
+    registry.registerFunction(
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (args: Seq[Expression]) => ZOrderKey(args.head, args(1)))
   }
   /** Column-level access to the native expressions (no registry needed). */
   def base58Encode(c: Column): Column = GraftColumnBridge.column(Base58Encode(GraftColumnBridge.expression(c)))
@@ -75,6 +83,8 @@ object GraftExtensions {
     GraftColumnBridge.column(WavesAddressFromPkh(GraftColumnBridge.expression(pkh), GraftColumnBridge.expression(chainId)))
   def vectorDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(VectorDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def zorderKey(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ZOrderKey(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   /** Row-local top-n nearest centroids (map-only cell assignment). */
   def nearestCells(vec: Column, cellIds: IndexedSeq[Int],
       centroids: IndexedSeq[IndexedSeq[Double]], n: Int): Column =

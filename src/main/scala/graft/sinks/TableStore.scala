@@ -149,4 +149,53 @@ object TableStore {
       .sortBy(joinKeys.head, joinKeys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Write a table Z-ORDER clustered on TWO dimension buckets — the layout
+    * for tables read by INDEPENDENT range predicates on two columns at
+    * once (the reference's composite (address, timestamp) btrees,
+    * `up.sql:530-719`, where neither column alone is selective). A
+    * single-column sort keeps parquet min/max tight on that column only:
+    * a box query then reads every file of the selected range on the
+    * ORTHOGONAL dimension. Sorting by the Morton interleave
+    * ([[graft.plans.ZOrderKey]], native codegen'd expression) keeps rows
+    * adjacent in file order only when they are close in BOTH bucket
+    * coordinates, so each file's min/max stays tight on each dimension
+    * and the reader's row-group skipping fires for either predicate —
+    * PlanShapeSpec pins the skip against a time-sorted control layout.
+    *
+    * `dimA`/`dimB` must be non-negative bucket expressions below 2^31
+    * ([[graft.functions.ZOrder.interleave]]'s contract) — and of
+    * COMPARABLE bit-widths: interleaving puts bit i of each dimension at
+    * positions 2i/2i+1, so a 10-bit dimension's high bits all sort above
+    * a 6-bit dimension's and the key degenerates toward a single-column
+    * sort (this is why every production Z-order implementation — Delta
+    * OPTIMIZE ZORDER's range-ID pass — normalizes each column to the
+    * same bucket width first). Rebase/rescale the wider dimension (e.g.
+    * `(hour - base) / 12`) so both grids are similar cardinality, much
+    * finer than `files`. The key is a sort expression only — it is NOT
+    * materialized in the written schema. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      dimA: org.apache.spark.sql.Column,
+      dimB: org.apache.spark.sql.Column,
+      files: Int = 64): Unit = {
+    val z = graft.plans.GraftExtensions.zorderKey(dimA.cast("long"), dimB.cast("long"))
+    df.repartitionByRange(files, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Read a [[writeZOrdered]] table pruned to a box — plain column
+    * comparisons on both dimensions, so each bound reaches the parquet
+    * reader as a pushed filter and the Z-clustered row-group stats skip
+    * on whichever predicate excludes the group. */
+  def readBox(
+      spark: SparkSession,
+      path: String,
+      aCol: String, aLo: Long, aHi: Long,
+      bCol: String, bLo: Long, bHi: Long): DataFrame =
+    readAny(spark, path)
+      .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi))
 }

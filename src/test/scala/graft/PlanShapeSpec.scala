@@ -367,6 +367,40 @@ class PlanShapeSpec extends SparkSpec {
     plan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
   }
 
+  test("z-ordered layout skips row groups on the orthogonal dimension the single-sort control must read") {
+    import graft.sinks.TableStore
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // two INDEPENDENT dimensions (multiplicative scramble decorrelates them
+    // from id): a ~ address bucket [0,64), b ~ hour bucket over 30 days
+    val n = 100000L
+    val df = spark.range(n).select(
+      col("id"),
+      ((col("id") * 7919) % 64).as("a"),
+      (lit(473352L) + (col("id") * 104729) % 720).as("b"))
+    // dims normalized to comparable bit-widths (6-bit a, 60-bucket b):
+    // the degenerate unbalanced interleave is what the scaladoc warns of
+    TableStore.writeZOrdered(df, s"$out/z",
+      col("a"), ((col("b") - 473352L) / 12).cast("long"), files = 32)
+    // control: the single-dimension clustering a time-series table ships
+    // with (sorted by hour only) — min/max on `a` is useless in every file
+    df.repartitionByRange(32, col("b")).sortWithinPartitions(col("b"))
+      .write.mode("overwrite").parquet(s"$out/t")
+    // the box: narrow in a (3 of 64 buckets), full-width in b — the case
+    // where ONLY a multi-dimensional clustering can skip anything
+    def box(path: String) = TableStore.readBox(spark, path,
+      "a", 10L, 12L, "b", 473352L, 474072L)
+    val zq = box(s"$out/z"); val tq = box(s"$out/t")
+    val zScan = executedScans(zq).map(_.metrics("numOutputRows").value).sum
+    val tScan = executedScans(tq).map(_.metrics("numOutputRows").value).sum
+    // identical results...
+    assert(zq.exceptAll(tq).isEmpty && tq.exceptAll(zq).isEmpty)
+    // ...but the control reads essentially the whole table while the Z
+    // layout's row-group stats on `a` skip most groups
+    assert(tScan > (n * 9) / 10, s"control unexpectedly skipped: $tScan of $n")
+    assert(zScan * 2 <= tScan,
+      s"z layout must scan at most half the control: z=$zScan t=$tScan")
+  }
+
   test("candle (pair, time-range) read prunes to one interval partition with pushed pair/time filters") {
     import graft.sinks.TableStore
     val out = java.nio.file.Files.createTempDirectory("graft-candle-prune").toString
@@ -376,8 +410,10 @@ class PlanShapeSpec extends SparkSpec {
     TableStore.writeCandles(m.unionByName(h).unionByName(d), s"$out/candles")
     // the reference's hottest read: one interval, one pair, a time range
     // (pg.rs:760 — every candle query hits exactly one interval)
-    val lo = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val hi = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    // Instant-based: Timestamp.valueOf parses in the JVM default TZ and
+    // would shift the window on a non-UTC host (ADVICE r11)
+    val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    val hi = java.sql.Timestamp.from(java.time.Instant.parse("2030-01-01T00:00:00Z"))
     val q = TableStore.readAny(spark, s"$out/candles")
       .filter(col("interval") === "1h" &&
         col("amount_asset_id") === "A1" && col("price_asset_id") === "P2" &&

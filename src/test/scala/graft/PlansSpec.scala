@@ -226,4 +226,53 @@ class PlansSpec extends SparkSpec {
       assert(kernel(id) == expect, s"vec $id: kernel ${kernel(id)} != argmin $expect")
     }
   }
+
+  test("ZOrder interleave round-trips, is monotone per-dimension, and bounds the key") {
+    import graft.functions.ZOrder
+    val rnd = new scala.util.Random(11)
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0x7fffffffL, 0x7fffffffL)) ++
+      Seq.fill(500)((rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    pts.foreach { case (a, b) =>
+      val z = ZOrder.interleave(a, b)
+      assert(z >= 0, s"key must stay non-negative: ($a,$b) -> $z")
+      assert(ZOrder.dimA(z) == a && ZOrder.dimB(z) == b, s"round-trip failed for ($a,$b)")
+    }
+    // bit-reference check against a naive per-bit reconstruction
+    pts.take(50).foreach { case (a, b) =>
+      val naive = (0 until 31).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      }
+      assert(ZOrder.interleave(a, b) == naive)
+    }
+    // fixing one dimension, the key is strictly monotone in the other
+    (0L until 64L).sliding(2).foreach { w =>
+      assert(ZOrder.interleave(w(0), 17L) < ZOrder.interleave(w(1), 17L))
+      assert(ZOrder.interleave(17L, w(0)) < ZOrder.interleave(17L, w(1)))
+    }
+  }
+
+  test("ZOrderKey expression matches the kernel, handles int/long/null, stays in codegen") {
+    import graft.functions.ZOrder
+    val df = Seq((10L, 473400, Option(3L)), (63L, 474071, None))
+      .toDF("a", "b", "n")
+    val rows = df.select(
+        GraftExtensions.zorderKey(col("a"), col("b")).as("z"),
+        GraftExtensions.zorderKey(col("a"), col("n")).as("zn"))
+      .collect()
+    assert(rows(0).getLong(0) == ZOrder.interleave(10L, 473400L))
+    assert(rows(1).getLong(0) == ZOrder.interleave(63L, 474071L))
+    assert(rows(0).getLong(1) == ZOrder.interleave(10L, 3L))
+    assert(rows(1).isNullAt(1), "null dimension must yield null key")
+    // codegen: fused project, no UDF fallback (spark.range keeps the
+    // projection out of LocalTableScan constant folding)
+    val plan = spark.range(100)
+      .select(GraftExtensions.zorderKey(col("id"), col("id") + 1).as("z"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && !plan.contains("ScalaUDF"), s"plan:\n$plan")
+    // SQL registration
+    GraftExtensions.install(spark)
+    df.createOrReplaceTempView("zin")
+    val viaSql = spark.sql("SELECT zorder_key(a, b) FROM zin ORDER BY 1").as[Long].collect()
+    assert(viaSql.toSeq == Seq(ZOrder.interleave(10L, 473400L), ZOrder.interleave(63L, 474071L)).sorted)
+  }
 }
