@@ -457,6 +457,61 @@ object LlmQueries {
        |        FROM tva)
        |  WHERE dup = 1)""".stripMargin
 
+  /** The [[bpeCtes]] chain under the WORDPIECE objective (r12): every
+    * stage additionally materializes the weighted symbol counts `wsy{i}`
+    * and the argmax ranks by the likelihood gain
+    * `cnt / (count(l) · count(r))` (IEEE-double exact on <2^53 inputs, so
+    * Spark and DuckDB rank identically) with the (score desc, l, r)
+    * tie-break. Distinct CTE names (w-prefixed) so a future oracle could
+    * hold both chains. */
+  private def wpCtes(numMerges: Int): String = {
+    val base =
+      s"""ww AS (
+        |  SELECT word FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents)
+        |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
+        |wwf AS (SELECT word, count(*) AS freq FROM ww GROUP BY word),
+        |wv0 AS MATERIALIZED (SELECT word, freq,
+        |  regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s FROM wwf)""".stripMargin
+    val stages = (1 to numMerges).map { i =>
+      s"""wsy$i AS MATERIALIZED (
+         |  SELECT sym, sum(freq) AS scnt FROM (
+         |    SELECT freq, unnest(string_split(s[2:len(s)-1], chr(2) || chr(1))) AS sym FROM wv${i - 1})
+         |  GROUP BY sym),
+         |wpp$i AS (
+         |  SELECT u.l, u.r, sum(freq) AS cnt
+         |  FROM (SELECT freq, string_split(s[2:len(s)-1], chr(2) || chr(1)) AS sy FROM wv${i - 1}) t,
+         |       LATERAL (SELECT unnest(sy[1:len(sy)-1]) AS l, unnest(sy[2:len(sy)]) AS r) u
+         |  WHERE len(t.sy) >= 2 GROUP BY u.l, u.r),
+         |wm$i AS MATERIALIZED (
+         |  SELECT p.l, p.r, p.cnt
+         |  FROM wpp$i p JOIN wsy$i sl ON sl.sym = p.l JOIN wsy$i sr ON sr.sym = p.r
+         |  ORDER BY CAST(p.cnt AS DOUBLE) / (sl.scnt * sr.scnt) DESC, p.l, p.r LIMIT 1),
+         |wv$i AS MATERIALIZED (SELECT word, freq,
+         |  coalesce(
+         |    replace(s, (SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2) FROM wm$i),
+         |               (SELECT chr(1) || l || r || chr(2) FROM wm$i)), s) AS s FROM wv${i - 1})""".stripMargin
+    }
+    (base +: stages).mkString(",\n")
+  }
+
+  /** Token-id vocabulary CTE `wtv(token, tid)` over a [[wpCtes]] chain —
+    * [[bpeVocabIdCte]]'s twin on the w-prefixed names. */
+  private def wpVocabIdCte(numMerges: Int): String =
+    s"""wtvm AS (
+       |${(1 to numMerges).map(i => s"  SELECT $i AS rnk, l || r AS tok FROM wm$i")
+          .mkString("  UNION ALL\n")}),
+       |wtva AS (
+       |  SELECT tok, 0 AS grp, 0 AS rnk FROM (
+       |    SELECT DISTINCT unnest(string_split(s[2:len(s)-1], chr(2) || chr(1))) AS tok FROM wv0)
+       |  UNION ALL SELECT tok, 1, rnk FROM wtvm),
+       |wtv AS (
+       |  SELECT tok AS token, row_number() OVER (ORDER BY grp, rnk, tok) - 1 AS tid
+       |  FROM (SELECT tok, grp, rnk,
+       |          row_number() OVER (PARTITION BY tok ORDER BY grp, rnk) AS dup
+       |        FROM wtva)
+       |  WHERE dup = 1)""".stripMargin
+
   /** Memoized BPE training run — llm_bpe_train and llm_bpe_encode share
     * one (merges, finalVocab) result per (session, dir): the merge loop's
     * per-iteration jobs run once, not once per gate (the PQ-codebook /
@@ -497,6 +552,25 @@ object LlmQueries {
   private def bpeTrainedHeldout(s: SparkSession, dir: String): (Seq[graft.llm.Bpe.Merge], DataFrame) =
     trainBpeCached(s, dir, bpeHeldoutCache,
       Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7).select(col("text")))
+
+  private val wpCache =
+    new graft.util.SessionCache[(Seq[graft.llm.Wordpiece.Merge], Seq[(String, Long, String)])]
+
+  /** Memoized WordPiece training run — the two wordpiece gates share one
+    * (merges, finalVocab) per (session, dir), the bpeCache convention. */
+  private def wpTrained(
+      s: SparkSession,
+      dir: String): (Seq[graft.llm.Wordpiece.Merge], DataFrame) = {
+    import graft.llm.{Bpe, Wordpiece}
+    val (merges, vocabRows) = wpCache.getOrCompute(s, dir) {
+      val (m, vocab) = Wordpiece.trainMerges(
+        Bpe.wordFrequencies(Tables.documents(s, dir).select(col("text"))), numMerges = 8)
+      (m, vocab.select(col("word"), col("freq"), col("s")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq)
+    }
+    import s.implicits._
+    (merges, vocabRows.toDF("word", "freq", "s"))
+  }
 
   val all: Vector[QueryDef] = Vector(
 
@@ -3767,5 +3841,75 @@ object LlmQueries {
              |FROM ch a JOIN ch p
              |  ON a.doc_id = p.doc_id AND p.chunk_idx = a.chunk_idx + 1
              |WHERE a.chunk_tokens >= 20 AND p.chunk_tokens >= 20
-             |ORDER BY 1, 2""".stripMargin)))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- WordPiece tokenizer (Schuster & Nakajima 2012; Wu et al. 2016
+    // §3.1 likelihood-scored trainer) — BPE's sibling objective (r12) ----
+
+    // the trained merge table under the likelihood-gain argmax
+    // cnt/(count(l)*count(r)): 8 merges with pinned (score, l, r)
+    // tie-breaks; the oracle unrolls the identical loop with per-stage
+    // symbol-count CTEs, so every (lhs, rhs, pair_count) row must match.
+    // The chosen merges genuinely differ from llm_bpe_train's (the
+    // objective demotes pairs of two already-frequent symbols)
+    QueryDef("llm_wordpiece_train",
+      (s, dir) => {
+        val (merges, _) = wpTrained(s, dir)
+        graft.llm.Wordpiece.mergeTable(s, merges).orderBy("rank")
+      },
+      Some(s"""WITH ${wpCtes(8)}
+              |SELECT * FROM (
+              |${(1 to 8).map(i =>
+                 s"  SELECT $i AS rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM wm$i")
+                 .mkString("  UNION ALL\n")}
+              |) ORDER BY rank""".stripMargin)),
+
+    // greedy longest-match-first (MaxMatch) encoding over the trained
+    // token vocabulary — the WordPiece application algorithm (vs BPE's
+    // merge replay), checked token-by-token: one row per (doc, word
+    // occurrence, token position) with the deterministic vocab id. The
+    // oracle replays MaxMatch with a recursive CTE whose longest-prefix
+    // probe is a correlated argmax over the token table; fallback
+    // characters never seen in training get id -1 (declared unk
+    // convention, Wordpiece scaladoc)
+    QueryDef("llm_wordpiece_encode",
+      (s, dir) => {
+        import graft.llm.Wordpiece
+        val (merges, finalVocab) = wpTrained(s, dir)
+        val ids = Wordpiece.vocabIds(s, merges, finalVocab)
+        Wordpiece.encodeIds(
+            Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
+              .select(col("doc_id"), col("text")), ids)
+          .orderBy("doc_id", "word_idx", "tok_idx")
+      },
+      Some(s"""WITH RECURSIVE ${wpCtes(8)},
+              |${wpVocabIdCte(8)},
+              |wdw AS (
+              |  SELECT doc_id, word, word_idx FROM (
+              |    SELECT doc_id,
+              |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word,
+              |      generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) - 1 AS word_idx
+              |    FROM documents WHERE doc_id % 10 = 3)
+              |  WHERE word <> '' AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0),
+              |wseg AS (
+              |  SELECT doc_id, word_idx, word, 1 AS pos, 0 AS tok_idx,
+              |    CAST(NULL AS VARCHAR) AS token
+              |  FROM wdw
+              |  UNION ALL
+              |  SELECT doc_id, word_idx, word, pos + len(tok), tok_idx + 1, tok
+              |  FROM (
+              |    SELECT w.doc_id, w.word_idx, w.word, w.pos, w.tok_idx,
+              |      coalesce(
+              |        (SELECT v.token FROM wtv v
+              |          WHERE len(v.token) > 1
+              |            AND v.token = substr(w.word, w.pos, len(v.token))
+              |          ORDER BY len(v.token) DESC LIMIT 1),
+              |        substr(w.word, w.pos, 1)) AS tok
+              |    FROM wseg w WHERE w.pos <= len(w.word)) t)
+              |SELECT s.doc_id, CAST(s.word_idx AS BIGINT) AS word_idx,
+              |  CAST(s.tok_idx - 1 AS BIGINT) AS tok_idx, s.token,
+              |  coalesce(v.tid, -1) AS token_id
+              |FROM wseg s LEFT JOIN wtv v ON v.token = s.token
+              |WHERE s.token IS NOT NULL
+              |ORDER BY doc_id, word_idx, tok_idx""".stripMargin)))
 }

@@ -47,8 +47,8 @@ object Bpe {
     * adjacent-pair count at the time of merging. */
   final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
 
-  private val SymOpen = "\u0001"
-  private val SymClose = "\u0002"
+  private[llm] val SymOpen = "\u0001"
+  private[llm] val SymClose = "\u0002"
 
   /** Corpus → (word, freq, s) where `s` is the word's initial
     * character-level segmentation in wrapped form. The one corpus-scale
@@ -64,7 +64,7 @@ object Bpe {
 
   /** Adjacent symbol pairs of the current segmentation, weighted by word
     * frequency: (l, r, cnt). Bounded by the vocab table, map-side partial. */
-  private def pairCounts(vocab: DataFrame): DataFrame = {
+  private[llm] def pairCounts(vocab: DataFrame): DataFrame = {
     val syms = split(
       regexp_replace(col("s"), "^" + SymOpen + "|" + SymClose + "$", ""),
       SymClose + SymOpen)
@@ -108,7 +108,7 @@ object Bpe {
     (merges.result(), vocab)
   }
 
-  private def sqlLit(s: String): String =
+  private[llm] def sqlLit(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   /** [[trainMerges]] with the standard incremental-trainer optimization

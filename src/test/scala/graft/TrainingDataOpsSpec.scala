@@ -817,4 +817,39 @@ class TrainingDataOpsSpec extends SparkSpec {
       .select("seg_idx", "start_frame", "end_frame").as[(Long, Long, Long)].collect().toSeq
     assert(strict == Seq((0L, 0L, 1L), (1L, 3L, 3L), (2L, 6L, 6L)))
   }
+
+  test("wordpiece trainer ranks by likelihood gain, not raw count") {
+    import graft.llm.{Bpe, Wordpiece}
+    // 'er' is the most FREQUENT pair (30×) but both symbols are common
+    // elsewhere; 'qu' co-occurs exclusively (q appears only before u) —
+    // likelihood scoring must pick qu first, raw-count BPE picks er
+    val docs = (
+      Seq.fill(30)("er") ++ Seq.fill(20)("e") ++ Seq.fill(20)("r") ++
+        Seq.fill(8)("qu")).map(Tuple1(_)).toDF("text")
+    val wf = Bpe.wordFrequencies(docs)
+    val (wp, _) = Wordpiece.trainMerges(wf, numMerges = 1)
+    assert(wp.head.left == "q" && wp.head.right == "u", s"got ${wp.head}")
+    val (bp, _) = Bpe.trainMerges(wf, numMerges = 1)
+    assert(bp.head.left == "e" && bp.head.right == "r", s"got ${bp.head}")
+    // score components recorded: cnt=8, count(q)=8, count(u)=8 → 0.125
+    assert(wp.head.pairCount == 8L && math.abs(wp.head.score - 0.125) < 1e-12)
+  }
+
+  test("wordpiece MaxMatch encoding is greedy longest-match with char fallback") {
+    import graft.llm.Wordpiece
+    val ids = Seq(("a", 0L), ("b", 1L), ("c", 2L), ("ab", 3L), ("abc", 4L), ("bc", 5L))
+      .toDF("token", "token_id")
+    val docs = Seq((1L, "abcbc zzab ABCabc")).toDF("doc_id", "text")
+    val out = Wordpiece.encodeIds(docs, ids)
+      .orderBy("word_idx", "tok_idx")
+      .select("word_idx", "tok_idx", "token", "token_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      // abcbc → abc + bc (longest first, never a+b+c)
+      (0L, 0L, "abc", 4L), (0L, 1L, "bc", 5L),
+      // zzab → z, z (fallback, id -1) + ab
+      (1L, 0L, "z", -1L), (1L, 1L, "z", -1L), (1L, 2L, "ab", 3L),
+      // lowercased: abcabc → abc + abc
+      (2L, 0L, "abc", 4L), (2L, 1L, "abc", 4L)))
+  }
 }
