@@ -1400,6 +1400,35 @@ object AggQueries {
              |  AND v.event_id < 2000 AND c.event_id < 2000
              |ORDER BY v.event_id, c.event_id""".stripMargin)),
 
+    // ST16 — stream-stream LEFT OUTER join (r12): st15's join in outer
+    // mode, pinning the subtler semantics — an unmatched view may only
+    // emit (with NULL click columns) once the watermark proves no future
+    // click can match, so the replay pushes a far-future sentinel through
+    // BOTH streams to finalize the tail. Must equal the batch LEFT JOIN
+    QueryDef("st16_stream_stream_outer",
+      (s, dir) => {
+        import graft.streaming.StreamStreamJoin
+        val ev = Tables.events(s, dir).filter(col("event_id") < 2000)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .orderBy("us", "event_id").collect()
+          .map(r => StreamStreamJoin.ViewEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .orderBy("us", "event_id").collect()
+          .map(r => StreamStreamJoin.ClickEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+        StreamStreamJoin.replay(s, views.toSeq, clicks.toSeq,
+            windowUs = 1800L * 1000000L, chunk = 400, joinType = "leftOuter")
+          .orderBy("event_id", "ref_id")
+      },
+      Some("""SELECT v.event_id, v.user_id, epoch_us(v.ts) AS view_us,
+             |  c.event_id AS ref_id, epoch_us(c.ts) AS click_us
+             |FROM events v LEFT JOIN events c
+             |  ON v.user_id = c.user_id AND c.event_type = 'click' AND c.event_id < 2000
+             |  AND epoch_us(c.ts) BETWEEN epoch_us(v.ts) - 1800000000 AND epoch_us(v.ts)
+             |WHERE v.event_type = 'view' AND v.event_id < 2000
+             |ORDER BY v.event_id, c.event_id""".stripMargin)),
+
     // Views — tickers (O20 over asset_tickers, up.sql:432-435)
     QueryDef("view_tickers",
       (s, dir) => {

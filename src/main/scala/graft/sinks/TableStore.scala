@@ -198,4 +198,46 @@ object TableStore {
       bCol: String, bLo: Long, bHi: Long): DataFrame =
     readAny(spark, path)
       .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi))
+
+  /** [[writeZOrdered]] promoted to DIRECTORY-level pruning: the Morton
+    * key's top bits become a `z_bucket` PARTITION column (2^`shift` keys
+    * per bucket), rows sorted by the full key within each bucket. A box
+    * read then prunes whole directories BEFORE Spark lists a file inside
+    * them — the role Delta's add-file z-range stats play, expressed with
+    * nothing but Spark's own partition pruning. Same width-normalization
+    * contract on the dims as [[writeZOrdered]]. */
+  def writeZOrderedBuckets(
+      df: DataFrame,
+      path: String,
+      dimA: org.apache.spark.sql.Column,
+      dimB: org.apache.spark.sql.Column,
+      shift: Int): Unit = {
+    val z = graft.plans.GraftExtensions.zorderKey(dimA.cast("long"), dimB.cast("long"))
+    df.withColumn("z_bucket", shiftright(z, shift))
+      .repartition(col("z_bucket"))
+      .sortWithinPartitions(col("z_bucket"), z)
+      .write.mode("overwrite")
+      .partitionBy("z_bucket")
+      .parquet(path)
+  }
+
+  /** Read a [[writeZOrderedBuckets]] table pruned to a box: the EXACT set
+    * of buckets the box can touch is enumerated driver-side with the
+    * Tropf-Herzog BIGMIN walk ([[graft.functions.ZOrder.bucketsForBox]] —
+    * O(matching buckets), never a bucket-space scan), lands as an IN-list
+    * on the partition column (directory pruning), and the per-dimension
+    * `gridOf` bounds are layered on top as pushed filters for row-group
+    * skipping inside the surviving buckets. `gridOf` must be the SAME
+    * normalized grid expressions the write used; `rawFilter` carries the
+    * caller's exact predicates on the original columns. */
+  def readZBucketBox(
+      spark: SparkSession,
+      path: String,
+      shift: Int,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      rawFilter: org.apache.spark.sql.Column): DataFrame = {
+    val buckets = graft.functions.ZOrder.bucketsForBox(shift, aLo, aHi, bLo, bHi)
+    readAny(spark, path)
+      .filter(col("z_bucket").isin(buckets: _*) && rawFilter)
+  }
 }

@@ -33,14 +33,24 @@ object StreamStreamJoin {
 
   private val seq = new AtomicInteger(0)
 
-  /** The declarative join: inner, key-equal, click in the `windowUs`
+  /** The declarative join: key-equal, click in the `windowUs`
     * microseconds at-or-before the view. Both inputs must already carry
-    * their watermarked event-time columns (`view_time` / `click_time`). */
-  def attributionJoin(views: DataFrame, clicks: DataFrame, windowUs: Long): DataFrame =
+    * their watermarked event-time columns (`view_time` / `click_time`).
+    * `joinType` "inner" emits matches as they arrive; "leftOuter" also
+    * emits each unmatched view with NULL click columns — but only once
+    * the watermark has passed the view's join window, so the planner
+    * KNOWS no future click can match (the outer-result finalization
+    * semantics st16 exists to pin). */
+  def attributionJoin(
+      views: DataFrame,
+      clicks: DataFrame,
+      windowUs: Long,
+      joinType: String = "inner"): DataFrame =
     views.join(clicks,
       col("user_id") === col("ref_user_id") &&
         col("click_time") >= col("view_time") - expr(s"INTERVAL ${windowUs / 1000000L} SECONDS") &&
-        col("click_time") <= col("view_time"))
+        col("click_time") <= col("view_time"),
+      joinType)
       .select(col("event_id"), col("user_id"),
         col("tsUs").as("view_us"), col("ref_id"), col("refTsUs").as("click_us"))
 
@@ -53,7 +63,8 @@ object StreamStreamJoin {
       views: Seq[ViewEvent],
       clicks: Seq[ClickEvent],
       windowUs: Long,
-      chunk: Int): DataFrame = {
+      chunk: Int,
+      joinType: String = "inner"): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val vStream = MemoryStream[ViewEvent]
@@ -68,7 +79,7 @@ object StreamStreamJoin {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val query = attributionJoin(vDf, cDf, windowUs).writeStream
+      val query = attributionJoin(vDf, cDf, windowUs, joinType).writeStream
         .outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.ProcessingTime(10L))
         .start()
@@ -80,8 +91,20 @@ object StreamStreamJoin {
           if (i < cChunks.length) cStream.addData(cChunks(i))
           query.processAllAvailable()
         }
+        if (joinType != "inner") {
+          // OUTER results only finalize once the watermark proves no
+          // future match can arrive: a far-future sentinel on BOTH
+          // streams pushes the global (min) watermark past every real
+          // join window. The sentinels use a key no real row carries and
+          // are filtered from the result by their negative ids.
+          val farUs = (views.map(_.tsUs) ++ clicks.map(_.refTsUs)).max +
+            windowUs + 365L * 86400L * 1000000L
+          vStream.addData(Seq(ViewEvent(-1L, -1L, farUs)))
+          cStream.addData(Seq(ClickEvent(-1L, -2L, farUs)))
+          query.processAllAvailable()
+        }
       } finally query.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name)
+    spark.table(name).filter(col("event_id") =!= -1L)
   }
 }

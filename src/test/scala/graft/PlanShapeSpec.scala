@@ -351,6 +351,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-12 sliced nearest/tolerance hold their exchange budgets") {
+    // o41h tolerance-sliced = o41e's shape exactly (the tolerance bound is
+    // row-local). o41g nearest-sliced pays ONE (key,cell) event sort
+    // serving both frames plus TWO cell-level carry chains (each: ref cell
+    // agg + probe-cell distinct + tiny per-key window + broadcast back) —
+    // the budget is o41e's 6 plus the second carry's extra agg exchange,
+    // probe-cell reuse, window exchange, and broadcast.
+    val budgets = Seq("o41g_asof_nearest_sliced" -> 10,
+      "o41h_asof_tolerance_sliced" -> 6)
+    budgets.foreach { case (name, budget) =>
+      val plan = executed(SparkEntry.queries(name)(spark, dir))
+      val ex = plan.linesIterator.count(_.contains("Exchange"))
+      assert(ex == budget, s"$name expected $budget exchanges, got $ex:\n$plan")
+    }
+  }
+
   // ---- declared-layout read paths (r11 task 2): the reference's 60+
   // indexes encode read patterns (up.sql:530-719); the TableStore layout
   // must PROVABLY serve them — partition pruning standing in for btree
