@@ -589,9 +589,12 @@ object CoreQueries {
             floor(Tables.epochSecs(col("ts")) / 3600).cast("long").as("hour_bucket"),
             col("value").as("payload"))
           // hour rebased/rescaled to a 6-bit grid so both dims contribute
-          // comparably to the interleave (writeZOrdered's width contract)
+          // comparably to the interleave (writeZOrdered's width contract);
+          // floorDiv (not double `/` + cast) so buckets below the rebase
+          // base still land on the correct grid cell (ADVICE r12)
           TableStore.writeZOrdered(facts, s"$tmp/z",
-            col("addr_bucket"), ((col("hour_bucket") - 473352L) / 12).cast("long"),
+            col("addr_bucket"),
+            graft.operators.TimeCells.floorDiv(col("hour_bucket") - 473352L, lit(12L)),
             files = 32)
           s"$tmp/z"
         }

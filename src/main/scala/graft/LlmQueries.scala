@@ -486,7 +486,7 @@ object LlmQueries {
          |wm$i AS MATERIALIZED (
          |  SELECT p.l, p.r, p.cnt
          |  FROM wpp$i p JOIN wsy$i sl ON sl.sym = p.l JOIN wsy$i sr ON sr.sym = p.r
-         |  ORDER BY CAST(p.cnt AS DOUBLE) / (sl.scnt * sr.scnt) DESC, p.l, p.r LIMIT 1),
+         |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sl.scnt AS DOUBLE) * CAST(sr.scnt AS DOUBLE)) DESC, p.l, p.r LIMIT 1),
          |wv$i AS MATERIALIZED (SELECT word, freq,
          |  coalesce(
          |    replace(s, (SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2) FROM wm$i),

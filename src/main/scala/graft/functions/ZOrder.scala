@@ -113,6 +113,8 @@ object ZOrder {
     * any row of the box? The manifest-pruning predicate. */
   def rangeIntersectsBox(
       zLo: Long, zHi: Long, aLo: Long, aHi: Long, bLo: Long, bHi: Long): Boolean = {
+    require(aLo <= aHi && bLo <= bHi,
+      s"inverted box: a=[$aLo,$aHi] b=[$bLo,$bHi]")
     val m = bigminAtLeast(zLo, aLo, aHi, bLo, bHi)
     m >= 0 && m <= zHi
   }
@@ -124,6 +126,11 @@ object ZOrder {
     * of the bucket space. */
   def bucketsForBox(shift: Int, aLo: Long, aHi: Long, bLo: Long, bHi: Long): Seq[Long] = {
     require(shift >= 0 && shift < 63, s"shift out of range: $shift")
+    // an inverted box would drive bigminAtLeast into its "impossible"
+    // 0,1,0 bit state (IllegalStateException) instead of returning no
+    // buckets — fail loudly at the API edge instead (ADVICE r12)
+    require(aLo <= aHi && bLo <= bHi,
+      s"inverted box: a=[$aLo,$aHi] b=[$bLo,$bHi]")
     val out = Seq.newBuilder[Long]
     val zEnd = interleave(aHi, bHi)
     var z = interleave(aLo, bLo)

@@ -72,7 +72,12 @@ object Wordpiece {
       val top = Bpe.pairCounts(vocab)
         .join(sc.select(col("sym").as("l"), col("scnt").as("lcnt")), Seq("l"))
         .join(sc.select(col("sym").as("r"), col("scnt").as("rcnt")), Seq("r"))
-        .withColumn("score", col("cnt").cast("double") / (col("lcnt") * col("rcnt")))
+        // both factors cast to double BEFORE multiplying: a long multiply
+        // wraps silently in Spark (non-ANSI) but raises BIGINT overflow in
+        // the DuckDB oracle, so at symbol counts > ~3e9 the two engines
+        // would diverge rather than fail together (ADVICE r12)
+        .withColumn("score",
+          col("cnt").cast("double") / (col("lcnt").cast("double") * col("rcnt").cast("double")))
         .orderBy(col("score").desc, col("l"), col("r"))
         .limit(1)
         .select("l", "r", "cnt", "score")

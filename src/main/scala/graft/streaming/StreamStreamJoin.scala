@@ -48,7 +48,7 @@ object StreamStreamJoin {
       joinType: String = "inner"): DataFrame =
     views.join(clicks,
       col("user_id") === col("ref_user_id") &&
-        col("click_time") >= col("view_time") - expr(s"INTERVAL ${windowUs / 1000000L} SECONDS") &&
+        col("click_time") >= col("view_time") - expr(s"INTERVAL $windowUs MICROSECOND") &&
         col("click_time") <= col("view_time"),
       joinType)
       .select(col("event_id"), col("user_id"),

@@ -417,6 +417,47 @@ class PlanShapeSpec extends SparkSpec {
       s"z layout must scan at most half the control: z=$zScan t=$tScan")
   }
 
+  test("writeZOrderedAuto on unbalanced raw dims matches hand-normalized skipping") {
+    import graft.sinks.TableStore
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder-auto").toString
+    // same independent dims as the test above, but `b` is passed RAW —
+    // its ~10-bit width would dominate the interleave and collapse the
+    // key toward a b-only sort (the documented misuse VERDICT r12 #5
+    // asks to make impossible); writeZOrderedAuto range-buckets each dim
+    // to a balanced 64-cell grid internally
+    val n = 100000L
+    val df = spark.range(n).select(
+      col("id"),
+      ((col("id") * 7919) % 64).as("a"),
+      (lit(473352L) + (col("id") * 104729) % 720).as("b"))
+    TableStore.writeZOrderedAuto(df, s"$out/auto", col("a"), col("b"), files = 32)
+    // the hand-normalized reference layout (the caller doing the contract
+    // correctly themselves)
+    TableStore.writeZOrdered(df, s"$out/hand",
+      col("a"), ((col("b") - 473352L) / 12).cast("long"), files = 32)
+    // the misuse the auto path exists to prevent: raw unbalanced dims
+    TableStore.writeZOrdered(df, s"$out/raw", col("a"), col("b"), files = 32)
+    def box(path: String) = TableStore.readBox(spark, path,
+      "a", 10L, 12L, "b", 473352L, 474072L)
+    def scanned(q: org.apache.spark.sql.DataFrame): Long = {
+      val r = q.collect().length // force execution
+      assert(r == box(s"$out/hand").collect().length)
+      executedScans(q).map(_.metrics("numOutputRows").value).sum
+    }
+    val handScan = scanned(box(s"$out/hand"))
+    val autoScan = scanned(box(s"$out/auto"))
+    val rawScan = scanned(box(s"$out/raw"))
+    // identical results across all three layouts
+    assert(box(s"$out/auto").exceptAll(box(s"$out/hand")).isEmpty &&
+      box(s"$out/hand").exceptAll(box(s"$out/auto")).isEmpty)
+    // skipping parity: auto within 1.5x of the hand-normalized scan
+    assert(autoScan <= handScan * 3 / 2,
+      s"auto z-order must match hand-normalized skipping: auto=$autoScan hand=$handScan")
+    // and the raw misuse demonstrably degrades, proving the test can tell
+    assert(rawScan > autoScan,
+      s"unbalanced raw interleave should scan more: raw=$rawScan auto=$autoScan")
+  }
+
   test("candle (pair, time-range) read prunes to one interval partition with pushed pair/time filters") {
     import graft.sinks.TableStore
     val out = java.nio.file.Files.createTempDirectory("graft-candle-prune").toString

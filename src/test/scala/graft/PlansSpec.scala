@@ -275,4 +275,54 @@ class PlansSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT zorder_key(a, b) FROM zin ORDER BY 1").as[Long].collect()
     assert(viaSql.toSeq == Seq(ZOrder.interleave(10L, 473400L), ZOrder.interleave(63L, 474071L)).sorted)
   }
+
+  test("bucketsForBox returns exactly the brute-force bucket set; inverted boxes fail fast") {
+    import graft.functions.ZOrder
+    val rnd = new scala.util.Random(12)
+    // random boxes over a small grid: brute-force the exact set of
+    // Z-buckets that contain at least one (a,b) point of the box and
+    // assert the BIGMIN walk produces the same set (ADVICE r12: this
+    // pruning path previously had no callers and no coverage)
+    for (shift <- Seq(2, 4, 6); _ <- 1 to 40) {
+      val dim = 64L
+      val aLo = rnd.nextInt(dim.toInt).toLong
+      val aHi = aLo + rnd.nextInt((dim - aLo).toInt).toLong
+      val bLo = rnd.nextInt(dim.toInt).toLong
+      val bHi = bLo + rnd.nextInt((dim - bLo).toInt).toLong
+      val brute = (for (a <- aLo to aHi; b <- bLo to bHi)
+        yield ZOrder.interleave(a, b) >>> shift).distinct.sorted
+      val walked = ZOrder.bucketsForBox(shift, aLo, aHi, bLo, bHi)
+      assert(walked == brute,
+        s"shift=$shift box a=[$aLo,$aHi] b=[$bLo,$bHi]: walk $walked != brute $brute")
+      // walk output must be sorted and duplicate-free (IN-list contract)
+      assert(walked == walked.distinct.sorted)
+    }
+    // inverted box: loud require, not the BIGMIN internal IllegalStateException
+    intercept[IllegalArgumentException](ZOrder.bucketsForBox(4, 10L, 5L, 0L, 3L))
+    intercept[IllegalArgumentException](ZOrder.rangeIntersectsBox(0L, 100L, 0L, 3L, 10L, 5L))
+  }
+
+  test("writeZOrderedBuckets + readZBucketBox round-trip exactly and prune partitions") {
+    import graft.sinks.TableStore
+    import graft.functions.ZOrder
+    val out = java.nio.file.Files.createTempDirectory("graft-zbuckets").toString
+    val n = 20000L
+    val df = spark.range(n).select(
+      col("id"),
+      ((col("id") * 7919) % 64).as("a"),
+      ((col("id") * 104729) % 64).as("b"))
+    TableStore.writeZOrderedBuckets(df, s"$out/zb", col("a"), col("b"), shift = 6)
+    val (aLo, aHi, bLo, bHi) = (10L, 14L, 20L, 33L)
+    val got = TableStore.readZBucketBox(spark, s"$out/zb", 6, aLo, aHi, bLo, bHi,
+        col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+      .select("id", "a", "b")
+    val expect = df.filter(col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "bucket-pruned read must return exactly the box rows")
+    // the IN-list actually pruned: fewer partition dirs listed than exist
+    val allBuckets = new java.io.File(s"$out/zb").listFiles()
+      .count(_.getName.startsWith("z_bucket="))
+    val used = ZOrder.bucketsForBox(6, aLo, aHi, bLo, bHi).size
+    assert(used < allBuckets, s"walk selected $used of $allBuckets buckets — no pruning")
+  }
 }
