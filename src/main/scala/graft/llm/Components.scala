@@ -42,13 +42,24 @@ object Components {
       edges: DataFrame,
       nodes: Option[DataFrame] = None,
       maxIter: Int = 20): DataFrame = {
-    val edgeNodes = edges.select(col("id_a").as("id"))
-      .unionByName(edges.select(col("id_b").as("id")))
+    // `edges` is usually the tail of an expensive upstream plan (minhash →
+    // jaccard-verify in the cluster-keeper pipeline), and it feeds BOTH the
+    // node-universe init and every round's propagation join — without a
+    // checkpoint each consumer re-executed the whole verify DAG, which is
+    // exactly the llm_cluster_keeper 2.6 s → 5.9 s drift VERDICT r12
+    // flagged (stage-attributed r13: components was 3.4-5.9 s of the ~6 s
+    // gate, most of it per-round/per-consumer edge recompute). One eager
+    // checkpoint, O(edges) executor storage — the same class as the
+    // per-round label checkpoint; sym/edgeNodes below are then map-only
+    // reads of the cached partitions.
+    val edgesM = materialize(edges.select(col("id_a"), col("id_b")))
+    val edgeNodes = edgesM.select(col("id_a").as("id"))
+      .unionByName(edgesM.select(col("id_b").as("id")))
     val allNodes = nodes.map(n => edgeNodes.unionByName(n.toDF("id")))
       .getOrElse(edgeNodes).distinct()
     // symmetric neighbor list; self-loops drop out (they never lower a label)
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val sym = edgesM.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edgesM.select(col("id_b").as("src"), col("id_a").as("dst")))
       .filter(col("src") =!= col("dst"))
 
     var labels = materialize(allNodes.withColumn("comp", col("id")))

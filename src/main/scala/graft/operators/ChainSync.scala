@@ -336,6 +336,27 @@ object ChainSync {
     * `onTableWritten` is a progress hook (called with each table name after
     * its write completes) — also how the crash-injection test severs a
     * persist mid-way. */
+  /** Driver-memory ceiling on fingerprint rows collected per persist
+    * (VERDICT r12 #6: the collect is O(history buckets), unbounded in
+    * principle). The bound is generous because the quantity is CHAIN-
+    * bounded, not fact-volume-bounded: 2^21 height buckets = 2.1e9 blocks
+    * (hundreds of times any real chain height; a 100 TB fact volume rides
+    * the same block count), and candle weeks accrue at 52/year. At the
+    * ceiling the collect is ~2M rows ≈ 100 MB driver — survivable once,
+    * and the require turns silent driver OOM growth into a loud failure
+    * naming the fix (a distributed manifest join). ManifestSpec pins the
+    * guard. */
+  private[graft] val MaxFingerprintBuckets: Int = 1 << 21
+
+  private[graft] def checkFingerprintBound(
+      rows: Array[org.apache.spark.sql.Row], what: String): Array[org.apache.spark.sql.Row] = {
+    require(rows.length <= MaxFingerprintBuckets,
+      s"persist collects ${rows.length} $what fingerprints (> $MaxFingerprintBuckets): " +
+        "history has outgrown the driver-side manifest compare — migrate the " +
+        "fingerprint diff to a distributed join of current vs previous manifest")
+    rows
+  }
+
   def persist(state: ChainState, dir: String, lastBatchId: Long = -1L,
       onTableWritten: String => Unit = _ => ()): Unit = {
     import graft.sinks.TableStore
@@ -346,12 +367,12 @@ object ChainSync {
     val vdir = s"$dir/v$version"
     // one small job over the (in-memory, localCheckpoint'd) blocks table:
     // per-bucket fingerprints decide which frozen segments stay valid
-    val fpRows = state.blocks
+    val fpRows = checkFingerprintBound(state.blocks
       .groupBy((col("height") / TableStore.HeightBucketSize).cast("int").as("b"))
       .agg(count(lit(1)).as("n"),
         sum(xxhash64(col("uid"), col("id"), col("height"),
           coalesce(unix_millis(col("time_stamp")), lit(-1L))).cast("decimal(38,0)")).as("h"))
-      .collect()
+      .collect(), "height-bucket")
     val fps: Map[Int, (Long, BigDecimal)] =
       fpRows.map(r => r.getInt(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
     val tipBucket = if (fps.isEmpty) -1 else fps.keys.max
@@ -438,12 +459,12 @@ object ChainSync {
     // there. Without this the candle history — O(pairs × minutes), which
     // grows without bound — would be rewritten whole every persist.
     val cBucketCol = floor(unix_millis(col("time_start")) / lit(CandleBucketMs)).cast("int")
-    val cfpRows = state.candles
+    val cfpRows = checkFingerprintBound(state.candles
       .groupBy(cBucketCol.as("b"))
       .agg(count(lit(1)).as("n"),
         sum(xxhash64(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
           .cast("decimal(38,0)")).as("h"))
-      .collect()
+      .collect(), "candle-week")
     val cfps: Map[Int, (Long, BigDecimal)] =
       cfpRows.map(r => r.getInt(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
     val cTip = if (cfps.isEmpty) -1 else cfps.keys.max

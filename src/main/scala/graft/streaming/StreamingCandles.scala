@@ -359,11 +359,35 @@ object StreamingCandles {
   private def withReplayPartitions[A](spark: SparkSession, codegen: Boolean = true)(body: => A): A = {
     val pKey = "spark.sql.shuffle.partitions"
     val cKey = "spark.sql.codegen.wholeStage"
+    val kKey = "spark.sql.streaming.checkpointLocation"
     val prevP = spark.conf.get(pKey)
     val prevC = spark.conf.get(cKey)
-    spark.conf.set(pKey, "4")
+    val prevK = spark.conf.getOption(kKey)
+    spark.conf.set(pKey, "1")
     spark.conf.set(cKey, codegen.toString)
-    try body finally { spark.conf.set(pKey, prevP); spark.conf.set(cKey, prevC) }
+    // replay state stores are throwaway: point their checkpoints at tmpfs
+    // (RAM) when available — the per-level HDFSBackedStateStore delta/
+    // snapshot commits are pure overhead for a bounded replay, and disk
+    // I/O was a measurable slice of the per-batch cost (NOTES r13).
+    // Unique per call + deleted after: a reused dir makes the next query
+    // try to RECOVER from it and fail.
+    val shm = new java.io.File("/dev/shm")
+    val ckptDir: Option[java.nio.file.Path] =
+      if (shm.isDirectory && shm.canWrite)
+        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft-replay-ckpt-"))
+      else None
+    ckptDir.foreach(d => spark.conf.set(kKey, d.toString))
+    try body finally {
+      spark.conf.set(pKey, prevP); spark.conf.set(cKey, prevC)
+      prevK match { case Some(v) => spark.conf.set(kKey, v); case None => spark.conf.unset(kKey) }
+      ckptDir.foreach { d =>
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val s = Files.walk(d)
+        try s.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+        finally s.close()
+      }
+    }
   }
 
   private[graft] def tradeFrame(stream: MemoryStream[TradeEvent]): DataFrame =
@@ -426,14 +450,34 @@ object StreamingCandles {
       val chained = dsts.init.foldLeft(
         minuteCandlesWindowed(tradeFrame(stream), watermarkDelay = "0 seconds"))(
         (df, d) => ladderStreamWindowed(df, d))
-      val query = ladderStream(chained, dsts.last).writeStream.outputMode("append")
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        if (sys.env.contains("SPARK_GRAFT_STAGE_LOG"))
+          System.err.println(f"LADDERSTEP $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val query = timed("start")(ladderStream(chained, dsts.last).writeStream.outputMode("append")
         .format("memory").queryName(name)
         .trigger(Trigger.ProcessingTime(10L))
-        .start()
+        .start())
       try {
-        sorted.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+        // the sentinel rides the LAST chunk's trigger round: a separate
+        // processAllAvailable per round costs (levels × ~0.5 s) twice —
+        // once for the data batch and once for the no-data watermark
+        // flush batch that follows it — and the append-mode output is
+        // identical either way (every real window still finalizes exactly
+        // once, on the final flush batch). Measured on st12: 4 micro-
+        // batches/stage → 2 when chunk ≥ slice (NOTES r13).
+        val chunks = sorted.grouped(chunk).toSeq
+        chunks.zipWithIndex.foreach { case (g, i) =>
+          stream.addData(g)
+          if (i < chunks.length - 1) timed(s"batch$i")(query.processAllAvailable())
+        }
         stream.addData(Seq(sentinel))
-        query.processAllAvailable()
+        timed("final")(query.processAllAvailable())
+        if (sys.env.contains("SPARK_GRAFT_STAGE_LOG"))
+          query.recentProgress.foreach(pr => System.err.println(
+            s"PROGRESS batch=${pr.batchId} rows=${pr.numInputRows} dur=${pr.durationMs}"))
       } finally query.stop()
     }
     spark.table(name)
@@ -480,8 +524,13 @@ object StreamingCandles {
           .start()
       }
       try {
-        rows.grouped(math.max(1, chunk)).foreach { g =>
-          streams.foreach(_.addData(g)); queries.foreach(_.processAllAvailable())
+        // same trigger-round merge as replayLadderChain: the sentinel
+        // joins the last chunk's round, halving micro-batches per query
+        // when chunk >= slice
+        val chunks = rows.grouped(math.max(1, chunk)).toSeq
+        chunks.zipWithIndex.foreach { case (g, i) =>
+          streams.foreach(_.addData(g))
+          if (i < chunks.length - 1) queries.foreach(_.processAllAvailable())
         }
         streams.foreach(_.addData(Seq(sentinel)))
         queries.foreach(_.processAllAvailable())
@@ -512,14 +561,20 @@ object StreamingCandles {
     * Returns the union of the 1w and 1M candle sets, each row emitted
     * exactly once by its query. */
   def replayCalendar(spark: SparkSession, trades: Seq[TradeEvent], chunk: Int): DataFrame = {
-    val hourly = collectFinalized(
-      replayLadderChain(spark, trades, chunk, Seq("5m", "15m", "30m", "1h")))
-    val daily = collectFinalized(
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("SPARK_GRAFT_STAGE_LOG"))
+        System.err.println(f"CALSTAGE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val hourly = timed("trades->1h")(collectFinalized(
+      replayLadderChain(spark, trades, chunk, Seq("5m", "15m", "30m", "1h"))))
+    val daily = timed("1h->1d")(collectFinalized(
       runCandleStage(spark, hourly, chunk,
-        ladderChainFromCandles(_, Seq("3h", "6h", "12h", "1d")), codegen = false))
-    runCandleStages(spark, daily, chunk,
+        ladderChainFromCandles(_, Seq("3h", "6h", "12h", "1d")), codegen = false)))
+    timed("1d->1w+1M")(runCandleStages(spark, daily, chunk,
       Seq(calendarWeekCandles(_), calendarMonthCandles(_)))
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_)))
   }
 
   /** Replay through [[statefulMinuteCandles]] (update mode): per-key
