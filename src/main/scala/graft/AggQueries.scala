@@ -1429,6 +1429,45 @@ object AggQueries {
              |WHERE v.event_type = 'view' AND v.event_id < 2000
              |ORDER BY v.event_id, c.event_id""".stripMargin)),
 
+    // ST17 — stream-stream FULL OUTER join + late-drop accounting
+    // (VERDICT r12 #8): completes the join family — unmatched rows from
+    // EITHER side emit with NULLs once the watermark finalizes them. The
+    // hashed output also carries the replay's total
+    // numRowsDroppedByWatermark as a constant column pinned to 0: an
+    // event-time-ordered replay must drop nothing, and any future change
+    // that makes the watermark silently discard rows breaks the hash
+    // instead of passing quietly (StreamingSpec feeds a deliberately late
+    // row to prove the counter fires). NULLS FIRST ordering matches
+    // Spark's asc default on both engines.
+    QueryDef("st17_stream_stream_full",
+      (s, dir) => {
+        import graft.streaming.StreamStreamJoin
+        val ev = Tables.events(s, dir).filter(col("event_id") < 2000)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .orderBy("us", "event_id").collect()
+          .map(r => StreamStreamJoin.ViewEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .orderBy("us", "event_id").collect()
+          .map(r => StreamStreamJoin.ClickEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+        val (joined, dropped) = StreamStreamJoin.replayCounted(s, views.toSeq, clicks.toSeq,
+          windowUs = 1800L * 1000000L, chunk = 400, joinType = "fullOuter")
+        joined.withColumn("dropped_late", lit(dropped))
+          .orderBy(col("event_id").asc_nulls_first, col("ref_id").asc_nulls_first)
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+             |  WHERE event_type = 'view' AND event_id < 2000),
+             |c AS (
+             |  SELECT event_id AS ref_id, user_id AS cuser, epoch_us(ts) AS cus FROM events
+             |  WHERE event_type = 'click' AND event_id < 2000)
+             |SELECT v.event_id, v.user_id, v.us AS view_us,
+             |  c.ref_id, c.cus AS click_us, CAST(0 AS BIGINT) AS dropped_late
+             |FROM v FULL JOIN c
+             |  ON v.user_id = c.cuser AND c.cus BETWEEN v.us - 1800000000 AND v.us
+             |ORDER BY event_id NULLS FIRST, ref_id NULLS FIRST""".stripMargin)),
+
     // Views — tickers (O20 over asset_tickers, up.sql:432-435)
     QueryDef("view_tickers",
       (s, dir) => {

@@ -64,7 +64,23 @@ object StreamStreamJoin {
       clicks: Seq[ClickEvent],
       windowUs: Long,
       chunk: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner"): DataFrame =
+    replayCounted(spark, views, clicks, windowUs, chunk, joinType)._1
+
+  /** [[replay]] plus LATE-DROP ACCOUNTING (VERDICT r12 #8): the second
+    * element is the total `numRowsDroppedByWatermark` across every
+    * micro-batch — rows the watermark silently discarded. In an
+    * event-time-ordered replay it must be ZERO (the st17 gate pins the
+    * constant into its hashed output); StreamingSpec feeds a deliberately
+    * late row and asserts the counter catches it, making the watermark's
+    * drop behavior observable instead of silent. */
+  def replayCounted(
+      spark: SparkSession,
+      views: Seq[ViewEvent],
+      clicks: Seq[ClickEvent],
+      windowUs: Long,
+      chunk: Int,
+      joinType: String = "inner"): (DataFrame, Long) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val vStream = MemoryStream[ViewEvent]
@@ -78,6 +94,7 @@ object StreamStreamJoin {
       .withWatermark("click_time", "0 seconds")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    var droppedLate = 0L
     try {
       val query = attributionJoin(vDf, cDf, windowUs, joinType).writeStream
         .outputMode("append").format("memory").queryName(name)
@@ -103,8 +120,14 @@ object StreamStreamJoin {
           cStream.addData(Seq(ClickEvent(-1L, -2L, farUs)))
           query.processAllAvailable()
         }
+        droppedLate = query.recentProgress.toSeq
+          .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark)).sum
       } finally query.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name).filter(col("event_id") =!= -1L)
+    // null-SAFE sentinel filter: a FULL outer join emits unmatched clicks
+    // with NULL event_id, which a bare `=!= -1` would (null-)drop — each
+    // side's sentinel is excluded by ITS OWN id column instead
+    (spark.table(name)
+      .filter(!(col("event_id") <=> -1L) && !(col("ref_id") <=> -1L)), droppedLate)
   }
 }
