@@ -92,10 +92,8 @@ object StreamStreamJoin {
     val cDf = cStream.toDF()
       .withColumn("click_time", timestamp_micros(col("refTsUs")))
       .withWatermark("click_time", "0 seconds")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     var droppedLate = 0L
-    try {
+    val result = ReplayEnv.withReplayEnv(spark) {
       val query = attributionJoin(vDf, cDf, windowUs, joinType).writeStream
         .outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.ProcessingTime(10L))
@@ -123,11 +121,12 @@ object StreamStreamJoin {
         droppedLate = query.recentProgress.toSeq
           .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark)).sum
       } finally query.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // null-SAFE sentinel filter: a FULL outer join emits unmatched clicks
-    // with NULL event_id, which a bare `=!= -1` would (null-)drop — each
-    // side's sentinel is excluded by ITS OWN id column instead
-    (spark.table(name)
-      .filter(!(col("event_id") <=> -1L) && !(col("ref_id") <=> -1L)), droppedLate)
+      // null-SAFE sentinel filter: a FULL outer join emits unmatched clicks
+      // with NULL event_id, which a bare `=!= -1` would (null-)drop — each
+      // side's sentinel is excluded by ITS OWN id column instead
+      spark.table(name)
+        .filter(!(col("event_id") <=> -1L) && !(col("ref_id") <=> -1L))
+    }
+    (result, droppedLate)
   }
 }

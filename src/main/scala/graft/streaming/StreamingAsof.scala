@@ -87,12 +87,9 @@ object StreamingAsof {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[AsofEvent]
     val name = s"graft_stream_asof_${seq.incrementAndGet()}"
-    // bounded replay: 4 state partitions, not the session's 32 — one state
-    // file per partition per micro-batch (the StreamingCandles rationale)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try {
+    // bounded replay environment: 1 state partition + tmpfs checkpoints
+    // (ReplayEnv scaladoc; NOTES r13 stage attribution)
+    ReplayEnv.withReplayEnv(spark) {
       val query = asofStream(stream.toDS())
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.ProcessingTime(10L))
@@ -101,6 +98,6 @@ object StreamingAsof {
         events.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
       } finally query.stop()
       spark.table(name)
-    } finally spark.conf.set(key, prev)
+    }
   }
 }

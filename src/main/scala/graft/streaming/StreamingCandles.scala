@@ -356,39 +356,8 @@ object StreamingCandles {
     * strictly cheaper than compiling. Shallow replays KEEP codegen: their
     * methods compile fine and the compiled kernels win (st10 regressed
     * ~25% under a blanket off switch). */
-  private def withReplayPartitions[A](spark: SparkSession, codegen: Boolean = true)(body: => A): A = {
-    val pKey = "spark.sql.shuffle.partitions"
-    val cKey = "spark.sql.codegen.wholeStage"
-    val kKey = "spark.sql.streaming.checkpointLocation"
-    val prevP = spark.conf.get(pKey)
-    val prevC = spark.conf.get(cKey)
-    val prevK = spark.conf.getOption(kKey)
-    spark.conf.set(pKey, "1")
-    spark.conf.set(cKey, codegen.toString)
-    // replay state stores are throwaway: point their checkpoints at tmpfs
-    // (RAM) when available — the per-level HDFSBackedStateStore delta/
-    // snapshot commits are pure overhead for a bounded replay, and disk
-    // I/O was a measurable slice of the per-batch cost (NOTES r13).
-    // Unique per call + deleted after: a reused dir makes the next query
-    // try to RECOVER from it and fail.
-    val shm = new java.io.File("/dev/shm")
-    val ckptDir: Option[java.nio.file.Path] =
-      if (shm.isDirectory && shm.canWrite)
-        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft-replay-ckpt-"))
-      else None
-    ckptDir.foreach(d => spark.conf.set(kKey, d.toString))
-    try body finally {
-      spark.conf.set(pKey, prevP); spark.conf.set(cKey, prevC)
-      prevK match { case Some(v) => spark.conf.set(kKey, v); case None => spark.conf.unset(kKey) }
-      ckptDir.foreach { d =>
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        val s = Files.walk(d)
-        try s.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
-        finally s.close()
-      }
-    }
-  }
+  private def withReplayPartitions[A](spark: SparkSession, codegen: Boolean = true)(body: => A): A =
+    ReplayEnv.withReplayEnv(spark, partitions = 1, codegen = codegen)(body)
 
   private[graft] def tradeFrame(stream: MemoryStream[TradeEvent]): DataFrame =
     stream.toDS().select(

@@ -135,10 +135,7 @@ object StreamingDedup {
         timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
     val n = if (expectedItems > 0L) expectedItems else math.max(1L, seen.count())
     val name = s"graft_stream_novel_${seq.incrementAndGet()}"
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try {
+    ReplayEnv.withReplayEnv(spark) {
       val query = novelWithinWatermark(src, seen, "event_time", delay = delay, fpp = fpp,
           expectedItems = n)
         .select("doc_id")
@@ -153,7 +150,7 @@ object StreamingDedup {
           query.processAllAvailable()
         }
       } finally query.stop()
-    } finally spark.conf.set(key, prev)
+    }
     spark.table(name)
   }
 
@@ -169,13 +166,9 @@ object StreamingDedup {
     val src = stream.toDS()
       .select(timestamp_millis(col("timeStampMs")).as("event_time"), col("text"))
     val name = s"graft_stream_dedup_${seq.incrementAndGet()}"
-    // bounded replay: 4 state partitions, not the session's 32 — a
-    // streaming query writes one state file per partition per micro-batch
-    // (same rationale as StreamingCandles' replay harness)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try {
+    // bounded replay environment: 1 state partition + tmpfs checkpoints
+    // (ReplayEnv scaladoc; NOTES r13 stage attribution)
+    ReplayEnv.withReplayEnv(spark) {
       val query = exactWithinWatermark(src, "event_time", delay = delay)
         .select("text")
         .writeStream.outputMode("append").format("memory").queryName(name)
@@ -184,7 +177,7 @@ object StreamingDedup {
       try {
         events.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
       } finally query.stop()
-    } finally spark.conf.set(key, prev)
+    }
     spark.table(name)
   }
 }

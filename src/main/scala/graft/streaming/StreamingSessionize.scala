@@ -101,12 +101,9 @@ object StreamingSessionize {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[SessEvent]
     val name = s"graft_stream_sessions_${seq.incrementAndGet()}"
-    // bounded replay: 4 state partitions, not the session's 32 — one state
-    // file per partition per micro-batch (the StreamingCandles rationale)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try {
+    // bounded replay environment: 1 state partition + tmpfs checkpoints
+    // (ReplayEnv scaladoc; NOTES r13 stage attribution)
+    ReplayEnv.withReplayEnv(spark) {
       val query = sessionStream(stream.toDS(), gapSeconds)
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.ProcessingTime(10L))
@@ -118,7 +115,7 @@ object StreamingSessionize {
         stream.addData(flush)
         query.processAllAvailable()
       } finally query.stop()
-    } finally spark.conf.set(key, prev)
+    }
     spark.table(name)
   }
 }
