@@ -609,5 +609,40 @@ object CoreQueries {
              |FROM events
              |WHERE user_id % 64 BETWEEN 10 AND 12
              |  AND CAST(floor(epoch(ts)) AS BIGINT) // 3600 BETWEEN 473400 AND 473600
+             |ORDER BY event_id""".stripMargin)),
+
+    // O58 — the HILBERT-curve layout read path (r13): o57's box read
+    // served from a Hilbert-clustered write (functions/Hilbert.scala —
+    // continuous curve, no Z diagonal jumps, the Delta liquid-clustering /
+    // Iceberg successor to Morton). Identical oracle to o57 — the curve
+    // shapes only the LAYOUT, never the result — and PlanShapeSpec pins
+    // that Hilbert skips at least as well as the single-sort control
+    QueryDef("o58_hilbert_read",
+      (s, dir) => {
+        import graft.sinks.TableStore
+        val out = layoutCache.getOrCompute(s, "h:" + dir) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-o58").toString
+          val facts = Tables.events(s, dir).select(
+            col("event_id"),
+            (col("user_id") % 64).cast("long").as("addr_bucket"),
+            floor(Tables.epochSecs(col("ts")) / 3600).cast("long").as("hour_bucket"),
+            col("value").as("payload"))
+          TableStore.writeHilbertOrdered(facts, s"$tmp/h",
+            col("addr_bucket"),
+            graft.operators.TimeCells.floorDiv(col("hour_bucket") - 473352L, lit(12L)),
+            files = 32)
+          s"$tmp/h"
+        }
+        TableStore.readBox(s, out,
+            "addr_bucket", 10L, 12L, "hour_bucket", 473400L, 473600L)
+          .select("event_id", "addr_bucket", "hour_bucket", "payload")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(user_id % 64 AS BIGINT) AS addr_bucket,
+             |  CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+             |  value AS payload
+             |FROM events
+             |WHERE user_id % 64 BETWEEN 10 AND 12
+             |  AND CAST(floor(epoch(ts)) AS BIGINT) // 3600 BETWEEN 473400 AND 473600
              |ORDER BY event_id""".stripMargin)))
 }

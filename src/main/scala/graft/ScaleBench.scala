@@ -21,16 +21,26 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleBench {
 
-  /** The 8 gates VERDICT r12 #1 names, plus input-table attribution. */
+  /** The 8 gates VERDICT r12 #1 names plus 6 more heavy operators
+    * (r13 widening: BM25, fusion, shard packing, bigram LM, calendar
+    * candles, sessionize + interval join), each with input-table
+    * attribution. */
   val Gates: Seq[(String, String)] = Seq(
     "a1_candles_minute" -> "events",
     "a2_candles_1h_ladder" -> "events",
+    "a2b_candles_calendar" -> "events",
     "llm_dedup_minhash" -> "documents",
     "llm_ann_ivf" -> "embeddings",
     "o46_salted_agg" -> "lineitem",
     "o41e_asof_sliced" -> "events",
     "llm_components" -> "events",
-    "chain_fold_candles" -> "events")
+    "chain_fold_candles" -> "events",
+    "llm_bm25" -> "documents",
+    "llm_rrf_fusion" -> "documents",
+    "llm_pack_shards" -> "documents",
+    "llm_bigram_lm" -> "documents",
+    "o40_sessionize" -> "events",
+    "o42_interval_join" -> "events")
 
   val Bounded = Set("llm_components", "chain_fold_candles")
 

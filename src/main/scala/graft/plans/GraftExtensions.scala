@@ -73,6 +73,10 @@ object GraftExtensions {
       new FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
       (args: Seq[Expression]) => ZOrderKey(args.head, args(1)))
+    registry.registerFunction(
+      new FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
+      (args: Seq[Expression]) => HilbertKey(args.head, args(1)))
   }
   /** Column-level access to the native expressions (no registry needed). */
   def base58Encode(c: Column): Column = GraftColumnBridge.column(Base58Encode(GraftColumnBridge.expression(c)))
@@ -85,6 +89,8 @@ object GraftExtensions {
     GraftColumnBridge.column(VectorDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def zorderKey(a: Column, b: Column): Column =
     GraftColumnBridge.column(ZOrderKey(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def hilbertKey(a: Column, b: Column): Column =
+    GraftColumnBridge.column(HilbertKey(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   /** Row-local top-n nearest centroids (map-only cell assignment). */
   def nearestCells(vec: Column, cellIds: IndexedSeq[Int],
       centroids: IndexedSeq[IndexedSeq[Double]], n: Int): Column =

@@ -199,6 +199,28 @@ object TableStore {
     readAny(spark, path)
       .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi))
 
+  /** [[writeZOrdered]] on the HILBERT curve instead of Morton — same
+    * contract (two comparable-width non-negative bucket dims, key is a
+    * sort expression only), better locality: the Hilbert walk is
+    * continuous (no Z-shaped diagonal jumps at power-of-two boundaries),
+    * so each file/row-group covers a tighter bounding box on average and
+    * a box read skips at least as well ([[graft.functions.Hilbert]];
+    * PlanShapeSpec pins hilbert-vs-control and hilbert-vs-z skipping).
+    * Reads go through the same [[readBox]] — plain pushed column
+    * predicates; the curve only shapes the layout. */
+  def writeHilbertOrdered(
+      df: DataFrame,
+      path: String,
+      dimA: org.apache.spark.sql.Column,
+      dimB: org.apache.spark.sql.Column,
+      files: Int = 64): Unit = {
+    val h = graft.plans.GraftExtensions.hilbertKey(dimA.cast("long"), dimB.cast("long"))
+    df.repartitionByRange(files, h)
+      .sortWithinPartitions(h)
+      .write.mode("overwrite")
+      .parquet(path)
+  }
+
   /** [[writeZOrdered]] with SELF-ENFORCING width normalization — the
     * caller passes RAW dimension expressions and this pass range-buckets
     * each into `grid` equal-frequency cells (Delta OPTIMIZE ZORDER's

@@ -417,6 +417,41 @@ class PlanShapeSpec extends SparkSpec {
       s"z layout must scan at most half the control: z=$zScan t=$tScan")
   }
 
+  test("hilbert layout skips a box read at least as well as the single-sort control") {
+    import graft.sinks.TableStore
+    val out = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
+    // same decorrelated dims as the z-order test above
+    val n = 100000L
+    val df = spark.range(n).select(
+      col("id"),
+      ((col("id") * 7919) % 64).as("a"),
+      (lit(473352L) + (col("id") * 104729) % 720).as("b"))
+    TableStore.writeHilbertOrdered(df, s"$out/h",
+      col("a"), ((col("b") - 473352L) / 12).cast("long"), files = 32)
+    TableStore.writeZOrdered(df, s"$out/z",
+      col("a"), ((col("b") - 473352L) / 12).cast("long"), files = 32)
+    df.repartitionByRange(32, col("b")).sortWithinPartitions(col("b"))
+      .write.mode("overwrite").parquet(s"$out/t")
+    def box(path: String) = TableStore.readBox(spark, path,
+      "a", 10L, 12L, "b", 473352L, 474072L)
+    def scanned(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      executedScans(q).map(_.metrics("numOutputRows").value).sum
+    }
+    val hScan = scanned(box(s"$out/h"))
+    val zScan = scanned(box(s"$out/z"))
+    val tScan = scanned(box(s"$out/t"))
+    assert(box(s"$out/h").exceptAll(box(s"$out/z")).isEmpty &&
+      box(s"$out/z").exceptAll(box(s"$out/h")).isEmpty)
+    // hilbert must beat the control by the same margin as z-order...
+    assert(hScan * 2 <= tScan,
+      s"hilbert layout must scan at most half the control: h=$hScan t=$tScan")
+    // ...and stay in z-order's ballpark (continuity should make it equal
+    // or tighter; allow 25% slack for file-boundary noise)
+    assert(hScan <= zScan * 5 / 4,
+      s"hilbert should not skip materially worse than z: h=$hScan z=$zScan")
+  }
+
   test("writeZOrderedAuto on unbalanced raw dims matches hand-normalized skipping") {
     import graft.sinks.TableStore
     val out = java.nio.file.Files.createTempDirectory("graft-zorder-auto").toString

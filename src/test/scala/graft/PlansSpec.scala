@@ -276,6 +276,48 @@ class PlansSpec extends SparkSpec {
     assert(viaSql.toSeq == Seq(ZOrder.interleave(10L, 473400L), ZOrder.interleave(63L, 474071L)).sorted)
   }
 
+  test("Hilbert index round-trips, is bijective, and steps one grid cell at a time") {
+    import graft.functions.Hilbert
+    val rnd = new scala.util.Random(13)
+    // round-trip across the full 31-bit range
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0x7fffffffL, 0x7fffffffL)) ++
+      Seq.fill(500)((rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    pts.foreach { case (x, y) =>
+      val d = Hilbert.index(x, y)
+      assert(d >= 0, s"index must stay non-negative: ($x,$y) -> $d")
+      assert(Hilbert.inverse(d) == ((x, y)), s"round-trip failed for ($x,$y)")
+    }
+    // injective on a 16x16 corner grid (order-31 indices of a small corner
+    // are not dense in [0,256), so distinctness is the checkable form)
+    val ds = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield Hilbert.index(x, y)).sorted
+    assert(ds.distinct.size == ds.size, "index must be injective")
+    // unit-step locality (the property Z-order lacks): consecutive indices
+    // are grid-adjacent — |dx| + |dy| == 1, no diagonal or long jumps
+    (0L until 4095L).foreach { d =>
+      val (x1, y1) = Hilbert.inverse(d)
+      val (x2, y2) = Hilbert.inverse(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve must be continuous at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("HilbertKey expression matches the kernel and stays in codegen") {
+    import graft.functions.Hilbert
+    val df = Seq((10L, 473400), (63L, 474071)).toDF("a", "b")
+    val rows = df.select(GraftExtensions.hilbertKey(col("a"), col("b")).as("h")).collect()
+    assert(rows(0).getLong(0) == Hilbert.index(10L, 473400L))
+    assert(rows(1).getLong(0) == Hilbert.index(63L, 474071L))
+    val plan = spark.range(100)
+      .select(GraftExtensions.hilbertKey(col("id"), col("id") + 1).as("h"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && !plan.contains("ScalaUDF"), s"plan:\n$plan")
+    GraftExtensions.install(spark)
+    df.createOrReplaceTempView("hin")
+    val viaSql = spark.sql("SELECT hilbert_key(a, b) FROM hin ORDER BY 1").as[Long].collect()
+    assert(viaSql.toSeq == Seq(Hilbert.index(10L, 473400L), Hilbert.index(63L, 474071L)).sorted)
+  }
+
   test("bucketsForBox returns exactly the brute-force bucket set; inverted boxes fail fast") {
     import graft.functions.ZOrder
     val rnd = new scala.util.Random(12)
