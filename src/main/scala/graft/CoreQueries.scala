@@ -611,6 +611,38 @@ object CoreQueries {
              |  AND CAST(floor(epoch(ts)) AS BIGINT) // 3600 BETWEEN 473400 AND 473600
              |ORDER BY event_id""".stripMargin)),
 
+    // O57b — the SELF-NORMALIZING Z-order write (writeZOrderedAuto, r13):
+    // the caller passes RAW unbalanced dims (addr 6-bit, hour ~10-bit) and
+    // the writer range-buckets both to a balanced grid internally — the
+    // misuse-proof path; same box read, same oracle (layout never changes
+    // results), PlanShapeSpec pins skipping parity with hand-normalized
+    QueryDef("o57b_zorder_auto_read",
+      (s, dir) => {
+        import graft.sinks.TableStore
+        val out = layoutCache.getOrCompute(s, "za:" + dir) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-o57b").toString
+          val facts = Tables.events(s, dir).select(
+            col("event_id"),
+            (col("user_id") % 64).cast("long").as("addr_bucket"),
+            floor(Tables.epochSecs(col("ts")) / 3600).cast("long").as("hour_bucket"),
+            col("value").as("payload"))
+          TableStore.writeZOrderedAuto(facts, s"$tmp/za",
+            col("addr_bucket"), col("hour_bucket"), files = 32)
+          s"$tmp/za"
+        }
+        TableStore.readBox(s, out,
+            "addr_bucket", 10L, 12L, "hour_bucket", 473400L, 473600L)
+          .select("event_id", "addr_bucket", "hour_bucket", "payload")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(user_id % 64 AS BIGINT) AS addr_bucket,
+             |  CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+             |  value AS payload
+             |FROM events
+             |WHERE user_id % 64 BETWEEN 10 AND 12
+             |  AND CAST(floor(epoch(ts)) AS BIGINT) // 3600 BETWEEN 473400 AND 473600
+             |ORDER BY event_id""".stripMargin)),
+
     // O58 — the HILBERT-curve layout read path (r13): o57's box read
     // served from a Hilbert-clustered write (functions/Hilbert.scala —
     // continuous curve, no Z diagonal jumps, the Delta liquid-clustering /

@@ -3944,5 +3944,145 @@ object LlmQueries {
               |  coalesce(v.tid, -1) AS token_id
               |FROM wseg s LEFT JOIN wtv v ON v.token = s.token
               |WHERE s.token IS NOT NULL
+              |ORDER BY doc_id, word_idx, tok_idx""".stripMargin)),
+  ) ++ unigramDefs
+
+  // ---------------------------------------------------------------------
+  // Unigram-LM (SentencePiece) tokenizer oracle machinery (r13) — the
+  // third tokenizer family. The Viterbi objective is a PRODUCT of
+  // integer-ratio doubles (IEEE-exact in both engines; Unigram scaladoc),
+  // so the oracle replays the DP exactly: the word-length bound (16)
+  // unrolls the forward pass into 16 non-recursive CTE stages (up to 4
+  // last-token branches each, argmax by score DESC, l DESC), and a
+  // recursive CTE walks the backpointers to recover each word's chosen
+  // segmentation.
+
+  private val ugCache = new graft.util.SessionCache[graft.llm.Unigram.Model]
+
+  private def ugTrained(s: SparkSession, dir: String): graft.llm.Unigram.Model =
+    ugCache.getOrCompute(s, dir) {
+      graft.llm.Unigram.train(s, Tables.documents(s, dir).select(col("text")))
+    }
+
+  /** Forward-DP chain: `<prefix>d0..d16` + `<prefix>dall` over the
+    * distinct words of `wordsCte`, scored by `probCte(tok, p)`. */
+  private def ugDpChain(prefix: String, probCte: String, wordsCte: String): String = {
+    val L = graft.llm.Unigram.MaxTokenLen
+    val W = graft.llm.Unigram.MaxWordLen
+    val d0 = s"${prefix}d0 AS MATERIALIZED (SELECT word, CAST(1 AS DOUBLE) AS score, 0 AS l FROM $wordsCte)"
+    val steps = (1 to W).map { p =>
+      val branches = (1 to math.min(L, p)).map { l =>
+        s"""SELECT d.word, d.score * v.p AS score, $l AS l
+           |      FROM ${prefix}d${p - l} d JOIN $probCte v ON v.tok = substr(d.word, ${p - l + 1}, $l)
+           |      WHERE len(d.word) >= $p""".stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      s"""${prefix}d$p AS MATERIALIZED (
+         |  SELECT word, score, l FROM (
+         |    SELECT word, score, l,
+         |      row_number() OVER (PARTITION BY word ORDER BY score DESC, l DESC) AS rn
+         |    FROM (
+         |      $branches))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val all = s"${prefix}dall AS MATERIALIZED (\n  " +
+      (1 to W).map(p => s"SELECT word, score, l, $p AS pos FROM ${prefix}d$p")
+        .mkString("\n  UNION ALL\n  ") + ")"
+    (d0 +: steps :+ all).mkString(",\n")
+  }
+
+  /** Backpointer walk (recursive): one row per (word, chosen token). */
+  private def ugSegCte(prefix: String, wordsCte: String): String =
+    s"""${prefix}seg AS (
+       |  SELECT word, len(word) AS pos, CAST(NULL AS VARCHAR) AS tok FROM $wordsCte
+       |  UNION ALL
+       |  SELECT s.word, s.pos - d.l, substr(s.word, s.pos - d.l + 1, d.l)
+       |  FROM ${prefix}seg s JOIN ${prefix}dall d ON d.word = s.word AND d.pos = s.pos
+       |  WHERE s.pos > 0)""".stripMargin
+
+  /** Seed + hard-EM training chain shared by both unigram oracles:
+    * produces `ufinal(tok, seed_cnt, used_cnt)`. */
+  private def ugTrainCtes: String = {
+    val L = graft.llm.Unigram.MaxTokenLen
+    val W = graft.llm.Unigram.MaxWordLen
+    val K = graft.llm.Unigram.SeedMulti
+    s"""uwf AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$') AND len(word) <= $W
+       |  GROUP BY word),
+       |uwords AS MATERIALIZED (SELECT word FROM uwf),
+       |usub AS MATERIALIZED (
+       |  SELECT tok, sum(freq) AS cnt FROM (
+       |    SELECT w.freq, substr(w.word, CAST(ss.s AS INT), CAST(ll.l AS INT)) AS tok
+       |    FROM uwf w,
+       |      LATERAL (SELECT unnest(range(1, len(w.word) + 1)) AS s) ss,
+       |      LATERAL (SELECT unnest(range(1, least($L, len(w.word) - ss.s + 1) + 1)) AS l) ll)
+       |  GROUP BY tok),
+       |useed AS MATERIALIZED (
+       |  SELECT tok, cnt FROM usub WHERE len(tok) = 1
+       |  UNION ALL
+       |  SELECT tok, cnt FROM (
+       |    SELECT tok, cnt FROM usub WHERE len(tok) > 1 ORDER BY cnt DESC, tok LIMIT $K)),
+       |uprob AS MATERIALIZED (
+       |  SELECT tok, CAST(cnt AS DOUBLE) / CAST((SELECT sum(cnt) FROM useed) AS DOUBLE) AS p
+       |  FROM useed),
+       |${ugDpChain("u", "uprob", "uwords")},
+       |${ugSegCte("u", "uwords")},
+       |uused AS MATERIALIZED (
+       |  SELECT s.tok, sum(w.freq) AS used_cnt
+       |  FROM useg s JOIN uwf w ON w.word = s.word
+       |  WHERE s.tok IS NOT NULL GROUP BY s.tok),
+       |ufinal AS MATERIALIZED (
+       |  SELECT s.tok, s.cnt AS seed_cnt, coalesce(u.used_cnt, 0) AS used_cnt
+       |  FROM useed s LEFT JOIN uused u ON u.tok = s.tok
+       |  WHERE len(s.tok) = 1 OR u.used_cnt IS NOT NULL)""".stripMargin
+  }
+
+  private def unigramDefs: Vector[QueryDef] = Vector(
+    // vocabulary selection via hard-EM: seed substrings → Viterbi under
+    // seed probs → usage recount → surviving vocab. Integer-only output
+    // (counts + deterministic ids), so the hash pins the full DP
+    QueryDef("llm_unigram_train",
+      (s, dir) => graft.llm.Unigram.vocabTable(s, ugTrained(s, dir)).orderBy("token_id"),
+      Some(s"""WITH RECURSIVE $ugTrainCtes
+              |SELECT tok AS token, CAST(seed_cnt AS BIGINT) AS seed_cnt,
+              |  CAST(used_cnt AS BIGINT) AS used_cnt,
+              |  CAST(row_number() OVER (ORDER BY used_cnt DESC, tok) - 1 AS BIGINT) AS token_id
+              |FROM ufinal ORDER BY token_id""".stripMargin)),
+
+    // Viterbi encoding under the Laplace-smoothed final vocab — the
+    // apply-side twin (vs BPE's merge replay and WordPiece's MaxMatch)
+    QueryDef("llm_unigram_encode",
+      (s, dir) => graft.llm.Unigram.encode(s,
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 4)
+            .select(col("doc_id"), col("text")),
+          ugTrained(s, dir))
+        .orderBy("doc_id", "word_idx", "tok_idx"),
+      Some(s"""WITH RECURSIVE $ugTrainCtes,
+              |ewd AS MATERIALIZED (
+              |  SELECT doc_id, word, word_idx FROM (
+              |    SELECT doc_id,
+              |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word,
+              |      generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) - 1 AS word_idx
+              |    FROM documents WHERE doc_id % 10 = 4)
+              |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+              |    AND len(word) <= ${graft.llm.Unigram.MaxWordLen}),
+              |ewords AS MATERIALIZED (SELECT DISTINCT word FROM ewd),
+              |eprob AS MATERIALIZED (
+              |  SELECT tok, CAST(used_cnt + 1 AS DOUBLE) /
+              |    CAST((SELECT sum(used_cnt) FROM ufinal) + (SELECT count(*) FROM ufinal) AS DOUBLE) AS p
+              |  FROM ufinal),
+              |${ugDpChain("e", "eprob", "ewords")},
+              |${ugSegCte("e", "ewords")},
+              |esegidx AS MATERIALIZED (
+              |  SELECT word, tok,
+              |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS tok_idx
+              |  FROM eseg WHERE tok IS NOT NULL),
+              |eid AS MATERIALIZED (
+              |  SELECT tok, CAST(row_number() OVER (ORDER BY used_cnt DESC, tok) - 1 AS BIGINT) AS token_id
+              |  FROM ufinal)
+              |SELECT w.doc_id, CAST(w.word_idx AS BIGINT) AS word_idx,
+              |  s.tok_idx, s.tok AS token, i.token_id
+              |FROM ewd w JOIN esegidx s ON s.word = w.word JOIN eid i ON i.tok = s.tok
               |ORDER BY doc_id, word_idx, tok_idx""".stripMargin)))
 }

@@ -93,9 +93,10 @@ object ScaleBench {
       val (rB, tB, exB, bhjB) = measure(big)
       val rowRatio = rB.toDouble / math.max(1L, rS)
       val timeRatio = tB / math.max(1e-9, tS)
-      // stable = identical, or every extra exchange is accounted for by an
-      // AQE broadcast→sort-merge demotion (≤2 exchanges per demoted join)
-      val planOk = exS == exB ||
+      // stable = no MORE exchanges at scale (fewer = AQE coalesced, fine),
+      // or every extra exchange is accounted for by an AQE broadcast→
+      // sort-merge demotion (≤2 exchanges per demoted join)
+      val planOk = exB <= exS ||
         (bhjB < bhjS && exB - exS <= 2 * (bhjS - bhjB))
       val line =
         s"""{"gate":"$gate","table":"$table","bounded":${Bounded(gate)},""" +

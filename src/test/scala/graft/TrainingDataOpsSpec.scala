@@ -852,4 +852,48 @@ class TrainingDataOpsSpec extends SparkSpec {
       // lowercased: abcabc → abc + abc
       (2L, 0L, "abc", 4L), (2L, 1L, "abc", 4L)))
   }
+
+  test("unigram viterbiSegment: exact DP semantics and tie-breaks") {
+    import graft.llm.Unigram
+    // concatenation invariant on any vocab covering all chars
+    val probs = Map("a" -> 0.1, "b" -> 0.1, "c" -> 0.1, "ab" -> 0.2, "abc" -> 0.05, "bc" -> 0.3)
+    for (w <- Seq("abc", "abcabc", "aabbcc", "cab"))
+      assert(Unigram.viterbiSegment(w, probs).mkString == w)
+    // argmax picks the higher-probability segmentation:
+    // ab+c = 0.2*0.1 = 0.02, a+bc = 0.1*0.3 = 0.03, abc = 0.05 → abc wins
+    assert(Unigram.viterbiSegment("abc", probs) == Seq("abc"))
+    // without the whole-word token, a+bc (0.03) beats ab+c (0.02)
+    assert(Unigram.viterbiSegment("abc", probs - "abc") == Seq("a", "bc"))
+    // exact-tie: x+yz vs xy+z with equal products — longer LAST token wins
+    // (the oracle's ORDER BY score DESC, l DESC)
+    val tie = Map("x" -> 0.2, "y" -> 0.1, "z" -> 0.2, "xy" -> 0.2, "yz" -> 0.2)
+    // x*yz = 0.04, xy*z = 0.04 → last token yz (l=2) preferred
+    assert(Unigram.viterbiSegment("xyz", tie) == Seq("x", "yz"))
+    // unreachable character → empty (the seed contract makes this
+    // impossible in the gates; the kernel still fails closed)
+    assert(Unigram.viterbiSegment("aqa", probs).isEmpty)
+  }
+
+  test("unigram train: single chars always survive; used multi tokens keep Laplace probs") {
+    import graft.llm.Unigram
+    val docs = Seq(
+      (1L, "aba aba aba cc"),
+      (2L, "aba cc cc")).toDF("doc_id", "text")
+    val m = Unigram.train(spark, docs)
+    val toks = m.vocab.map(_._1).toSet
+    // every single char of kept words survives even if Viterbi never used it
+    assert(Set("a", "b", "c").subsetOf(toks))
+    // the dominant whole words are selected as multi-char tokens
+    assert(toks.contains("aba") && toks.contains("cc"))
+    // encode probs are Laplace over used counts: all positive, sum <= 1
+    assert(m.encodeProbs.values.forall(_ > 0))
+    // ids are dense 0..n-1 ordered by (used desc, token asc)
+    assert(m.vocab.map(_._4).sorted == m.vocab.indices.map(_.toLong))
+    // encoding reproduces the corpus words
+    val enc = Unigram.encode(spark, docs, m)
+      .groupBy("doc_id", "word_idx")
+      .agg(concat_ws("", collect_list(col("token"))).as("w"))
+      .select("w").as[String].collect().toSet
+    assert(enc == Set("aba", "cc"))
+  }
 }
