@@ -101,10 +101,16 @@ object StreamStreamJoin {
       try {
         val vChunks = views.grouped(chunk).toSeq
         val cChunks = clicks.grouped(chunk).toSeq
-        (0 until math.max(vChunks.length, cChunks.length)).foreach { i =>
+        val rounds = math.max(vChunks.length, cChunks.length)
+        (0 until rounds).foreach { i =>
           if (i < vChunks.length) vStream.addData(vChunks(i))
           if (i < cChunks.length) cStream.addData(cChunks(i))
-          query.processAllAvailable()
+          // outer modes: the flush sentinels ride the LAST chunk's trigger
+          // round instead of paying one more full round (each round costs
+          // a state-commit pass over both join sides — the st12 lesson,
+          // NOTES r13); output is identical, every real row still
+          // finalizes exactly once on the final watermark advance
+          if (i < rounds - 1 || joinType == "inner") query.processAllAvailable()
         }
         if (joinType != "inner") {
           // OUTER results only finalize once the watermark proves no
