@@ -18,6 +18,42 @@ import graft.sources.Tables.epochSecs
   * `events`; their oracles transliterate `pg.rs:680-815` as DuckDB CTEs. */
 object AggQueries {
 
+  /** Synthetic `assets`-view inputs derived from events — (asset_updates,
+    * asset_tickers, asset_origins, waves_data), shared by the view_assets
+    * DataFrame gate and its spark.sql catalog twin (sql_view_assets) so the
+    * two gates can only differ in the FRONT DOOR, never the data. */
+  private def assetViewInputs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir)
+    val au = Scd2.linkBatch(ev.select(
+      concat(lit("U"), col("user_id").cast("string")).as("asset_id"),
+      col("event_id").as("uid"),
+      col("event_id").as("block_uid"),
+      (col("user_id") % 9).cast("short").as("decimals"),
+      concat(lit("N"), col("user_id").cast("string")).as("name"),
+      lit("").as("description"),
+      (col("user_id") % 2 === 0).as("reissuable"),
+      (col("user_id") * 1000).as("volume"),
+      when(col("user_id") % 3 === 0, lit("base64:AA==")).otherwise(lit(null).cast("string")).as("script"),
+      lit(null).cast("long").as("sponsorship"),
+      lit(false).as("nft")),
+      key = "asset_id", uidCol = "uid")
+    val tickers = ev.filter(col("event_type") === "click").select(
+      col("event_id").as("uid"),
+      concat(lit("U"), col("user_id").cast("string")).as("asset_id"),
+      concat(lit("T"), col("user_id").cast("string")).as("ticker"))
+    val origins = ev.groupBy(concat(lit("U"), col("user_id").cast("string")).as("asset_id"))
+      .agg(min("event_id").as("first_asset_update_uid"),
+        min("event_id").cast("string").as("origin_transaction_id"),
+        first(concat(lit("I"), col("user_id").cast("string"))).as("issuer"),
+        min(col("user_id")).cast("int").as("issue_height"),
+        min(col("ts").cast("timestamp")).as("issue_time_stamp"))
+    val wavesData = ev.select(
+      col("user_id").cast("int").as("height"),
+      (lit(100000000L) + col("user_id")).cast("decimal(38,0)").as("quantity"))
+    (au, tickers, origins, wavesData)
+  }
+
   // ---------- candle oracle SQL (CTE-chain transliteration) ----------
 
   /** Minute-candle CTE ≙ `calculate_minute_candles` (`pg.rs:680-738`),
@@ -1486,39 +1522,52 @@ object AggQueries {
     // synthetic WAVES row (up.sql:437-485)
     QueryDef("view_assets",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-        val au = Scd2.linkBatch(ev.select(
-          concat(lit("U"), col("user_id").cast("string")).as("asset_id"),
-          col("event_id").as("uid"),
-          col("event_id").as("block_uid"),
-          (col("user_id") % 9).cast("short").as("decimals"),
-          concat(lit("N"), col("user_id").cast("string")).as("name"),
-          lit("").as("description"),
-          (col("user_id") % 2 === 0).as("reissuable"),
-          (col("user_id") * 1000).as("volume"),
-          when(col("user_id") % 3 === 0, lit("base64:AA==")).otherwise(lit(null).cast("string")).as("script"),
-          lit(null).cast("long").as("sponsorship"),
-          lit(false).as("nft")),
-          key = "asset_id", uidCol = "uid")
-        val tickers = ev.filter(col("event_type") === "click").select(
-          col("event_id").as("uid"),
-          concat(lit("U"), col("user_id").cast("string")).as("asset_id"),
-          concat(lit("T"), col("user_id").cast("string")).as("ticker"))
-        val origins = ev.groupBy(concat(lit("U"), col("user_id").cast("string")).as("asset_id"))
-          .agg(min("event_id").as("first_asset_update_uid"),
-            min("event_id").cast("string").as("origin_transaction_id"),
-            first(concat(lit("I"), col("user_id").cast("string"))).as("issuer"),
-            min(col("user_id")).cast("int").as("issue_height"),
-            min(col("ts").cast("timestamp")).as("issue_time_stamp"))
-        val wavesData = ev.select(
-          col("user_id").cast("int").as("height"),
-          (lit(100000000L) + col("user_id")).cast("decimal(38,0)").as("quantity"))
+        val (au, tickers, origins, wavesData) = assetViewInputs(s, dir)
         Views.assets(s, au, tickers, origins, wavesData)
           .select(col("asset_id"), col("ticker"), col("asset_name"), col("sender"),
             col("issue_height"), epochSecs(col("issue_timestamp")).as("issue_epoch"),
             col("total_quantity").cast("double").as("total_quantity"),
             col("decimals"), col("reissuable"), col("has_script"))
           .orderBy("asset_id")
+      },
+      Some("""WITH u AS (SELECT user_id, min(epoch(ts)) AS first_es, max(user_id) OVER () AS mu FROM events GROUP BY user_id),
+             |t AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+             |SELECT 'U' || CAST(u.user_id AS VARCHAR) AS asset_id,
+             |  CASE WHEN t.user_id IS NOT NULL THEN 'T' || CAST(u.user_id AS VARCHAR) ELSE NULL END AS ticker,
+             |  'N' || CAST(u.user_id AS VARCHAR) AS asset_name,
+             |  'I' || CAST(u.user_id AS VARCHAR) AS sender,
+             |  CAST(u.user_id AS INT) AS issue_height,
+             |  CAST(floor(u.first_es) AS BIGINT) AS issue_epoch,
+             |  CAST(u.user_id * 1000 AS DOUBLE) AS total_quantity,
+             |  CAST(u.user_id % 9 AS INT) AS decimals,
+             |  u.user_id % 2 = 0 AS reissuable,
+             |  u.user_id % 3 = 0 AS has_script
+             |FROM u LEFT JOIN t ON u.user_id = t.user_id
+             |UNION ALL
+             |SELECT 'WAVES', 'WAVES', 'Waves', '', 0,
+             |  CAST(epoch(TIMESTAMP '2016-04-11 21:00:00') AS BIGINT),
+             |  CAST(100000000 + (SELECT max(user_id) FROM events) AS DOUBLE),
+             |  8, false, false
+             |ORDER BY asset_id""".stripMargin)),
+
+    // The SQL FRONT DOOR twin of view_assets (VERDICT r13 #5): the same
+    // synthetic inputs registered into the session catalog through
+    // graft.SqlCatalog (all 30 reference tables + the 3 views as temp
+    // views), then the query issued as spark.sql TEXT against the `assets`
+    // view — the exact SQL a reference user runs against Postgres
+    // (up.sql:437-485). Same oracle as view_assets, so the harness proves
+    // text-SQL output hash-equal to the DataFrame twin.
+    QueryDef("sql_view_assets",
+      (s, dir) => {
+        val (au, tickers, origins, wavesData) = assetViewInputs(s, dir)
+        SqlCatalog.register(s, Map(
+          "asset_updates" -> au, "asset_tickers" -> tickers,
+          "asset_origins" -> origins, "waves_data" -> wavesData))
+        s.sql("""SELECT asset_id, ticker, asset_name, sender, issue_height,
+                |  unix_timestamp(issue_timestamp) AS issue_epoch,
+                |  CAST(total_quantity AS DOUBLE) AS total_quantity,
+                |  decimals, reissuable, has_script
+                |FROM assets ORDER BY asset_id""".stripMargin)
       },
       Some("""WITH u AS (SELECT user_id, min(epoch(ts)) AS first_es, max(user_id) OVER () AS mu FROM events GROUP BY user_id),
              |t AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')

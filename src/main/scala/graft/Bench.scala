@@ -150,7 +150,13 @@ object Bench {
     // ALL prior clean runs — its floor is historical, not windowed
     val priorRuns = allPriorRuns.takeRight(2)
     val contended = contendedFlag(results, allPriorRuns)
-    val contendedExtra = s""","contended":${contended.map(_.toString).getOrElse("null")}"""
+    // the replay-harness config that shaped every st* line (VERDICT r13
+    // #7): without it in the artifact, a harness change (partitions, tmpfs
+    // vs local checkpoints) is indistinguishable from code drift in a
+    // later regression hunt
+    val contendedExtra = s""","contended":${contended.map(_.toString).getOrElse("null")},""" +
+      s""""replay_partitions":${graft.streaming.ReplayEnv.DefaultPartitions},""" +
+      s""""ckpt_backend":"${graft.streaming.ReplayEnv.checkpointBackend}""""
     val merged = results.map { case (name, v) =>
       // a failure stays a visible -1 — merging it into clean prior medians
       // would hide the breakage from the driver's artifact

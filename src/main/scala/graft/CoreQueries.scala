@@ -676,5 +676,37 @@ object CoreQueries {
              |FROM events
              |WHERE user_id % 64 BETWEEN 10 AND 12
              |  AND CAST(floor(epoch(ts)) AS BIGINT) // 3600 BETWEEN 473400 AND 473600
+             |ORDER BY event_id""".stripMargin)),
+
+    // O58b — the SELF-NORMALIZING Hilbert write (writeHilbertOrderedAuto,
+    // r14 — VERDICT r13 #6): raw unbalanced dims through the shared
+    // range-ID pass, Hilbert key instead of Morton; same box read, same
+    // oracle (layout never changes results), PlanShapeSpec pins skipping
+    // parity with the hand-normalized Hilbert layout
+    QueryDef("o58b_hilbert_auto_read",
+      (s, dir) => {
+        import graft.sinks.TableStore
+        val out = layoutCache.getOrCompute(s, "ha:" + dir) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-o58b").toString
+          val facts = Tables.events(s, dir).select(
+            col("event_id"),
+            (col("user_id") % 64).cast("long").as("addr_bucket"),
+            floor(Tables.epochSecs(col("ts")) / 3600).cast("long").as("hour_bucket"),
+            col("value").as("payload"))
+          TableStore.writeHilbertOrderedAuto(facts, s"$tmp/ha",
+            col("addr_bucket"), col("hour_bucket"), files = 32)
+          s"$tmp/ha"
+        }
+        TableStore.readBox(s, out,
+            "addr_bucket", 10L, 12L, "hour_bucket", 473400L, 473600L)
+          .select("event_id", "addr_bucket", "hour_bucket", "payload")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(user_id % 64 AS BIGINT) AS addr_bucket,
+             |  CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+             |  value AS payload
+             |FROM events
+             |WHERE user_id % 64 BETWEEN 10 AND 12
+             |  AND CAST(floor(epoch(ts)) AS BIGINT) // 3600 BETWEEN 473400 AND 473600
              |ORDER BY event_id""".stripMargin)))
 }

@@ -8,10 +8,20 @@ import org.apache.spark.sql.SparkSession
   * sf0.1 prove the plan is right; this proves the plan STAYS that plan
   * and its cost grows at most linearly when the data grows ~K×.
   *
-  * Usage: `runMain graft.ScaleBench <dirSmall> <dirBig>` (defaults
-  * /root/testdata/sf0.1 and scale/sf1 — generate the latter with
-  * [[ScaleFixture]] first). Writes one JSON line per gate to stdout and
-  * the whole table to `scale_out.json`.
+  * Usage: `runMain graft.ScaleBench <dirSmall> <dirBig> [dirHuge]`
+  * (defaults /root/testdata/sf0.1 and scale/sf1 — generate scale dirs
+  * with [[ScaleFixture]] first). Writes one JSON line per gate to stdout
+  * and the whole table to `scale_out.json`.
+  *
+  * With a third dir (a 100× replica, VERDICT r13 #1) the [[Top6]]
+  * heaviest unbounded gates are ALSO measured small→huge and emitted as
+  * `<gate>@100x` rows — two decades of growth with the same
+  * plan-stability re-assertion.
+  *
+  * One STREAMING row rides along (VERDICT r13 #2): the st8-shape
+  * stateful replay at both scales, recording state-store rows and
+  * asserting result equality across 1-vs-4 shuffle partitionings —
+  * streaming state growth measured, not argued.
   *
   * Two of the graded gates (chain_fold_candles, llm_components) are
   * bounded-slice SEMANTIC gates — they read a fixed 160/300-event prefix
@@ -44,7 +54,20 @@ object ScaleBench {
 
   val Bounded = Set("llm_components", "chain_fold_candles")
 
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.length - 1) / 2)
+  /** The gates measured across TWO decades when a 100× dir is supplied
+    * (the VERDICT r13 #1 set). */
+  val Top6: Seq[String] = Seq("a1_candles_minute", "a2_candles_1h_ladder",
+    "llm_dedup_minhash", "llm_bm25", "o41e_asof_sliced", "o46_salted_agg")
+
+  /** True median: even-length inputs average the two middle elements —
+    * sorted((n-1)/2) alone is the MINIMUM at the default reps=2, which
+    * biased sec_small/sec_big (and the derived time_ratio) optimistically
+    * while being labeled a median (ADVICE r13). */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
 
   /** Executed-plan (exchange, broadcast-hash-join) counts — AQE's FINAL
     * plan, so run first. The broadcast-join count disambiguates the one
@@ -63,6 +86,7 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val big = args.lift(1).getOrElse("scale/sf1")
+    val huge = args.lift(2) // 100x dir (VERDICT r13 #1); optional
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -75,22 +99,24 @@ object ScaleBench {
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-    val rows = Gates.map { case (gate, table) =>
+    def measure(gate: String, table: String, dir: String): (Long, Double, Int, Int) = {
       val fn = SparkEntry.queries(gate)
-      def measure(dir: String): (Long, Double, Int, Int) = {
-        val inputRows = sources.Tables.load(spark, dir, table).count()
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, dir).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        val d = fn(spark, dir)
-        d.queryExecution.toRdd.count() // AQE finalizes the plan on execution
-        val (ex, bhj) = planShape(d)
-        (inputRows, median(times), ex, bhj)
+      val inputRows = sources.Tables.load(spark, dir, table).count()
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
       }
-      val (rS, tS, exS, bhjS) = measure(small)
-      val (rB, tB, exB, bhjB) = measure(big)
+      val d = fn(spark, dir)
+      d.queryExecution.toRdd.count() // AQE finalizes the plan on execution
+      val (ex, bhj) = planShape(d)
+      (inputRows, median(times), ex, bhj)
+    }
+
+    def gateRow(label: String, gate: String, table: String,
+        dirA: String, dirB: String): String = {
+      val (rS, tS, exS, bhjS) = measure(gate, table, dirA)
+      val (rB, tB, exB, bhjB) = measure(gate, table, dirB)
       val rowRatio = rB.toDouble / math.max(1L, rS)
       val timeRatio = tB / math.max(1e-9, tS)
       // stable = no MORE exchanges at scale (fewer = AQE coalesced, fine),
@@ -99,7 +125,7 @@ object ScaleBench {
       val planOk = exB <= exS ||
         (bhjB < bhjS && exB - exS <= 2 * (bhjS - bhjB))
       val line =
-        s"""{"gate":"$gate","table":"$table","bounded":${Bounded(gate)},""" +
+        s"""{"gate":"$label","table":"$table","bounded":${Bounded(gate)},""" +
         s""""rows_small":$rS,"rows_big":$rB,"sec_small":${fmt(tS)},"sec_big":${fmt(tB)},""" +
         s""""row_ratio":${fmt(rowRatio)},"time_ratio":${fmt(timeRatio)},""" +
         s""""exchanges_small":$exS,"exchanges_big":$exB,""" +
@@ -107,8 +133,63 @@ object ScaleBench {
       println(line)
       line
     }
+
+    val rows = Gates.map { case (gate, table) => gateRow(gate, gate, table, small, big) }
+
+    // two-decade rows: same gates, same plan-stability contract, 100× rows
+    val hugeRows = huge.toSeq.flatMap { h =>
+      Top6.map { gate =>
+        val table = Gates.find(_._1 == gate).get._2
+        gateRow(s"$gate@100x", gate, table, small, h)
+      }
+    }
+
+    // streaming state under the same lens (VERDICT r13 #2): the st8-shape
+    // stateful replay at both scales — state rows and commit time recorded,
+    // and the 1-vs-4 partitioning equality checked at each scale
+    val streamRow = {
+      import graft.streaming.StreamingCandles
+      def trades(dir: String): Seq[StreamingCandles.TradeEvent] =
+        sources.Tables.trades(spark, dir).collect().map { r =>
+          StreamingCandles.TradeEvent(
+            r.getAs[Long]("uid"),
+            r.getAs[java.sql.Timestamp]("time_stamp").getTime,
+            r.getAs[String]("amount_asset_id"), r.getAs[String]("price_asset_id"),
+            r.getAs[String]("sender"), r.getAs[Int]("height"),
+            r.getAs[Long]("amount"), BigDecimal(r.getAs[java.math.BigDecimal]("price")))
+        }.toSeq
+      def run(ts: Seq[StreamingCandles.TradeEvent], partitions: Int)
+          : (Set[String], Double, Long) = {
+        val chunk = math.max(1, ts.length / 8 + 1) // fixed 8-microbatch replay at any scale
+        val t0 = System.nanoTime()
+        val (df, stats) = StreamingCandles.replayStatefulMeasured(spark, ts, chunk, partitions)
+        val result = df.collect().map(_.toString).toSet
+        (result, (System.nanoTime() - t0) / 1e9, stats.stateRows)
+      }
+      val tS = trades(small)
+      val tB = trades(big)
+      val (resS1, secS, stateS) = run(tS, 1)
+      val (resS4, _, stateS4) = run(tS, 4)
+      val (resB1, secB, stateB) = run(tB, 1)
+      val (resB4, _, stateB4) = run(tB, 4)
+      val eqS = resS1 == resS4 && stateS == stateS4
+      val eqB = resB1 == resB4 && stateB == stateB4
+      val line =
+        s"""{"gate":"st8_stateful_replay","table":"events","streaming":true,""" +
+        s""""rows_small":${tS.length},"rows_big":${tB.length},""" +
+        s""""sec_small":${fmt(secS)},"sec_big":${fmt(secB)},""" +
+        s""""row_ratio":${fmt(tB.length.toDouble / math.max(1, tS.length))},""" +
+        s""""time_ratio":${fmt(secB / math.max(1e-9, secS))},""" +
+        s""""state_rows_small":$stateS,"state_rows_big":$stateB,""" +
+        s""""state_ratio":${fmt(stateB.toDouble / math.max(1L, stateS))},""" +
+        s""""partitions_checked":[1,4],""" +
+        s""""partition_equal_small":$eqS,"partition_equal_big":$eqB}"""
+      println(line)
+      line
+    }
+
     spark.stop()
-    val out = rows.mkString("[", ",\n", "]\n")
+    val out = (rows ++ hugeRows :+ streamRow).mkString("[", ",\n", "]\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_out.json"), out.getBytes("UTF-8"))
   }
 }

@@ -52,6 +52,11 @@ object ScaleFixture {
     val dst = args.lift(1).getOrElse("scale/sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
     require(k >= 2, s"factor must be >= 2: $k")
+    // the two independent letter rotations below give 10 x 10 distinct
+    // full-text substitutions; past that, replica i would repeat replica
+    // i-100's text EXACTLY and re-introduce the cross-replica near-dup
+    // quadratic blow-up the rotation exists to prevent (ADVICE r13)
+    require(k <= 100, s"factor must be <= 100 (substitution space is 10x10): $k")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -88,14 +93,22 @@ object ScaleFixture {
       Tables.orders(spark, src).withColumn("o_orderkey", col("o_orderkey") + i * Stride)
     }, "orders", 16)
 
-    // ten-letter rotation: k distinct full-text substitutions (i=0 is the
-    // identity), each changing nearly every shingle of every document
+    // TWO independent letter rotations (units digit rotates the vowel-ish
+    // set, tens digit a consonant set): 100 distinct full-text
+    // substitutions, each changing nearly every shingle of every document
+    // — one rotation alone repeats every 10 replicas, which at k=100 would
+    // make replica i an EXACT copy of replica i-10 (ADVICE r13)
     val alpha = "aeiousnrtl"
+    val beta = "bcdfghmpvw"
+    def rot(s: String, by: Int): String = s.drop(by % s.length) + s.take(by % s.length)
     write(replicate(k) { i =>
-      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      val sub1 = if (i % 10 == 0) col("text")
+                 else translate(col("text"), alpha, rot(alpha, i % 10))
+      val sub2 = if (i / 10 == 0) sub1
+                 else translate(sub1, beta, rot(beta, i / 10))
       Tables.documents(spark, src).select(
         (col("doc_id") + i * Stride).as("doc_id"),
-        (if (i == 0) col("text") else translate(col("text"), alpha, rot)).as("text"),
+        sub2.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }, "documents", 16)
 

@@ -23,9 +23,22 @@ import org.apache.spark.sql.SparkSession
   */
 object ReplayEnv {
 
+  /** The harness defaults, EXPORTED so bench artifacts can record them
+    * (VERDICT r13 #7: the r13 replay-harness changes — partitions=1, tmpfs
+    * checkpoints — legitimately moved the suite numbers, but BENCH_rN.json
+    * did not say so; a future regression hunt could not tell harness config
+    * from code drift). */
+  val DefaultPartitions: Int = 1
+
+  /** Which checkpoint backend a replay on this host will use. */
+  def checkpointBackend: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "tmpfs" else "local"
+  }
+
   def withReplayEnv[A](
       spark: SparkSession,
-      partitions: Int = 1,
+      partitions: Int = DefaultPartitions,
       codegen: Boolean = true)(body: => A): A = {
     val pKey = "spark.sql.shuffle.partitions"
     val cKey = "spark.sql.codegen.wholeStage"
@@ -45,12 +58,28 @@ object ReplayEnv {
       spark.conf.set(pKey, prevP)
       spark.conf.set(cKey, prevC)
       prevK match { case Some(v) => spark.conf.set(kKey, v); case None => spark.conf.unset(kKey) }
+      // BEST-EFFORT cleanup that can never mask the body's result (ADVICE
+      // r13): state-store maintenance threads may still drop snapshot files
+      // for a moment after query.stop(), making the walk/delete race a
+      // FileNotFound/DirectoryNotEmpty — retry once after a short pause,
+      // then log and leave the tmpfs orphan rather than throw from finally
       ckptDir.foreach { d =>
         import java.nio.file.{Files, Path}
         import java.util.Comparator
-        val s = Files.walk(d)
-        try s.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
-        finally s.close()
+        def sweep(): Unit = {
+          val s = Files.walk(d)
+          try s.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+          finally s.close()
+        }
+        try sweep()
+        catch {
+          case _: java.io.IOException | _: java.io.UncheckedIOException =>
+            try { Thread.sleep(100); sweep() }
+            catch { case e @ (_: java.io.IOException | _: java.io.UncheckedIOException |
+                              _: InterruptedException) =>
+              System.err.println(s"[replay] checkpoint cleanup left orphan $d: $e")
+            }
+        }
       }
     }
   }

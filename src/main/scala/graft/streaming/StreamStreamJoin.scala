@@ -99,6 +99,17 @@ object StreamStreamJoin {
         .trigger(Trigger.ProcessingTime(10L))
         .start()
       try {
+        // recentProgress is a RING BUFFER (default cap 100 entries) — a
+        // one-shot sum after the replay silently undercounts drops once the
+        // batch count passes the cap (ADVICE r13). Drain it incrementally
+        // instead: after every processAllAvailable, fold in the entries for
+        // batch ids not seen yet; the final gap check proves no entry was
+        // evicted between drains (batch ids are issued contiguously from 0).
+        val seenBatches = scala.collection.mutable.Set.empty[Long]
+        def drainDrops(): Unit = query.recentProgress.foreach { p =>
+          if (seenBatches.add(p.batchId))
+            droppedLate += p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+        }
         val vChunks = views.grouped(chunk).toSeq
         val cChunks = clicks.grouped(chunk).toSeq
         val rounds = math.max(vChunks.length, cChunks.length)
@@ -110,7 +121,9 @@ object StreamStreamJoin {
           // a state-commit pass over both join sides — the st12 lesson,
           // NOTES r13); output is identical, every real row still
           // finalizes exactly once on the final watermark advance
-          if (i < rounds - 1 || joinType == "inner") query.processAllAvailable()
+          if (i < rounds - 1 || joinType == "inner") {
+            query.processAllAvailable(); drainDrops()
+          }
         }
         if (joinType != "inner") {
           // OUTER results only finalize once the watermark proves no
@@ -124,8 +137,16 @@ object StreamStreamJoin {
           cStream.addData(Seq(ClickEvent(-1L, -2L, farUs)))
           query.processAllAvailable()
         }
-        droppedLate = query.recentProgress.toSeq
-          .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark)).sum
+        drainDrops()
+        // no-eviction proof: every batch id from 0 to max must have been
+        // drained — a gap means the ring buffer dropped an entry we never
+        // read, and the count would be silently low
+        if (seenBatches.nonEmpty) {
+          val maxB = seenBatches.max
+          require((0L to maxB).forall(seenBatches.contains),
+            s"progress ring buffer evicted a batch before it was drained " +
+              s"(saw ${seenBatches.size} of ${maxB + 1}); droppedLate undercounts")
+        }
       } finally query.stop()
       // null-SAFE sentinel filter: a FULL outer join emits unmatched clicks
       // with NULL event_id, which a bare `=!= -1` would (null-)drop — each

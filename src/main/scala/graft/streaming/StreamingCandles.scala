@@ -548,12 +548,31 @@ object StreamingCandles {
 
   /** Replay through [[statefulMinuteCandles]] (update mode): per-key
     * last-write-wins over the emitted updates is the final candle set. */
-  def replayStateful(spark: SparkSession, trades: Seq[TradeEvent], chunk: Int): DataFrame = {
+  def replayStateful(spark: SparkSession, trades: Seq[TradeEvent], chunk: Int): DataFrame =
+    replayStatefulMeasured(spark, trades, chunk, partitions = 1)._1
+
+  /** State-store totals observed at the end of a measured replay: rows
+    * held across all state partitions and micro-batches executed — the
+    * quantities the streaming SCALE gate tracks at 10× events
+    * (VERDICT r13 #2: state growth was asserted, never measured). */
+  final case class ReplayStats(stateRows: Long, batches: Long)
+
+  /** [[replayStateful]] with an explicit shuffle-partition override and
+    * state-store metrics. The result set must be IDENTICAL at any
+    * partition count (state is keyed, update-mode emission is per-key) —
+    * StreamingSpec pins 1-vs-4 equality, and ScaleBench records it
+    * alongside state-row growth in scale_out.json. */
+  def replayStatefulMeasured(
+      spark: SparkSession,
+      trades: Seq[TradeEvent],
+      chunk: Int,
+      partitions: Int): (DataFrame, ReplayStats) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[TradeEvent]
     val latest = new java.util.concurrent.ConcurrentHashMap[(Long, String, String, String), CandleRow]()
-    withReplayPartitions(spark) {
+    var stats = ReplayStats(0L, 0L)
+    ReplayEnv.withReplayEnv(spark, partitions = partitions) {
       val query = statefulMinuteCandles(stream.toDS()).writeStream
         .outputMode("update")
         .foreachBatch { (df: Dataset[CandleRow], _: Long) =>
@@ -565,9 +584,12 @@ object StreamingCandles {
         .start()
       try {
         trades.grouped(chunk).foreach { g => stream.addData(g); query.processAllAvailable() }
+        val p = query.lastProgress
+        if (p != null) stats = ReplayStats(
+          p.stateOperators.map(_.numRowsTotal).sum, p.batchId + 1)
       } finally query.stop()
     }
     import scala.jdk.CollectionConverters._
-    latest.values.asScala.toSeq.toDS().toDF()
+    (latest.values.asScala.toSeq.toDS().toDF(), stats)
   }
 }

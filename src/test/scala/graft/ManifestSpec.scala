@@ -35,20 +35,4 @@ class ManifestSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL without a query: ${orphans.mkString(", ")}")
   }
 
-  test("persist fingerprint collect is bounded and fails loudly past the ceiling") {
-    import graft.operators.ChainSync
-    // the documented driver-memory contract (VERDICT r12 #6): the per-
-    // persist collect is O(history buckets) — chain-bounded, not fact-
-    // volume-bounded — and the guard names the migration path instead of
-    // letting the driver OOM quietly
-    assert(ChainSync.MaxFingerprintBuckets == (1 << 21))
-    val under = Array.fill(10)(org.apache.spark.sql.Row(1, 1L, null))
-    assert(ChainSync.checkFingerprintBound(under, "height-bucket") eq under)
-    // past the ceiling: loud require with the migration hint (the array is
-    // refs-to-one-row, so allocating 2^21+1 entries is cheap)
-    val over = Array.fill(ChainSync.MaxFingerprintBuckets + 1)(under(0))
-    val e = intercept[IllegalArgumentException](
-      ChainSync.checkFingerprintBound(over, "height-bucket"))
-    assert(e.getMessage.contains("distributed join"))
-  }
 }

@@ -493,6 +493,40 @@ class PlanShapeSpec extends SparkSpec {
       s"unbalanced raw interleave should scan more: raw=$rawScan auto=$autoScan")
   }
 
+  test("writeHilbertOrderedAuto on unbalanced raw dims matches hand-normalized skipping") {
+    // the Hilbert mirror of the test above (VERDICT r13 #6: the Z-order
+    // path got self-enforcing normalization in r13 while Hilbert carried
+    // the comparable-width contract as documentation only — both curves
+    // now share one range-ID pass and this pins the parity)
+    import graft.sinks.TableStore
+    val out = java.nio.file.Files.createTempDirectory("graft-hilbert-auto").toString
+    val n = 100000L
+    val df = spark.range(n).select(
+      col("id"),
+      ((col("id") * 7919) % 64).as("a"),
+      (lit(473352L) + (col("id") * 104729) % 720).as("b"))
+    TableStore.writeHilbertOrderedAuto(df, s"$out/auto", col("a"), col("b"), files = 32)
+    TableStore.writeHilbertOrdered(df, s"$out/hand",
+      col("a"), ((col("b") - 473352L) / 12).cast("long"), files = 32)
+    TableStore.writeHilbertOrdered(df, s"$out/raw", col("a"), col("b"), files = 32)
+    def box(path: String) = TableStore.readBox(spark, path,
+      "a", 10L, 12L, "b", 473352L, 474072L)
+    def scanned(q: org.apache.spark.sql.DataFrame): Long = {
+      val r = q.collect().length
+      assert(r == box(s"$out/hand").collect().length)
+      executedScans(q).map(_.metrics("numOutputRows").value).sum
+    }
+    val handScan = scanned(box(s"$out/hand"))
+    val autoScan = scanned(box(s"$out/auto"))
+    val rawScan = scanned(box(s"$out/raw"))
+    assert(box(s"$out/auto").exceptAll(box(s"$out/hand")).isEmpty &&
+      box(s"$out/hand").exceptAll(box(s"$out/auto")).isEmpty)
+    assert(autoScan <= handScan * 3 / 2,
+      s"auto hilbert must match hand-normalized skipping: auto=$autoScan hand=$handScan")
+    assert(rawScan > autoScan,
+      s"unbalanced raw hilbert interleave should scan more: raw=$rawScan auto=$autoScan")
+  }
+
   test("candle (pair, time-range) read prunes to one interval partition with pushed pair/time filters") {
     import graft.sinks.TableStore
     val out = java.nio.file.Files.createTempDirectory("graft-candle-prune").toString
@@ -591,6 +625,9 @@ class PlanShapeSpec extends SparkSpec {
     // these lists needs the same justification.
     val spOk = Set("a4_scalar_minmax", "llm_curation_report", "llm_lm_score",
       "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
+      // the spark.sql catalog twin of view_assets — same plan, same one-row
+      // waves-quantity scalar aggregate
+      "sql_view_assets",
       // nbTrain's token/doc totals are scalar aggregates (one row each);
       // the calibration audit runs the same score chain + a 21-bin agg
       "llm_nb_quality", "llm_nb_calibration",
@@ -609,6 +646,8 @@ class PlanShapeSpec extends SparkSpec {
       "llm_rrf_fusion")
     val bnljOk = Set("llm_ann_bruteforce", "llm_embed_neardup", "llm_jaccard",
       "llm_lm_score", "llm_lm_buckets", "llm_mixture", "llm_tfidf", "view_assets",
+      // the spark.sql twin: same one-row latestQuantity broadcast crossJoin
+      "sql_view_assets",
       // one-row broadcast composition (smoothing totals / priors crossJoin
       // onto the probe side) — the llm_lm_score class, never corpus×corpus
       "llm_nb_quality", "llm_nb_calibration", "llm_dsir_resample",

@@ -257,6 +257,74 @@ class ReplaySpec extends SparkSpec {
     same(loaded.candles, clean.candles, "post-rollback candles vs clean")
   }
 
+  test("fingerprint diff is distributed: dirtyBoundary collects one row and finds the first changed bucket") {
+    // the VERDICT r13 #3 contract: the persist path never collects the
+    // fingerprint history into the driver — the current-vs-previous compare
+    // is a full-outer join whose only collect is the min differing bucket
+    def fp(rows: (Int, Long, String)*): DataFrame =
+      rows.toSeq.toDF("b", "n", "hs")
+        .select(col("b"), col("n"), col("hs").cast("decimal(38,0)").as("h"))
+    val prev = fp((0, 10L, "111"), (1, 20L, "222"), (2, 5L, "333"))
+    // identical → MaxValue (nothing dirty)
+    assert(ChainSync.dirtyBoundary(fp((0, 10L, "111"), (1, 20L, "222"), (2, 5L, "333")), prev) == Long.MaxValue)
+    // hash change in bucket 1 → 1
+    assert(ChainSync.dirtyBoundary(fp((0, 10L, "111"), (1, 20L, "-9"), (2, 5L, "333")), prev) == 1L)
+    // count change only → caught too
+    assert(ChainSync.dirtyBoundary(fp((0, 10L, "111"), (1, 21L, "222"), (2, 5L, "333")), prev) == 1L)
+    // bucket present only on one side (rollback removed it / append added
+    // one) → that bucket is the boundary
+    assert(ChainSync.dirtyBoundary(fp((0, 10L, "111"), (1, 20L, "222")), prev) == 2L)
+    assert(ChainSync.dirtyBoundary(fp((0, 10L, "111"), (1, 20L, "222"), (2, 5L, "333"), (3, 1L, "4")), prev) == 3L)
+  }
+
+  test("persist writes per-version fingerprints parquet; a legacy fp-line manifest still migrates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpq-").toString
+    val s1 = fold(ChainSync.emptyState(spark),
+      bucketBlock("h1", 100, 0, "x1"), bucketBlock("h2", 1100, 1, "x2"),
+      bucketBlock("h3", 2100, 2, "x3"))
+    ChainSync.persist(s1, dir)
+    val m1 = ChainSync.readManifest(spark, s"$dir/v1").get
+    assert(m1.fpParquet, "r14 manifest must flag parquet fingerprints")
+    assert(m1.fingerprints.isEmpty && m1.candleFingerprints.isEmpty,
+      "no fp/cfp text lines expected in an r14 manifest")
+    val fps1 = spark.read.parquet(s"$dir/v1/fingerprints")
+    assert(fps1.select("kind").distinct().collect().map(_.getString(0)).toSet ==
+      Set("blocks", "candles"))
+    val frozen1 = m1.segments.filter(_.frozen)
+
+    // LEGACY MIGRATION: rewrite v1 into the pre-r14 manifest format (fp/cfp
+    // text lines, no fpq flag, no parquet) and persist again — the diff
+    // must lift the legacy lines into a frame and still reuse every frozen
+    // segment
+    val lines = new StringBuilder
+    lines.append("cseg 1\nwseg 1\n")
+    fps1.orderBy("kind", "b").collect().foreach { r =>
+      val tag = if (r.getAs[String]("kind") == "blocks") "fp" else "cfp"
+      lines.append(s"$tag ${r.getAs[Int]("b")} ${r.getAs[Long]("n")} ${r.getAs[java.math.BigDecimal]("h").toBigInteger}\n")
+    }
+    m1.segments.foreach { s =>
+      lines.append(s"seg ${s.table} ${s.relPath} ${s.lo} ${s.hi} ${if (s.frozen) 1 else 0}\n")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/v1/_MANIFEST"),
+      lines.toString.getBytes("UTF-8"))
+    def rmdir(p: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+    rmdir(java.nio.file.Paths.get(s"$dir/v1/fingerprints"))
+    assert(!ChainSync.readManifest(spark, s"$dir/v1").get.fpParquet)
+
+    val s2 = fold(s1, bucketBlock("h4", 2150, 3, "x4"))
+    ChainSync.persist(s2, dir)
+    val m2 = ChainSync.readManifest(spark, s"$dir/v2").get
+    assert(m2.fpParquet, "migration persist writes the parquet layout")
+    assert(m2.segments.filter(_.frozen) == frozen1,
+      s"legacy-manifest diff failed to reuse frozen segments:\n${m2.segments.filter(_.frozen)}\nvs\n$frozen1")
+    same(ChainSync.load(spark, dir).blocks, s2.blocks, "post-migration blocks")
+  }
+
   test("incremental persist: frozen spans are capped — a shallow rollback rewrites O(span), not O(history)") {
     // Bootstrap a chain spanning 10 height buckets (two span-8 windows),
     // then roll back INTO bucket 8. Without the span cap the bootstrap
