@@ -168,6 +168,7 @@ object ScaleBench {
       }
       val tS = trades(small)
       val tB = trades(big)
+      run(tS.take(2000), 1) // warm-up: codegen + streaming-runtime init off the clock
       val (resS1, secS, stateS) = run(tS, 1)
       val (resS4, _, stateS4) = run(tS, 4)
       val (resB1, secB, stateB) = run(tB, 1)

@@ -427,6 +427,13 @@ object ChainSync {
       prevManifest.map(_.segments.filter(s => s.frozen && s.hi < boundary).groupBy(_.table))
         .getOrElse(Map.empty)
 
+    // Freeze-range bucket sets, memoized per (bucket frame, range): every
+    // height-keyed fact table plans against the SAME blocks fingerprint
+    // frame with (almost always) the same freeze range — without the cache
+    // each of the ~25 tables would re-run the range collect as its own
+    // Spark job per persist
+    val freezeCache = scala.collection.mutable.Map.empty[(AnyRef, Long, Int), Set[Int]]
+
     // Shared segment planner for ANY suffix-mutating keyspace (facts by
     // height bucket, candles by time_start week): reuse kept frozen
     // segments, freeze newly-passed buckets, rewrite the tip.
@@ -453,8 +460,9 @@ object ChainSync {
       // being re-segmented, whose WRITES dwarf the id collect)
       val freeze: Set[Int] =
         if (tipX < 0) Set.empty
-        else bucketsX.filter(col("b") >= freezeLo && col("b") < tipX)
-          .select("b").collect().map(_.getInt(0)).toSet
+        else freezeCache.getOrElseUpdate((bucketsX, freezeLo, tipX),
+          bucketsX.filter(col("b") >= freezeLo && col("b") < tipX)
+            .select("b").collect().map(_.getInt(0)).toSet)
       if (freeze.nonEmpty) {
         val lo = freeze.min
         (lo / FrozenSegmentSpan to (tipX - 1) / FrozenSegmentSpan).foreach { w =>
