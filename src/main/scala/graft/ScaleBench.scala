@@ -175,6 +175,17 @@ object ScaleBench {
       val (resB4, _, stateB4) = run(tB, 4)
       val eqS = resS1 == resS4 && stateS == stateS4
       val eqB = resB1 == resB4 && stateB == stateB4
+      // second decade (100× events) when the huge dir is supplied —
+      // partitions=1 only; the partitioning-equality claim is already
+      // pinned at two scales above
+      val hugeFields = huge.map { h =>
+        val tH = trades(h)
+        val (_, secH, stateH) = run(tH, 1)
+        s""","rows_huge":${tH.length},"sec_huge":${fmt(secH)},""" +
+          s""""state_rows_huge":$stateH,""" +
+          s""""time_ratio_100x":${fmt(secH / math.max(1e-9, secS))},""" +
+          s""""state_ratio_100x":${fmt(stateH.toDouble / math.max(1L, stateS))}"""
+      }.getOrElse("")
       val line =
         s"""{"gate":"st8_stateful_replay","table":"events","streaming":true,""" +
         s""""rows_small":${tS.length},"rows_big":${tB.length},""" +
@@ -184,7 +195,7 @@ object ScaleBench {
         s""""state_rows_small":$stateS,"state_rows_big":$stateB,""" +
         s""""state_ratio":${fmt(stateB.toDouble / math.max(1L, stateS))},""" +
         s""""partitions_checked":[1,4],""" +
-        s""""partition_equal_small":$eqS,"partition_equal_big":$eqB}"""
+        s""""partition_equal_small":$eqS,"partition_equal_big":$eqB$hugeFields}"""
       println(line)
       line
     }

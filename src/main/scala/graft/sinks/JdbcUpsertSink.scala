@@ -40,23 +40,40 @@ object JdbcUpsertSink {
 
   /** Write a micro-batch with upsert semantics: one transaction per
     * partition, statements chunked at the reference ceiling. The connection
-    * factory keeps the sink testable (and driverless in this environment). */
+    * factory keeps the sink testable (and driverless in this environment).
+    *
+    * `renderSql` is a DIALECT SEAM: by default the Postgres ON CONFLICT
+    * statements above; the embedded-Derby integration test (SinksSpec)
+    * supplies standard-SQL renderers so the EXECUTOR plumbing — one
+    * connection + transaction per partition, the chunk loop, multi-row
+    * positional binding — runs against a real JDBC engine in this sandbox,
+    * where no Postgres exists (the ON CONFLICT text itself stays pinned by
+    * the statement-generation specs). `chunkSizeOverride` lets that test
+    * force many chunks per partition without a 65k-param fixture; it can
+    * only LOWER the ceiling, never exceed it. */
   def writeUpsert(
       df: DataFrame,
       table: String,
       keys: Seq[String],
       connectionFactory: () => java.sql.Connection,
-      doNothing: Boolean = false): Unit = {
+      doNothing: Boolean = false,
+      chunkSizeOverride: Option[Int] = None,
+      renderSql: Option[(Seq[String], Seq[String], Int, Boolean) => String] = None): Unit = {
     val cols = df.columns.toSeq
-    val chunk = chunkRows(cols.size)
+    val chunk = chunkSizeOverride.getOrElse(chunkRows(cols.size))
+    require(chunk > 0 && chunk <= chunkRows(cols.size),
+      s"chunk override must be 1..${chunkRows(cols.size)}: $chunk")
     df.foreachPartition { (rows: Iterator[Row]) =>
       val conn = connectionFactory()
       try {
         conn.setAutoCommit(false)
         rows.grouped(chunk).foreach { batch =>
-          val sql =
-            if (doNothing) insertIgnoreSql(table, cols, keys, batch.size)
-            else upsertSql(table, cols, keys, batch.size)
+          val sql = renderSql match {
+            case Some(render) => render(cols, keys, batch.size, doNothing)
+            case None =>
+              if (doNothing) insertIgnoreSql(table, cols, keys, batch.size)
+              else upsertSql(table, cols, keys, batch.size)
+          }
           val st = conn.prepareStatement(sql)
           var i = 1
           batch.foreach { r =>
