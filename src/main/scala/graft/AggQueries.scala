@@ -1688,6 +1688,50 @@ object AggQueries {
               |  CAST(max_by(price, uid) AS DOUBLE) AS close
               |FROM trades GROUP BY 1 ORDER BY time_start_epoch""".stripMargin)),
 
+    // The SQL front door over the REAL sync state (companion to
+    // sql_view_assets, which covers the views over synthetic inputs): the
+    // fold's output tables registered into the session catalog through
+    // graft.SqlCatalog and the surviving candles queried as spark.sql
+    // TEXT — the exact `SELECT … FROM candles WHERE interval = '1m'`
+    // shape the reference's API issues to Postgres. Same oracle as
+    // chain_fold_candles, so text-SQL over chain tables is hash-equal to
+    // the DataFrame path.
+    QueryDef("sql_chain_candles",
+      (s, dir) => {
+        val st = foldedState(s, dir)
+        SqlCatalog.register(s, Map(
+          "blocks_microblocks" -> st.blocks,
+          "asset_updates" -> st.assetUpdates,
+          "asset_origins" -> st.assetOrigins,
+          "waves_data" -> st.wavesData,
+          "candles" -> st.candles))
+        s.sql("""SELECT unix_timestamp(time_start) AS time_start_epoch,
+                |  CAST(low AS DOUBLE) AS low, CAST(high AS DOUBLE) AS high,
+                |  CAST(volume AS DOUBLE) AS volume,
+                |  CAST(quote_volume AS DOUBLE) AS quote_volume,
+                |  max_height, CAST(txs_count AS BIGINT) AS txs_count,
+                |  CAST(weighted_average_price AS DOUBLE) AS weighted_average_price,
+                |  CAST(`open` AS DOUBLE) AS `open`, CAST(`close` AS DOUBLE) AS `close`
+                |FROM candles WHERE `interval` = '1m'
+                |ORDER BY time_start_epoch""".stripMargin)
+      },
+      Some(s"""WITH trades AS (
+              |  SELECT (100 + event_id // 80) * 100000 + event_id % 80 AS uid,
+              |    make_timestamp((1704067200000 + event_id * 30000) * 1000) AS time_stamp,
+              |    CAST(100 + event_id // 80 AS INT) AS height,
+              |    CAST(event_id % 50 + 1 AS BIGINT) AS amount,
+              |    CAST(event_id % 90 + 10 AS DECIMAL(18,2)) AS price
+              |  FROM events WHERE event_id < 160)
+              |SELECT CAST(epoch(date_trunc('minute', time_stamp)) AS BIGINT) AS time_start_epoch,
+              |  CAST(min(price) AS DOUBLE) AS low, CAST(max(price) AS DOUBLE) AS high,
+              |  CAST(sum(amount) AS DOUBLE) AS volume,
+              |  CAST(sum(amount * price) AS DOUBLE) AS quote_volume,
+              |  max(height) AS max_height, count(price) AS txs_count,
+              |  CAST(floor(sum(amount * price) / sum(amount)) AS DOUBLE) AS weighted_average_price,
+              |  CAST(min_by(price, uid) AS DOUBLE) AS open,
+              |  CAST(max_by(price, uid) AS DOUBLE) AS close
+              |FROM trades GROUP BY 1 ORDER BY time_start_epoch""".stripMargin)),
+
     // SCD-2 through the same fold: the asset dimension after append+rollback
     // must equal linking only the surviving updates (rollback∘append
     // identity, pg.rs:244-256); uids follow the declared tx_uid*1000+pos

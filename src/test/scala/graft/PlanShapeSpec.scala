@@ -681,6 +681,9 @@ class PlanShapeSpec extends SparkSpec {
     // excluded ~24 pure batch builders (s2..s10, scd2_*) from the audit
     // (ADVICE r5).
     val skipExact = Set("s1b_dsv2_size_close", "convert_txs_union", "extract_tickers",
+      // sql_chain_candles RUNS the chain-fold fixture (persist included) at
+      // plan-build time — same class as the chain_fold_* prefix below
+      "sql_chain_candles",
       // the PQ builders RUN codebook training (seed + Lloyd collects) at
       // plan-build time; their shapes are pinned by the dedicated tests
       // (map-only encode here, bucketed-probe differential in SinksSpec)
