@@ -86,8 +86,13 @@ class SinksSpec extends SparkSpec {
       s"INSERT INTO sink_t SELECT v.k, v.v, v.n FROM (VALUES ${Seq.fill(rows)(tuple).mkString(", ")}) " +
         s"AS v(k, v, n) WHERE NOT EXISTS (SELECT 1 FROM sink_t t WHERE t.${keys.head} = v.${keys.head})"
     }
+    // single partition for THIS phase: the NOT EXISTS scan takes shared
+    // locks that can form a deadlock cycle against another transaction's
+    // uncommitted inserts (Derby aborts one and the task retry would make
+    // the test flaky) — multi-partition transaction concurrency is already
+    // covered by the scan-free plain-insert phase above
     val df2 = spark.range(250, 750).select(col("id").cast("int").as("k"),
-      lit("IGN").as("v"), lit(-1L).as("n")).repartition(3)
+      lit("IGN").as("v"), lit(-1L).as("n")).coalesce(1)
     JdbcUpsertSink.writeUpsert(df2, "sink_t", Seq("k"), factory, doNothing = true,
       chunkSizeOverride = Some(11), renderSql = Some(ignoreInsert))
     // re-delivered batch: must be a no-op (the ST2 replay story on a live DB)
