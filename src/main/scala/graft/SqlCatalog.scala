@@ -34,6 +34,10 @@ object SqlCatalog {
   val ViewNames: Seq[String] = Seq("decimals", "tickers", "assets")
 
   def register(spark: SparkSession, data: Map[String, DataFrame] = Map.empty): Unit = {
+    val unknown = data.keySet -- ReferenceSchemas.tables.keySet
+    require(unknown.isEmpty,
+      s"unknown tables: ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(known: ${ReferenceSchemas.tables.keySet.toSeq.sorted.mkString(", ")})")
     ReferenceSchemas.tables.foreach { case (name, schema) =>
       data.getOrElse(name,
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))

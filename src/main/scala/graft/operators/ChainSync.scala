@@ -568,7 +568,17 @@ object ChainSync {
   /** One immutable fact segment: rows of `table` whose height bucket lies
     * in [lo, hi], written once at some version, referenced (not rewritten)
     * by later manifests while frozen. The tip segment (frozen = false) is
-    * rewritten every persist. */
+    * rewritten every persist.
+    *
+    * MANIFEST FORMAT NOTE (since r14): for a frozen segment, `lo` is the
+    * max of the FIRST POPULATED bucket in the freeze range and the span
+    * window's lower edge — not necessarily the window edge itself, as in
+    * pre-r14 manifests where `lo` was clipped to max(freezeLo, w*span).
+    * When bucket gaps exist, the first window's `lo` can therefore sit
+    * above the window edge. Readers consume only `hi` (invalidation is
+    * "frozen segment whose hi reaches past the rewrite boundary dies
+    * whole"), so both encodings read identically; `lo` is advisory
+    * provenance of where the segment's data actually starts. */
   private[graft] final case class SegmentRef(
       table: String, relPath: String, lo: Int, hi: Int, frozen: Boolean)
 

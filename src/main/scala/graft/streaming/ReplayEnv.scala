@@ -75,9 +75,14 @@ object ReplayEnv {
         catch {
           case _: java.io.IOException | _: java.io.UncheckedIOException =>
             try { Thread.sleep(100); sweep() }
-            catch { case e @ (_: java.io.IOException | _: java.io.UncheckedIOException |
-                              _: InterruptedException) =>
-              System.err.println(s"[replay] checkpoint cleanup left orphan $d: $e")
+            catch {
+              case e: InterruptedException =>
+                // don't swallow a cancellation signal: restore the flag so
+                // callers above the finally still observe the interrupt
+                Thread.currentThread().interrupt()
+                System.err.println(s"[replay] checkpoint cleanup left orphan $d: $e")
+              case e @ (_: java.io.IOException | _: java.io.UncheckedIOException) =>
+                System.err.println(s"[replay] checkpoint cleanup left orphan $d: $e")
             }
         }
       }
