@@ -179,6 +179,54 @@ object AggQueries {
     ChainSync.handleUpdates(s, ChainSync.load(s, stateDir), Seq(RawRollback("b1")))
   }
 
+  /** Second fold fixture for the END-USER slice gate (sql_pair_ohlcv,
+    * SURVEY §7.2): 720 events → nine key blocks of exchange txs over TWO
+    * pairs — even event_id trades the queried pair (asset AS0 amount /
+    * WAVES price), odd trades WAVES/WAVES — with tx_version=3 on every
+    * third tx so the v3 decimal price rescale (pg.rs:708-713) is LIVE
+    * through the fold: AS0 is issued with decimals=2 by the first tx's
+    * asset state update, WAVES is 8, so v3 prices on the queried pair
+    * scale by 10^(8-2)=10^6 via the decimals view the fold now feeds to
+    * the candle recompute. A rollback to b6 then drops the last two
+    * blocks, so the served candles are post-correction state. */
+  private val pairFoldCache = new graft.util.SessionCache[graft.operators.ChainSync.ChainState]()
+
+  private def pairFoldedState(s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.ChainSync.ChainState =
+    pairFoldCache.getOrCompute(s, dir)(computePairFoldedState(s, dir))
+
+  private def computePairFoldedState(s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.ChainSync.ChainState = {
+    import graft.convert._
+    import graft.operators.ChainSync
+    val pk = Array.tabulate[Byte](32)(_.toByte)
+    val as0 = "AS0".getBytes("UTF-8")
+    val ids = Tables.events(s, dir).filter(col("event_id") < 720)
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    val txs = ids.map { id =>
+      val au =
+        if (id == 0) Seq(RawAssetStateUpdate(
+          assetId = as0, issuer = pk, name = "a0", description = "",
+          decimals = 2.toShort, reissuable = true, nft = false, volume = 1000L))
+        else Nil
+      (id / 80).toInt -> RawTx(
+        id = s"tx$id".getBytes("UTF-8"), txType = 7, senderPublicKey = pk,
+        timeStampMs = 1704067200000L + id * 30000,
+        txVersion = Some(if (id % 3 == 0) 3.toShort else 2.toShort),
+        order1 = Some(RawOrder(id = s"o$id".getBytes("UTF-8"), version = 1)),
+        order2 = Some(RawOrder(id = s"p$id".getBytes("UTF-8"), version = 1, orderSide = 1)),
+        amount = Some(id % 50 + 1), price = Some(id % 90 + 10),
+        amountAssetId = Some(if (id % 2 == 0) as0 else Array.emptyByteArray),
+        priceAssetId = Some(Array.emptyByteArray),
+        buyMatcherFee = Some(0L), sellMatcherFee = Some(0L),
+        feeAssetId = Some(Array.emptyByteArray),
+        assetStateUpdates = au)
+    }
+    val blocks = txs.groupBy(_._1).toSeq.sortBy(_._1).map { case (h, m) =>
+      RawBlock(s"b$h", 100 + h, Some(1704067200000L + h * 1000L), None, m.map(_._2).toSeq)
+    }
+    val appended = ChainSync.handleUpdates(s, ChainSync.emptyState(s), blocks)
+    ChainSync.handleUpdates(s, appended, Seq(RawRollback("b6")))
+  }
+
   val all: Vector[QueryDef] = Vector(
 
     // A1 — minute-candle OHLCV aggregation (pg.rs:680-738)
@@ -1731,6 +1779,66 @@ object AggQueries {
               |  CAST(min_by(price, uid) AS DOUBLE) AS open,
               |  CAST(max_by(price, uid) AS DOUBLE) AS close
               |FROM trades GROUP BY 1 ORDER BY time_start_epoch""".stripMargin)),
+
+    // The reference's END-USER query through the SQL front door (VERDICT
+    // r14 #6, SURVEY §7.2 minimum slice): "OHLCV for pair (A, P) at 1h
+    // over [t1, t2]" — interval + pair-equality + time-range predicates
+    // as text SQL against the LADDER output of the real folded sync state,
+    // with the tx_version>2 price rescale live (pg.rs:708-713: the fold
+    // feeds the current decimals view into the candle recompute; the
+    // queried pair rescales v3 prices by 10^(8-2)). The oracle rebuilds
+    // the surviving pair trades (post-rollback: event_id < 560, even ids),
+    // applies the same rescale row-locally, and runs the full 1m→1h
+    // ladder CTE chain with the engine's laddered-wap semantics.
+    QueryDef("sql_pair_ohlcv",
+      (s, dir) => {
+        val st = pairFoldedState(s, dir)
+        SqlCatalog.register(s, Map(
+          "blocks_microblocks" -> st.blocks,
+          "asset_updates" -> st.assetUpdates,
+          "asset_origins" -> st.assetOrigins,
+          "waves_data" -> st.wavesData,
+          "candles" -> st.candles))
+        val a = graft.functions.Base58.encode("AS0".getBytes("UTF-8"))
+        s.sql(s"""SELECT unix_timestamp(time_start) AS time_start_epoch,
+                 |  CAST(low AS DOUBLE) AS low, CAST(high AS DOUBLE) AS high,
+                 |  CAST(volume AS DOUBLE) AS volume,
+                 |  CAST(quote_volume AS DOUBLE) AS quote_volume,
+                 |  max_height, CAST(txs_count AS BIGINT) AS txs_count,
+                 |  CAST(weighted_average_price AS DOUBLE) AS weighted_average_price,
+                 |  CAST(`open` AS DOUBLE) AS `open`, CAST(`close` AS DOUBLE) AS `close`
+                 |FROM candles
+                 |WHERE `interval` = '1h'
+                 |  AND amount_asset_id = '$a' AND price_asset_id = 'WAVES'
+                 |  AND time_start >= timestamp_seconds(1704070800)
+                 |  AND time_start <  timestamp_seconds(1704078000)
+                 |ORDER BY time_start_epoch""".stripMargin)
+      },
+      Some(s"""WITH trades AS (
+              |  SELECT (100 + event_id // 80) * 100000 + event_id % 80 AS uid,
+              |    make_timestamp((1704067200000 + event_id * 30000) * 1000) AS time_stamp,
+              |    CAST(100 + event_id // 80 AS INT) AS height,
+              |    'A' AS amount_asset_id, 'WAVES' AS price_asset_id, 'm' AS sender,
+              |    CAST(event_id % 50 + 1 AS BIGINT) AS amount,
+              |    CASE WHEN event_id % 3 = 0
+              |      THEN CAST(event_id % 90 + 10 AS DECIMAL(18,2)) * 1000000
+              |      ELSE CAST(event_id % 90 + 10 AS DECIMAL(18,2)) END AS price
+              |  FROM events WHERE event_id < 560 AND event_id % 2 = 0),
+              |${c1mCte()},
+              |${ladderCte("1m", "5m", 300)},
+              |${ladderCte("5m", "15m", 900)},
+              |${ladderCte("15m", "30m", 1800)},
+              |${ladderCte("30m", "1h", 3600)}
+              |SELECT CAST(ts_1h AS BIGINT) AS time_start_epoch,
+              |  CAST(low AS DOUBLE) AS low, CAST(high AS DOUBLE) AS high,
+              |  CAST(volume AS DOUBLE) AS volume,
+              |  CAST(quote_volume AS DOUBLE) AS quote_volume,
+              |  max_height, CAST(txs_count AS BIGINT) AS txs_count,
+              |  CAST(wap AS DOUBLE) AS weighted_average_price,
+              |  CAST(open AS DOUBLE) AS open, CAST(close AS DOUBLE) AS close
+              |FROM c1h
+              |WHERE ts_1h >= 1704070800 AND ts_1h < 1704078000
+              |ORDER BY time_start_epoch""".stripMargin)),
 
     // SCD-2 through the same fold: the asset dimension after append+rollback
     // must equal linking only the surviving updates (rollback∘append

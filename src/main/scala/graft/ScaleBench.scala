@@ -50,14 +50,20 @@ object ScaleBench {
     "llm_pack_shards" -> "documents",
     "llm_bigram_lm" -> "documents",
     "o40_sessionize" -> "events",
-    "o42_interval_join" -> "events")
+    "o42_interval_join" -> "events",
+    "llm_pq_topk" -> "embeddings")
 
   val Bounded = Set("llm_components", "chain_fold_candles")
 
-  /** The gates measured across TWO decades when a 100× dir is supplied
-    * (the VERDICT r13 #1 set). */
+  /** The gates measured across TWO decades when a 100× dir is supplied —
+    * the VERDICT r13 #1 set plus the retrieval/ANN trio (VERDICT r14 #4:
+    * llm_ann_ivf / llm_pq_topk / llm_rrf_fusion are what a 100 TB
+    * similarity-search pipeline actually runs; their broadcast
+    * centroid/codebook paths must be proven stable at the second decade,
+    * not just at 10×). */
   val Top6: Seq[String] = Seq("a1_candles_minute", "a2_candles_1h_ladder",
-    "llm_dedup_minhash", "llm_bm25", "o41e_asof_sliced", "o46_salted_agg")
+    "llm_dedup_minhash", "llm_bm25", "o41e_asof_sliced", "o46_salted_agg",
+    "llm_ann_ivf", "llm_pq_topk", "llm_rrf_fusion")
 
   /** True median: even-length inputs average the two middle elements —
     * sorted((n-1)/2) alone is the MINIMUM at the default reps=2, which
@@ -203,5 +209,16 @@ object ScaleBench {
     spark.stop()
     val out = (rows ++ hugeRows :+ streamRow).mkString("[", ",\n", "]\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_out.json"), out.getBytes("UTF-8"))
+    // window-to-window drift is itself evidence (VERDICT r14 #7):
+    // scale_out.json is overwritten per run, so every window ALSO appends
+    // one line to scale_history.jsonl — same shape as bench_history.jsonl —
+    // and BASELINE.md cites min/median/max across windows, not "latest"
+    val histLine =
+      s"""{"ts":"${java.time.Instant.now()}","dirs":{"small":"$small","big":"$big"""" +
+      huge.map(h => s""","huge":"$h"""").getOrElse("") +
+      s"""},"reps":$reps,"rows":[${(rows ++ hugeRows :+ streamRow).mkString(",")}]}\n"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("scale_history.jsonl"),
+      histLine.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 }

@@ -5,6 +5,7 @@ import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{CandleIntervals, GraftFunctions}
 import graft.schema.ReferenceSchemas
@@ -97,22 +98,6 @@ object Candles {
       .select(ReferenceSchemas.candles.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** Exact decimal 10^n / 10^-n for n in [0, 18] as a literal when-chain —
-    * Postgres computes `10^dec` in numeric (`pg.rs:708-712`); a DOUBLE
-    * `pow` is exact only to dec ≤ 15. The chain is codegen'd constant
-    * selection; out-of-range decimals yield NULL (surfaced by the
-    * fail-on-miss check upstream, never a silently wrong price). */
-  private def pow10(dec: Column): Column =
-    (0 to 18).foldLeft(lit(null).cast(money)) { case (acc, i) =>
-      when(dec === i, lit(BigDecimal(10).pow(i).bigDecimal).cast(money)).otherwise(acc)
-    }
-
-  private def pow10Neg(dec: Column): Column =
-    (0 to 18).foldLeft(lit(null).cast(money)) { case (acc, i) =>
-      when(dec === i,
-        lit((BigDecimal(1) / BigDecimal(10).pow(i)).setScale(18).bigDecimal).cast(money)).otherwise(acc)
-    }
-
   /** The `__price` column: raw price, or the tx_version > 2 decimal rescale
     * against a broadcast decimals dim with fail-on-miss (J3, pg.rs:708-713).
     * Works unchanged on a streaming frame (stream-static broadcast join). */
@@ -124,10 +109,30 @@ object Candles {
         val joined = filtered
           .join(aDec, filtered("amount_asset_id") === aDec("asset_id"), "left").drop(aDec("asset_id"))
           .join(pDec, col("price_asset_id") === pDec("asset_id"), "left").drop(pDec("asset_id"))
+        // Single tight-typed multiply by 10^(p_dec - a_dec). Chaining two
+        // money-typed multiplies lets Spark's decimal promotion clip the
+        // intermediate to scale 6 (38,18)x(38,18)->(38,6), silently
+        // rounding rescales with a_dec - p_dec > 6 — Postgres numeric
+        // (pg.rs:708-713) keeps every digit. (18,0)x(19,0)->(38,0) and
+        // (18,0)x(19,18)->(38,18) both fit precision 38 with NO scale
+        // adjustment, so the product is exact; the trailing cast pins the
+        // declared money type so candle columns (and the persisted parquet
+        // layout) never drift from ReferenceSchemas.candles.
+        val diff = col("__p_dec").cast("int") - col("__a_dec").cast("int")
+        val price18 = col("price").cast(DecimalType(18, 0))
+        val posFactor = (0 to 18).foldLeft(lit(null).cast(DecimalType(19, 0))) { case (acc, i) =>
+          when(diff === i, lit(BigDecimal(10).pow(i).bigDecimal).cast(DecimalType(19, 0))).otherwise(acc)
+        }
+        val negFactor = (1 to 18).foldLeft(lit(null).cast(DecimalType(19, 18))) { case (acc, i) =>
+          when(diff === -i,
+            lit((BigDecimal(1) / BigDecimal(10).pow(i)).setScale(18).bigDecimal).cast(DecimalType(19, 18)))
+            .otherwise(acc)
+        }
         requireAllMatched(joined)
           .withColumn("__price",
             when(col("tx_version") > 2,
-              col("price").cast(money) * pow10(col("__p_dec")) * pow10Neg(col("__a_dec")))
+              when(diff >= 0, (price18 * posFactor).cast(money))
+                .otherwise((price18 * negFactor).cast(money)))
               .otherwise(col("price").cast(money)))
           .drop("__a_dec", "__p_dec")
       case None =>
@@ -327,7 +332,12 @@ object Candles {
     * the decimals dimension must fail the computation, not be dropped. The
     * check compiles to a codegen'd assert inside the scan — no extra action. */
   private def requireAllMatched(joined: DataFrame): DataFrame = {
-    val ok = col("__a_dec").isNotNull && col("__p_dec").isNotNull
+    // the reference's CASE guard (pg.rs:708-713) invokes
+    // get_decimals_or_exception only for tx_version > 2 rows — a v2 trade
+    // on an asset absent from the dimension is legal and keeps raw price
+    // NULL tx_version falls to the CASE's ELSE in Postgres → not a v3 row
+    val ok = coalesce(col("tx_version") <= 2, lit(true)) ||
+      (col("__a_dec").isNotNull && col("__p_dec").isNotNull)
     joined.withColumn("__a_dec",
       when(ok, col("__a_dec")).otherwise(raise_error(
         concat(lit("decimals not found for asset "),

@@ -185,14 +185,20 @@ object ChainSync {
       Seq("quantity"))
 
     // candles recompute only when the run contained exchange txs, from the
-    // run's first trade timestamp truncated to the minute (pg.rs:660-678)
+    // run's first trade timestamp truncated to the minute (pg.rs:660-678).
+    // The CURRENT decimals view over the just-applied asset dimension feeds
+    // the tx_version > 2 price rescale exactly as the reference's
+    // get_decimals_or_exception reads live asset_updates state
+    // (pg.rs:708-713, up.sql:420-430) — in-batch issues are visible because
+    // assetDim is the post-SCD2 dimension of this very run
     val newTrades = converted.get("txs_7")
     val firstTradeTs = blocks.iterator
       .flatMap(_.txs).filter(_.txType == 7).map(_.timeStampMs)
       .minOption
     val candles = (newTrades, firstTradeTs) match {
       case (Some(_), Some(ts)) =>
-        Candles.recomputeSince(state.candles, facts("txs_7"), new Timestamp(ts))
+        Candles.recomputeSince(state.candles, facts("txs_7"), new Timestamp(ts),
+          Some(Views.decimals(spark, assetDim)))
       case _ => state.candles
     }
 
@@ -268,11 +274,16 @@ object ChainSync {
         rolledParents(p).select(col("uid").as("tx_uid")), Seq("tx_uid"), "left_semi")
     }
     val facts = rolledParents ++ rolledChildren
+    val assetDim = Scd2.rollback(state.assetUpdates, cut)
+    // post-rollback decimals: the re-opened dimension is the current state
+    // the reference's get_decimals_or_exception would read during the
+    // post-rollback candle recompute (mod.rs:860-863)
     val candles = firstDropped match {
-      case Some(ts) => Candles.rollback(state.candles, facts("txs_7"), ts)
+      case Some(ts) =>
+        Candles.rollback(state.candles, facts("txs_7"), ts,
+          Some(Views.decimals(state.blocks.sparkSession, assetDim)))
       case None => state.candles
     }
-    val assetDim = Scd2.rollback(state.assetUpdates, cut)
     state.copy(
       blocks = Merge.deleteWhere(state.blocks, col("uid") > cut)._1,
       facts = facts,
