@@ -154,9 +154,15 @@ object Bench {
     // #7): without it in the artifact, a harness change (partitions, tmpfs
     // vs local checkpoints) is indistinguishable from code drift in a
     // later regression hunt
+    // heap_gb: -Xmx actually in force. Windows get collected on both the
+    // 8 g default and the 48 g bench heap; allocation-heavy gates read
+    // differently across those regimes, so the artifact records which one
+    // it ran under instead of leaving it to narrative.
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val contendedExtra = s""","contended":${contended.map(_.toString).getOrElse("null")},""" +
       s""""replay_partitions":${graft.streaming.ReplayEnv.DefaultPartitions},""" +
-      s""""ckpt_backend":"${graft.streaming.ReplayEnv.checkpointBackend}""""
+      s""""ckpt_backend":"${graft.streaming.ReplayEnv.checkpointBackend}",""" +
+      s""""heap_gb":${fmt(heapGb)}"""
     val merged = results.map { case (name, v) =>
       // a failure stays a visible -1 — merging it into clean prior medians
       // would hide the breakage from the driver's artifact

@@ -3017,7 +3017,15 @@ object LlmQueries {
         val counts = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
         val pack = graft.llm.Curation.packByTokenCounts(
           counts, seqLen = 512L, tokensCol = "n_toks")
+        // checkpoint BEFORE the output sort: orderBy's range sampling
+        // executes its child once for boundary sampling and again for the
+        // shuffle, and here the child is the full shard aggregation — the
+        // most expensive stage of the gate, measured running twice at 10×
+        // (PackAttribution r15, stages re-reading the same 108 MB
+        // exchange). The aggregated output is tiny (rows/512 sequences),
+        // so materializing it costs ~nothing and the agg runs once.
         graft.llm.Curation.packShards(tok, pack, seqLen = 512L)
+          .localCheckpoint()
           .orderBy("seq_id")
       },
       Some(s"""WITH ${bpeCtes(8)},

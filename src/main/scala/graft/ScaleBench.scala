@@ -216,7 +216,13 @@ object ScaleBench {
     val histLine =
       s"""{"ts":"${java.time.Instant.now()}","dirs":{"small":"$small","big":"$big"""" +
       huge.map(h => s""","huge":"$h"""").getOrElse("") +
-      s"""},"reps":$reps,"rows":[${(rows ++ hugeRows :+ streamRow).mkString(",")}]}\n"""
+      // heap_gb: the -Xmx in force. Scale windows have been collected on
+      // both the 8 g default and the 48 g bench heap; allocation-heavy
+      // gates read differently across those regimes, so every window now
+      // carries the heap it ran with rather than leaving it to narrative.
+      s"""},"reps":$reps,"heap_gb":${fmt(
+        Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))},""" +
+      s""""rows":[${(rows ++ hugeRows :+ streamRow).mkString(",")}]}\n"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_history.jsonl"),
       histLine.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

@@ -298,27 +298,62 @@ object Curation {
 
   /** Roll [[packEmit]]'s position rows up into one row per training
     * sequence — the shard records a writer ships: (seq_id, n_tokens,
-    * ids_csv) with the token ids comma-joined in stream order. The id list
-    * is ordered by an in-agg `sort_array` over (pos, id) structs (no
-    * window), and the single seq_id-keyed shuffle IS the shard-write
-    * shuffle — sequences land grouped and range-contiguous for the writer.
-    * A trailing partial sequence (< seqLen tokens) is emitted as-is; the
-    * writer pads or drops it by policy. CSV (not array) output keeps the
-    * artifact trivially hashable and diffable across engines. */
+    * ids_csv) with the token ids comma-joined in stream order. The single
+    * seq_id-keyed shuffle IS the shard-write shuffle — sequences land
+    * grouped for the writer, sorted (seq_id, pos) inside each partition,
+    * and a partition-local linear scan cuts the stream at sequence
+    * boundaries exactly the way a physical shard writer does. A trailing
+    * partial sequence (< seqLen tokens) is emitted as-is; the writer pads
+    * or drops it by policy. CSV (not array) output keeps the artifact
+    * trivially hashable and diffable across engines.
+    *
+    * Deliberately NOT `groupBy(seq_id).agg(sort_array(collect_list(
+    * struct(pos, id))))`: with thousands of sequences per task the
+    * partial ObjectHashAggregate exceeds the 128-key
+    * `objectHashAggregate.sortBased.fallbackThreshold` and silently
+    * degrades to SortBasedAggregator — every row re-serialized through
+    * UnsafeKVExternalSorter.insertKV with its partially-built array
+    * buffer (jstack-attributed, r15), an allocation storm that fed ~20
+    * cores of G1 *concurrent* GC work at 10× scale. And partial
+    * collect_list performs no reduction, so that cost bought nothing. The
+    * explicit repartition + sortWithinPartitions + mapPartitions form
+    * does one narrow-row shuffle and a zero-copy scan; every seq_id's
+    * rows land in one partition (AQE may coalesce partitions but never
+    * splits a hash bucket), so the group-contiguity the scan relies on is
+    * a partitioning invariant, not luck. */
   def packShards(
       tokenRows: DataFrame,
       pack: DataFrame,
       seqLen: Long,
-      idCol: String = "doc_id"): DataFrame =
-    packEmit(tokenRows, pack, seqLen, idCol)
-      .groupBy(col("seq_id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        array_join(
-          transform(
-            sort_array(collect_list(struct(col("pos_in_seq"), col("token_id")))),
-            s => s.getField("token_id").cast("string")),
-          ",").as("ids_csv"))
+      idCol: String = "doc_id"): DataFrame = {
+    val emitted = packEmit(tokenRows, pack, seqLen, idCol)
+      .select(col("seq_id"), col("pos_in_seq"), col("token_id"))
+    val spark = emitted.sparkSession
+    import spark.implicits._
+    emitted
+      .repartition(col("seq_id"))
+      .sortWithinPartitions(col("seq_id"), col("pos_in_seq"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[(Long, Long, String)] {
+          def hasNext: Boolean = in.hasNext
+          def next(): (Long, Long, String) = {
+            val seq = in.head._1
+            val sb = new java.lang.StringBuilder
+            var n = 0L
+            while (in.hasNext && in.head._1 == seq) {
+              val (_, _, tok) = in.next()
+              if (n > 0) sb.append(',')
+              sb.append(tok)
+              n += 1
+            }
+            (seq, n, sb.toString)
+          }
+        }
+      }
+      .toDF("seq_id", "n_tokens", "ids_csv")
+  }
 
   /** Packing-efficiency audit over a [[packByTokenCounts]] layout — the
     * numbers a pre-training pipeline checks before burning GPU-hours on the
