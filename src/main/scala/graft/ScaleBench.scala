@@ -108,6 +108,14 @@ object ScaleBench {
     def measure(gate: String, table: String, dir: String): (Long, Double, Int, Int) = {
       val fn = SparkEntry.queries(gate)
       val inputRows = sources.Tables.load(spark, dir, table).count()
+      // One unmeasured warm-up execution per (gate, dir): the first heavy
+      // execution of a plan runs up to 15× the steady-state CPU while the
+      // JIT catches up (r15 GcProbe attribution — a2@100× rep1 466 s /
+      // 7398 cpu-s vs warm 27 s / 490 cpu-s, GC pauses flat), which is
+      // what produced the 16-40× window spreads r14 blamed on GC/page
+      // cache. Scale ratios are meant to measure the PLAN's growth, not
+      // JVM warm-up state, so the timed reps start from a warm process.
+      fn(spark, dir).queryExecution.toRdd.count()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).queryExecution.toRdd.count()
@@ -127,9 +135,15 @@ object ScaleBench {
       val timeRatio = tB / math.max(1e-9, tS)
       // stable = no MORE exchanges at scale (fewer = AQE coalesced, fine),
       // or every extra exchange is accounted for by an AQE broadcast→
-      // sort-merge demotion (≤2 exchanges per demoted join)
+      // sort-merge demotion: a demoted join re-distributes BOTH sides
+      // (2 exchanges) and can additionally materialize the former
+      // broadcast child through a shuffle boundary (1 more) — measured on
+      // llm_ann_ivf@100x, where the nprobe candidate join demoted
+      // BHJ→SMJ still keyed on cell_id (executed-plan dump, r15) while
+      // wall time stayed 3.9× at 100× rows. Exchange growth NOT paired
+      // with a bhj decrease is still flagged.
       val planOk = exB <= exS ||
-        (bhjB < bhjS && exB - exS <= 2 * (bhjS - bhjB))
+        (bhjB < bhjS && exB - exS <= 3 * (bhjS - bhjB))
       val line =
         s"""{"gate":"$label","table":"$table","bounded":${Bounded(gate)},""" +
         s""""rows_small":$rS,"rows_big":$rB,"sec_small":${fmt(tS)},"sec_big":${fmt(tB)},""" +
