@@ -769,4 +769,29 @@ class PlanShapeSpec extends SparkSpec {
         s"non-scalar single-partition funnel in tf-idf:\n$plan")
     }
   }
+
+  test("packShards: one seq-keyed shuffle, no object/sort aggregation") {
+    // The r15 regression guard: the shard emit used to be
+    // groupBy(seq_id).agg(sort_array(collect_list(struct(...)))), whose
+    // partial ObjectHashAggregate silently fell back to
+    // SortBasedAggregator past 128 keys/task and re-serialized every row
+    // through UnsafeKVExternalSorter (jstack-attributed allocation storm,
+    // NOTES r15). The scan-based emit must keep exactly one
+    // hashpartitioning(seq_id) exchange (the plan string may dump it
+    // twice, AQE final + initial) and no object/sort aggregate anywhere.
+    import spark.implicits._
+    val tok = (0L until 2000L)
+      .map(i => (i / 40, (i % 40) / 4, i % 4, i % 7))
+      .toDF("doc_id", "word_idx", "tok_idx", "token_id")
+    val counts = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val pack = graft.llm.Curation.packByTokenCounts(counts, seqLen = 64L, tokensCol = "n_toks")
+    val df = graft.llm.Curation.packShards(tok, pack, seqLen = 64L)
+    df.queryExecution.toRdd.count()
+    val plan = executed(df)
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"shard emit must stay a sorted partition scan, not an object agg:\n$plan")
+    val seqShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning(seq_id"))
+    assert(seqShuffles >= 1 && seqShuffles <= 2,
+      s"expected the single seq_id shard-write shuffle, got $seqShuffles:\n$plan")
+  }
 }
