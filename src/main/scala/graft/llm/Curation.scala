@@ -469,11 +469,12 @@ object Curation {
       .filter(col("__indocs") >= minDocs &&
         col("__indocs") >= col("__docs") * minFrac)
       .select(col(strataCol), col("__line"))
-    lines.join(boiler, Seq(strataCol, "__line"), "left_anti")
-      .groupBy(col(idCol), col(strataCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
-          s => s.getField("__line")), sep).as(textCol))
+    // scan-based re-assembly, not array_sort(collect_list(...)) — the
+    // aggregation form degrades to the sorter fallback at corpus scale
+    // (TextAnalysis.orderedReassemble scaladoc, NOTES r15)
+    TextAnalysis.orderedReassemble(
+      lines.join(boiler, Seq(strataCol, "__line"), "left_anti"),
+      Seq(idCol, strataCol), "__pos", "__line", sep, textCol)
   }
 
   /** One-row attrition funnel: total and survivors after each stage, in ONE

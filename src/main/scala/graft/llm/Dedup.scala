@@ -891,12 +891,12 @@ object Dedup {
     val keepers = ex.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
       .select(col("__h"), col(s"__keep.$idCol").as(idCol), col("__keep.__pos").as("__pos"))
-    val kept = ex.join(keepers, Seq("__h", idCol, "__pos"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(
-        array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
-          s => s.getField("__line")), sep).as("clean_text"),
-        count(lit(1)).as("__kept"))
+    // scan-based re-assembly, not array_sort(collect_list(...)) — the
+    // aggregation form degrades to the sorter fallback at corpus scale
+    // (TextAnalysis.orderedReassemble scaladoc, NOTES r15)
+    val kept = TextAnalysis.orderedReassemble(
+      ex.join(keepers, Seq("__h", idCol, "__pos"), "left_semi"),
+      Seq(idCol), "__pos", "__line", sep, "clean_text", Some("__kept"))
     docs.select(col(idCol),
         size(split(col(textCol), java.util.regex.Pattern.quote(sep))).cast("long").as("__total"))
       .join(kept, Seq(idCol), "left")

@@ -12,6 +12,63 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Per-key ordered line re-assembly: one key-hash shuffle, a
+    * partition-local (keys, pos) sort, and a linear scan that joins each
+    * key's values with `sep` in position order — one output row per key,
+    * plus an optional row count. Replaces the
+    * `array_sort(collect_list(struct(pos, line)))` aggregation shape,
+    * whose partial ObjectHashAggregate silently degrades to the
+    * sort-based fallback past 128 keys/task and re-serializes every line
+    * row through the external KV sorter (jstack-attributed on the
+    * identically-shaped shard emit, NOTES r15). Group contiguity after
+    * the repartition is a hash-partitioning invariant (AQE may coalesce
+    * partitions, never split a bucket); null values are skipped without a
+    * separator, matching `array_join`'s null handling, but still counted. */
+  private[llm] def orderedReassemble(
+      lines: DataFrame,
+      keyCols: Seq[String],
+      posCol: String,
+      valCol: String,
+      sep: String,
+      outCol: String,
+      countCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val sorted = lines
+      .select((keyCols :+ posCol :+ valCol).map(col): _*)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ posCol).map(col): _*)
+    val n = keyCols.size
+    val outSchema = StructType(
+      sorted.schema.fields.take(n) ++
+        Seq(StructField(outCol, StringType, nullable = false)) ++
+        countCol.map(c => StructField(c, LongType, nullable = false)))
+    sorted.mapPartitions { it =>
+      val in = it.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = in.hasNext
+        def next(): Row = {
+          val head = in.head
+          val key = (0 until n).map(head.get)
+          val sb = new java.lang.StringBuilder
+          var cnt = 0L
+          var appended = false
+          while (in.hasNext && (0 until n).forall(i => in.head.get(i) == key(i))) {
+            val r = in.next()
+            cnt += 1
+            val v = r.getString(n + 1)
+            if (v != null) {
+              if (appended) sb.append(sep)
+              sb.append(v)
+              appended = true
+            }
+          }
+          Row.fromSeq(key ++ Seq(sb.toString) ++ countCol.map(_ => cnt))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Whitespace token count — `size(split(...))` builtins. */
   def tokenCountWhitespace(text: Column): Column =
     size(split(trim(text), "\\s+"))
