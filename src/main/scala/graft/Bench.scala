@@ -52,6 +52,46 @@ object Bench {
     if (ratios.size < minShared) None else Some(median(ratios) > threshold)
   }
 
+  /** Code-independent container speed probe: a fixed xorshift64 ALU loop,
+    * timed single-threaded and at `threads`-wide saturation. Motivated by
+    * the r15 attribution: the SAME r13 binary re-run on the r15 container
+    * read a 1.32× median over its own clean-era window (1.97× over
+    * all-time floors) — the contended flag compares against floors set on
+    * faster container instantiations (host clock/turbo drift; this VM
+    * exposes no cpufreq and steal reads ~2%, so drift is otherwise
+    * invisible). Recording a deterministic probe per window lets any later
+    * reader separate "container slow" (probe up, uniform query inflation)
+    * from "code slow" (probe flat, specific queries up) without needing a
+    * same-code rerun. Pure ALU with the result kept observable, so neither
+    * JIT elision nor allocation/GC state can skew it; one warm-up pass so
+    * the measured loop is compiled code. */
+  private[graft] def cpuProbe(
+      threads: Int = 32,
+      Iters: Long = 1000000000L): (Double, Double) = {
+    def burn(iters: Long, seed: Long): Long = {
+      var x = seed | 1L
+      var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    var sink = burn(Iters / 20, 0x9E3779B97F4A7CL) // JIT warm-up
+    val t1 = System.nanoTime()
+    sink ^= burn(Iters, 42L)
+    val oneT = (System.nanoTime() - t1) / 1e9
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val t2 = System.nanoTime()
+    val futs = (1 to threads).map { s =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = burn(Iters, s.toLong)
+      })
+    }
+    sink ^= futs.map(_.get()).reduce(_ ^ _)
+    val nT = (System.nanoTime() - t2) / 1e9
+    pool.shutdown()
+    if (sink == 0) System.err.println("cpuProbe sink") // keep `sink` live
+    (oneT, nT)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -114,7 +154,20 @@ object Bench {
     // end-of-round runs converge on the cross-run median automatically.
     import java.nio.file.{Files, Paths, StandardOpenOption}
     val histPath = Paths.get("bench_history.jsonl")
-    val thisRun = jsonLine(results)
+    // heap_gb: -Xmx actually in force. Windows get collected on both the
+    // 8 g default and the 48 g bench heap; allocation-heavy gates read
+    // differently across those regimes, so the artifact records which one
+    // it ran under instead of leaving it to narrative.
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    // probe AFTER the queries (a ~3 s saturated-CPU burn in front of the
+    // first measured query would perturb it, and here it times the same
+    // container state the window just ran under) but BEFORE the history
+    // append, so every history line carries its own calibration — floors
+    // read back later can be normalized for container drift.
+    val (probe1t, probeNt) = cpuProbe(cpus.toInt)
+    val envExtra = s""","heap_gb":${fmt(heapGb)},""" +
+      s""""cpu_probe_1t":${fmt(probe1t)},"cpu_probe_nt":${fmt(probeNt)}"""
+    val thisRun = jsonLine(results, envExtra)
     // dev subset runs (BENCH_ONLY) stay out of the history — a 4-query
     // warm-JVM sample would contaminate the full run's cross-run medians —
     // and so does ANY run with failures: r6's history carried 57 ~0.05 s
@@ -154,15 +207,10 @@ object Bench {
     // #7): without it in the artifact, a harness change (partitions, tmpfs
     // vs local checkpoints) is indistinguishable from code drift in a
     // later regression hunt
-    // heap_gb: -Xmx actually in force. Windows get collected on both the
-    // 8 g default and the 48 g bench heap; allocation-heavy gates read
-    // differently across those regimes, so the artifact records which one
-    // it ran under instead of leaving it to narrative.
-    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val contendedExtra = s""","contended":${contended.map(_.toString).getOrElse("null")},""" +
       s""""replay_partitions":${graft.streaming.ReplayEnv.DefaultPartitions},""" +
-      s""""ckpt_backend":"${graft.streaming.ReplayEnv.checkpointBackend}",""" +
-      s""""heap_gb":${fmt(heapGb)}"""
+      s""""ckpt_backend":"${graft.streaming.ReplayEnv.checkpointBackend}"""" +
+      envExtra
     val merged = results.map { case (name, v) =>
       // a failure stays a visible -1 — merging it into clean prior medians
       // would hide the breakage from the driver's artifact

@@ -236,6 +236,12 @@ object ScaleBench {
       // carries the heap it ran with rather than leaving it to narrative.
       s"""},"reps":$reps,"heap_gb":${fmt(
         Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))},""" +
+      // container-speed calibration (see Bench.cpuProbe): scale ratios
+      // divide big/small times measured minutes apart in ONE window, so
+      // they are drift-immune, but comparing windows ACROSS rounds is not —
+      // the probe makes that comparison normalizable
+      { val (p1, pn) = Bench.cpuProbe()
+        s""""cpu_probe_1t":${fmt(p1)},"cpu_probe_nt":${fmt(pn)},""" } +
       s""""rows":[${(rows ++ hugeRows :+ streamRow).mkString(",")}]}\n"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_history.jsonl"),
       histLine.getBytes("UTF-8"),

@@ -59,4 +59,17 @@ class BenchSpec extends AnyFunSuite {
     val line = """{"metric":"total","value":1.5,"unit":"sec","queries":{"a":0.5,"b":1.0},"sf":"/x/sf0.1","contended":false}"""
     assert(Bench.parseQueries(line) == Map("a" -> 0.5, "b" -> 1.0))
   }
+
+  test("cpuProbe returns positive single- and multi-thread timings") {
+    // tiny iteration count: the test checks mechanics (warm-up, pool
+    // teardown, sink liveness), not container speed
+    val (one, many) = Bench.cpuProbe(threads = 4, Iters = 2000000L)
+    assert(one > 0.0 && many > 0.0)
+    assert(one < 30.0 && many < 30.0) // sanity: 2M ALU iterations are fast
+  }
+
+  test("parseQueries ignores the env-calibration suffix on a history line") {
+    val line = """{"metric":"total","value":1.5,"unit":"sec","queries":{"a":0.5},"sf":"/x/sf0.1","heap_gb":48.0,"cpu_probe_1t":1.23,"cpu_probe_nt":1.45}"""
+    assert(Bench.parseQueries(line) == Map("a" -> 0.5))
+  }
 }
