@@ -220,8 +220,87 @@ object ScaleBench {
       line
     }
 
+    // stream-STREAM join state under the scale lens (the other half of the
+    // streaming decade: st8 proves KEYED state grows with keys; this row
+    // proves WINDOWED-JOIN state does NOT grow with history). The events
+    // fixture scales by extending the timeline at constant density, so the
+    // replay feeds a FIXED per-trigger chunk — constant arrival rate, the
+    // production shape: batch count and wall grow ~K× with history while
+    // stateRowsPeak must stay ~flat (bounded by chunk + join window). The
+    // replay's output count is cross-checked against the batch range-join
+    // at every scale, so the state claim can't silently trade correctness.
+    val streamJoinRow = {
+      import graft.streaming.StreamStreamJoin
+      import graft.streaming.StreamStreamJoin.{ClickEvent, ViewEvent}
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      val WindowUs = 1800L * 1000000L // 30 min, the st15 attribution window
+      val Chunk = 10000 // rows per side per trigger = the constant rate
+      def sides(dir: String): (Seq[ViewEvent], Seq[ClickEvent]) = {
+        val ev = sources.Tables.events(spark, dir)
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("event_type"), col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+          .orderBy("us", "event_id").collect()
+        val views = ev.iterator.filter(_.getString(0) == "view")
+          .map(r => ViewEvent(r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        val clicks = ev.iterator.filter(_.getString(0) == "click")
+          .map(r => ClickEvent(r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        (views, clicks)
+      }
+      def batchCount(dir: String): Long = {
+        val ev = sources.Tables.events(spark, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("ref_user_id"), unix_micros(col("ts")).as("cus"))
+        v.join(c, col("user_id") === col("ref_user_id") &&
+          col("cus").between(col("us") - WindowUs, col("us"))).count()
+      }
+      def run(v: Seq[ViewEvent], c: Seq[ClickEvent])
+          : (Long, Double, StreamStreamJoin.JoinReplayStats) = {
+        val t0 = System.nanoTime()
+        val (df, stats) = StreamStreamJoin.replayMeasured(spark, v, c, WindowUs, Chunk)
+        val n = df.count()
+        (n, (System.nanoTime() - t0) / 1e9, stats)
+      }
+      val (vS, cS) = sides(small)
+      val (vB, cB) = sides(big)
+      run(vS.take(3000), cS.take(3000)) // warm-up: streaming runtime + codegen
+      val (outS, secS, stS) = run(vS, cS)
+      val (outB, secB, stB) = run(vB, cB)
+      val okS = outS == batchCount(small)
+      val okB = outB == batchCount(big)
+      val hugeFields = huge.map { h =>
+        val (vH, cH) = sides(h)
+        val (outH, secH, stH) = run(vH, cH)
+        val okH = outH == batchCount(h)
+        s""","rows_huge":${vH.length + cH.length},"out_huge":$outH,""" +
+          s""""sec_huge":${fmt(secH)},"batches_huge":${stH.batches},""" +
+          s""""state_peak_huge":${stH.stateRowsPeak},"batch_match_huge":$okH,""" +
+          s""""dropped_late_huge":${stH.droppedLate},""" +
+          s""""state_peak_ratio_100x":${fmt(
+            stH.stateRowsPeak.toDouble / math.max(1L, stS.stateRowsPeak))},""" +
+          s""""time_ratio_100x":${fmt(secH / math.max(1e-9, secS))}"""
+      }.getOrElse("")
+      val line =
+        s"""{"gate":"st15_stream_join_replay","table":"events","streaming":true,""" +
+        s""""chunk_per_trigger":$Chunk,"window_us":$WindowUs,""" +
+        s""""rows_small":${vS.length + cS.length},"rows_big":${vB.length + cB.length},""" +
+        s""""out_small":$outS,"out_big":$outB,""" +
+        s""""sec_small":${fmt(secS)},"sec_big":${fmt(secB)},""" +
+        s""""time_ratio":${fmt(secB / math.max(1e-9, secS))},""" +
+        s""""batches_small":${stS.batches},"batches_big":${stB.batches},""" +
+        s""""state_peak_small":${stS.stateRowsPeak},"state_peak_big":${stB.stateRowsPeak},""" +
+        s""""state_peak_ratio":${fmt(
+          stB.stateRowsPeak.toDouble / math.max(1L, stS.stateRowsPeak))},""" +
+        s""""dropped_late_small":${stS.droppedLate},"dropped_late_big":${stB.droppedLate},""" +
+        s""""batch_match_small":$okS,"batch_match_big":$okB$hugeFields}"""
+      println(line)
+      line
+    }
+
     spark.stop()
-    val out = (rows ++ hugeRows :+ streamRow).mkString("[", ",\n", "]\n")
+    val out = (rows ++ hugeRows ++ Seq(streamRow, streamJoinRow)).mkString("[", ",\n", "]\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_out.json"), out.getBytes("UTF-8"))
     // window-to-window drift is itself evidence (VERDICT r14 #7):
     // scale_out.json is overwritten per run, so every window ALSO appends
@@ -242,7 +321,7 @@ object ScaleBench {
       // the probe makes that comparison normalizable
       { val (p1, pn) = Bench.cpuProbe()
         s""""cpu_probe_1t":${fmt(p1)},"cpu_probe_nt":${fmt(pn)},""" } +
-      s""""rows":[${(rows ++ hugeRows :+ streamRow).mkString(",")}]}\n"""
+      s""""rows":[${(rows ++ hugeRows ++ Seq(streamRow, streamJoinRow)).mkString(",")}]}\n"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_history.jsonl"),
       histLine.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

@@ -31,6 +31,16 @@ object StreamStreamJoin {
   final case class ViewEvent(event_id: Long, user_id: Long, tsUs: Long)
   final case class ClickEvent(ref_id: Long, ref_user_id: Long, refTsUs: Long)
 
+  /** State-store accounting across a bounded replay: `droppedLate` is the
+    * watermark's silent-discard counter (must be 0 in an ordered replay),
+    * `stateRowsPeak` the largest buffered-row total any micro-batch
+    * committed, `stateRowsFinal` the total after the last batch. Peak is
+    * the number a capacity plan needs: for a WINDOWED join it is bounded
+    * by (rows in one trigger's slice + rows inside the join window), NOT
+    * by history length — the claim the streaming scale row measures. */
+  final case class JoinReplayStats(
+      droppedLate: Long, stateRowsPeak: Long, stateRowsFinal: Long, batches: Long)
+
   private val seq = new AtomicInteger(0)
 
   /** The declarative join: key-equal, click in the `windowUs`
@@ -81,6 +91,24 @@ object StreamStreamJoin {
       windowUs: Long,
       chunk: Int,
       joinType: String = "inner"): (DataFrame, Long) = {
+    val (df, stats) = replayMeasured(spark, views, clicks, windowUs, chunk, joinType)
+    (df, stats.droppedLate)
+  }
+
+  /** [[replayCounted]] plus state-store metrics ([[JoinReplayStats]]) —
+    * what the streaming-join SCALE row records: at 100× LONGER event
+    * history with a FIXED per-trigger chunk (constant arrival rate), the
+    * batch count grows ~100× and wall time with it, but `stateRowsPeak`
+    * must stay ~flat — the join window, not the history, bounds resident
+    * state. Metrics are folded from the same incremental progress drain
+    * the late-drop counter uses (ring-buffer-eviction-proof). */
+  def replayMeasured(
+      spark: SparkSession,
+      views: Seq[ViewEvent],
+      clicks: Seq[ClickEvent],
+      windowUs: Long,
+      chunk: Int,
+      joinType: String = "inner"): (DataFrame, JoinReplayStats) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val vStream = MemoryStream[ViewEvent]
@@ -93,6 +121,9 @@ object StreamStreamJoin {
       .withColumn("click_time", timestamp_micros(col("refTsUs")))
       .withWatermark("click_time", "0 seconds")
     var droppedLate = 0L
+    var statePeak = 0L
+    var stateFinal = 0L
+    var lastBatch = -1L
     val result = ReplayEnv.withReplayEnv(spark) {
       val query = attributionJoin(vDf, cDf, windowUs, joinType).writeStream
         .outputMode("append").format("memory").queryName(name)
@@ -107,8 +138,12 @@ object StreamStreamJoin {
         // evicted between drains (batch ids are issued contiguously from 0).
         val seenBatches = scala.collection.mutable.Set.empty[Long]
         def drainDrops(): Unit = query.recentProgress.foreach { p =>
-          if (seenBatches.add(p.batchId))
+          if (seenBatches.add(p.batchId)) {
             droppedLate += p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+            val total = p.stateOperators.map(_.numRowsTotal).sum
+            statePeak = math.max(statePeak, total)
+            if (p.batchId > lastBatch) { lastBatch = p.batchId; stateFinal = total }
+          }
         }
         val vChunks = views.grouped(chunk).toSeq
         val cChunks = clicks.grouped(chunk).toSeq
@@ -154,6 +189,6 @@ object StreamStreamJoin {
       spark.table(name)
         .filter(!(col("event_id") <=> -1L) && !(col("ref_id") <=> -1L))
     }
-    (result, droppedLate)
+    (result, JoinReplayStats(droppedLate, statePeak, stateFinal, lastBatch + 1))
   }
 }

@@ -552,4 +552,35 @@ class StreamingSpec extends SparkSpec {
       (None, Some(101L))),     // unmatched click
       s"got $rows")
   }
+
+  test("stream-stream join state is window-bounded: old rows evict, peak > final") {
+    import graft.streaming.StreamStreamJoin
+    import graft.streaming.StreamStreamJoin.{ClickEvent, ViewEvent}
+    val t0 = 1704100000L * 1000000L
+    val h1 = 3600L * 1000000L
+    // 40 view/click pairs, one per hour — far wider apart than the 30 min
+    // join window, so state committed at hour N must have evicted rows
+    // from hours < N-1; a state store that retained history would report
+    // final ≈ total rows fed. chunk=2 feeds one (view, click) pair per
+    // trigger: the watermark advances every batch and evictions happen
+    // continuously, the fixed-rate shape the ScaleBench row measures.
+    val views = (0 until 40).map(i => ViewEvent(i.toLong, 10L, t0 + i * h1))
+    val clicks = (0 until 40).map(i => ClickEvent(100L + i, 10L, t0 + i * h1))
+    val (joined, stats) = StreamStreamJoin.replayMeasured(
+      spark,
+      views, clicks, windowUs = 1800L * 1000000L, chunk = 1)
+    // each click lands exactly at its view's timestamp → 40 matches
+    assert(joined.count() == 40L)
+    assert(stats.droppedLate == 0L)
+    assert(stats.batches >= 40L, s"chunk=1 over 40 pairs must take >=40 batches, got ${stats.batches}")
+    // the state claim: resident rows never approached the 80 fed rows,
+    // and the final commit holds only the last window's worth
+    assert(stats.stateRowsPeak < 20L,
+      s"peak state ${stats.stateRowsPeak} should be a few in-window rows, not history")
+    assert(stats.stateRowsFinal <= stats.stateRowsPeak)
+    // replayCounted delegates to the same implementation
+    val (j2, d2) = StreamStreamJoin.replayCounted(
+      spark, views, clicks, windowUs = 1800L * 1000000L, chunk = 1)
+    assert(d2 == 0L && j2.count() == 40L)
+  }
 }
