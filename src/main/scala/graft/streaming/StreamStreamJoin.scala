@@ -22,9 +22,13 @@ import org.apache.spark.sql.streaming.Trigger
   * window, never by history.
   *
   * The bounded replay feeds both MemoryStreams the same global event-time
-  * order (the st13/st14 convention), so a 0-second watermark never drops
-  * a row and the replay's final table equals the batch range-join over
-  * the same slice — the st15 gate hash-matches a plain SQL join oracle.
+  * order (the st13/st14 convention) under a 1 ms watermark delay — ordered
+  * feeds never drop a row, INCLUDING equal timestamps that straddle a
+  * trigger boundary (a 0 s delay loses those: see the note at the
+  * withWatermark calls) — so the replay's final table equals the batch
+  * range-join over the same slice; the st15 gate hash-matches a plain SQL
+  * join oracle and StreamJoinPropertySpec pins the equality on random
+  * tie-heavy inputs at several chunk sizes.
   */
 object StreamStreamJoin {
 
@@ -114,12 +118,25 @@ object StreamStreamJoin {
     val vStream = MemoryStream[ViewEvent]
     val cStream = MemoryStream[ClickEvent]
     val name = s"graft_stream_join_${seq.incrementAndGet()}"
+    // 1 ms — NOT 0 seconds — of watermark delay: joins late-filter RAW event
+    // times (unlike windowed aggregations, which only drop whole closed
+    // windows) and the filter is INCLUSIVE at the boundary, so with a 0 s
+    // delay two rows CARRYING THE SAME TIMESTAMP straddling a trigger
+    // boundary silently lose the second row — the watermark reaches T when
+    // the first ts=T row commits, and a tie arriving next trigger is
+    // <= watermark = late. Found by the StreamJoinPropertySpec generator
+    // (coarse ts grid + tiny chunks), diagnosed per-batch: wm tracked
+    // min(side maxima) exactly and the only dropped rows were wm-equal.
+    // The unit matters: Spark truncates the delay to WHOLE MILLISECONDS
+    // ("1 microsecond" → 0 ms → no protection). 1 ms keeps every tie
+    // joinable while anything out of order by more still drops and is
+    // still counted.
     val vDf = vStream.toDF()
       .withColumn("view_time", timestamp_micros(col("tsUs")))
-      .withWatermark("view_time", "0 seconds")
+      .withWatermark("view_time", "1 millisecond")
     val cDf = cStream.toDF()
       .withColumn("click_time", timestamp_micros(col("refTsUs")))
-      .withWatermark("click_time", "0 seconds")
+      .withWatermark("click_time", "1 millisecond")
     var droppedLate = 0L
     var statePeak = 0L
     var stateFinal = 0L
