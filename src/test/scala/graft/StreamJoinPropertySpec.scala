@@ -66,4 +66,40 @@ class StreamJoinPropertySpec extends SparkSpec {
       assert(stats.stateRowsFinal <= stats.stateRowsPeak, s"seed=$seed: final>peak")
     }
   }
+
+  test("outer replays equal the batch outer joins on random inputs (sentinel finalization)") {
+    // the outer modes add the subtle path: unmatched rows may only emit
+    // once the watermark proves no future partner can arrive, and the
+    // replay finalizes the tail with far-future sentinels riding the last
+    // trigger — exactly where a tie or an off-by-one watermark would emit
+    // a row twice, never, or with a phantom match
+    for (seed <- 10L to 12L; joinType <- Seq("leftOuter", "fullOuter")) {
+      val (views, clicks) = gen(seed, nv = 40, nc = 40)
+      val chunk = Seq(5, 23)(seed.toInt % 2)
+      val (joined, stats) = StreamStreamJoin.replayMeasured(
+        spark, views, clicks, WindowUs, chunk, joinType)
+      val got = joined.select("event_id", "ref_id").collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long]))).toSeq
+      val matches = batchJoin(views, clicks)
+      val matchedV = matches.map(_._1)
+      val matchedC = matches.map(_._2)
+      val want0: Seq[(Option[Long], Option[Long])] =
+        matches.toSeq.map { case (v, c) => (Some(v), Some(c)) } ++
+          views.collect { case v if !matchedV(v.event_id) => (Some(v.event_id), None) } ++
+          (if (joinType == "fullOuter")
+            clicks.collect { case c if !matchedC(c.ref_id) => (None, Some(c.ref_id)) }
+          else Nil)
+      // compare as multisets: an unmatched row emitted twice must fail
+      // even though the set of pairs would look identical
+      val gotM = got.groupBy(identity).view.mapValues(_.size).toMap
+      val wantM = want0.groupBy(identity).view.mapValues(_.size).toMap
+      assert(gotM == wantM,
+        s"seed=$seed $joinType chunk=$chunk: " +
+          s"missing=${(wantM.keySet -- gotM.keySet).take(5)} " +
+          s"extra=${(gotM.keySet -- wantM.keySet).take(5)} " +
+          s"dupes=${gotM.collect { case (k, n) if n > wantM.getOrElse(k, 0) => (k, n) }.take(5)}")
+      assert(stats.droppedLate == 0L, s"seed=$seed $joinType: ordered replay dropped rows")
+    }
+  }
 }
