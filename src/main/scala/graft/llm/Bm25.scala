@@ -28,15 +28,20 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** One corpus pass → the postings index: (doc_id, term, tf, dl) with dl
-    * the document's total term count. The explode and both aggs key on
-    * doc_id/term — map-side partials throughout. */
+    * the document's total term count. The explode and the tf agg key on
+    * (doc_id, term) — map-side partials throughout. dl is a window sum
+    * over the tf rows (one hash(doc_id) exchange) rather than the r14
+    * agg-then-join shape, which paid a second aggregation AND a join
+    * reshuffle of the tf side for the identical (doc_id, term, tf, dl)
+    * rows — guide §2.4, two operations keyed the same way share one
+    * exchange. Measured on llm_bm25 at sf0.1: 17 → fewer AQE job rounds,
+    * plan loses one Exchange + one SortMergeJoin. */
   def postings(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = docs
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val tf = words.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, Seq(idCol))
+    tf.withColumn("dl", sum(col("tf")).over(Window.partitionBy(col(idCol))))
   }
 
   /** Score `queries` (query_id, text) against `docs` and keep the top
@@ -62,11 +67,19 @@ object Bm25 {
     val stats = post.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl").cast("double")).as("avgdl"))
-    val df = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     val qTerms = queries
       .select(col("query_id"), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
       .distinct()
+    // document frequency is only ever consumed for QUERY terms, so filter
+    // the postings with a broadcast semi-join BEFORE the term-keyed agg
+    // (guide §2.3, shuffle fewer bytes): the full-vocabulary hash(term)
+    // exchange of the r14 shape becomes an exchange over just the matching
+    // rows, with map-side partials. df(term) over the filtered postings is
+    // identical to full-corpus df for every term that survives the join.
+    val df = post
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     // (query term, df) is bounded by the query batch — broadcast it into
     // the postings probe so the index side NEVER shuffles for a query
     val qdf = qTerms.join(df, Seq("term"))

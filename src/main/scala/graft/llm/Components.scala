@@ -30,10 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  private def materialize(df: DataFrame): DataFrame = {
-    val chk = df.localCheckpoint(true)
-    chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
-  }
+  // localCheckpoint alone cuts the lineage (eager); the r11-era extra
+  // `createDataFrame(chk.rdd, schema)` re-wrap forced every downstream read
+  // of the labels through an external-Row round-trip (RDD scan →
+  // DeserializeToObject, no whole-stage codegen) — per ROUND and per
+  // consumer. Dropped in r15 (guide §4: stay on codegen'd paths); rows are
+  // identical, the llm_components/dedup_groups/cluster_keeper hashes are
+  // pinned by the oracle gates.
+  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Component label per node: (id, comp) with comp = min node id of the
     * component. `edges` needs columns (id_a, id_b); isolated nodes can be

@@ -77,10 +77,11 @@ object Curation {
     urlCol.map(u => Web.withUrlColumns(withDecon, u)).getOrElse(withDecon)
   }
 
-  private def materialize(df: DataFrame): DataFrame = {
-    val chk = df.localCheckpoint(true)
-    chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
-  }
+  // plain localCheckpoint (r15): the former createDataFrame(chk.rdd, schema)
+  // re-wrap forced downstream reads through an external-Row RDD scan (no
+  // codegen); both call sites feed forward only, so the fresh-attribute-id
+  // rebase of Candles.materialize is not needed here.
+  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Cumulative stage predicates over an [[annotate]]d frame, in pipeline
     * order — each entry includes all previous stages' conditions, so the

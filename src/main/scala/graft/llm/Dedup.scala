@@ -297,11 +297,15 @@ object Dedup {
   /** Eager materialization with fresh attribute ids (localCheckpoint +
     * rebase, as Candles/ChainSync.materialize): the checkpointed blocks are
     * GC-released once the frame is unreachable, unlike a never-unpersisted
-    * `persist()` (ADVICE r2 pattern). */
-  private def materialize(df: DataFrame): DataFrame = {
-    val chk = df.localCheckpoint(true)
-    chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
-  }
+    * `persist()` (ADVICE r2 pattern).
+    *
+    * r15: plain localCheckpoint — the former `createDataFrame(chk.rdd,
+    * schema)` re-wrap made every downstream read of the shingled frame an
+    * external-Row RDD scan (DeserializeToObject, no whole-stage codegen),
+    * paid TWICE per verify (both pair-join sides). The rebase-for-fresh-
+    * attribute-ids reason in `Candles.materialize` does not apply here:
+    * consumers only self-join through renamed projections. */
+  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** n-gram Jaccard similarity verification of candidate pairs: join texts
     * back, compute |A∩B| / |A∪B| over hashed word shingles with builtin
