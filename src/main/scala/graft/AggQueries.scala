@@ -18,6 +18,16 @@ import graft.sources.Tables.epochSecs
   * `events`; their oracles transliterate `pg.rs:680-815` as DuckDB CTEs. */
 object AggQueries {
 
+  /** [[Tables.trades]] round-robined across the session's shuffle-partition
+    * knob right after the read: the fixture parquet is one row group = ONE
+    * scan task (guide §2.5, unsplittable input), so the trades projection
+    * and the partial minute aggregation above it ran single-core. Used by
+    * the kernel-heavy candle gates; results are partitioning-invariant
+    * (decimal/long aggregates, total-order output sorts). */
+  private def tradesPar(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.trades(s, dir)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** Synthetic `assets`-view inputs derived from events — (asset_updates,
     * asset_tickers, asset_origins, waves_data), shared by the view_assets
     * DataFrame gate and its spark.sql catalog twin (sql_view_assets) so the
@@ -230,14 +240,19 @@ object AggQueries {
   val all: Vector[QueryDef] = Vector(
 
     // A1 — minute-candle OHLCV aggregation (pg.rs:680-738)
+    // tradesPar: the fixture reads as ONE scan task (single parquet row
+    // group), so the trades projection + the partial minute agg ran
+    // single-core — round-robin the rows across the session's shuffle
+    // knob first (guide §2.5: unsplittable input). Candle aggregates are
+    // decimal/long (order-exact), so partitioning cannot move the hash.
     QueryDef("a1_candles_minute",
-      (s, dir) => candleOut(Candles.minuteCandles(Tables.trades(s, dir))),
+      (s, dir) => candleOut(Candles.minuteCandles(tradesPar(s, dir))),
       Some(withTrades(c1mCte()) + "\n" + candleSelect("ts_1m") + "\nFROM c1m " + orderTail)),
 
     // A2 — 12-edge ladder re-aggregation to 1h (pg.rs:740-815, candles.rs:39-52)
     QueryDef("a2_candles_1h_ladder",
       (s, dir) => {
-        val c1m = Candles.partitionForLadder(Candles.minuteCandles(Tables.trades(s, dir)))
+        val c1m = Candles.partitionForLadder(Candles.minuteCandles(tradesPar(s, dir)))
         val c5 = Candles.ladderStep(c1m, "1m", "5m")
         val c15 = Candles.ladderStep(c5, "5m", "15m")
         val c30 = Candles.ladderStep(c15, "15m", "30m")
@@ -300,6 +315,9 @@ object AggQueries {
         // calendarIntervals shares ONE materialized 1m→1d sub-ladder across
         // the 1w and 1M branches (the allIntervals+filter form re-executed
         // the 8-agg chain per branch — a2b's old floor)
+        // bare trades here: the repartition variant was measured +0.6 s on
+        // this gate (the 9-agg calendar build re-executes per rep and the
+        // extra stage outweighs the parallel partial agg — unlike a1/a2)
         val cal = Candles.calendarIntervals(Tables.trades(s, dir))
         cal.select(col("interval") +: candleOutCols: _*)
           .orderBy("interval", "time_start_epoch", "amount_asset_id", "price_asset_id", "matcher_address")

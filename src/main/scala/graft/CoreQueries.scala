@@ -90,6 +90,9 @@ object CoreQueries {
     QueryDef("s3_decode_typed",
       (s, dir) => Tables.events(s, dir)
         .filter(col("props").contains("\"k\":"))
+        // parallelize the JSON parse over the one-row-group fixture (guide
+        // §2.5); the presence filter stays pushed at the scan below this
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(col("event_id"),
           from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
@@ -113,6 +116,14 @@ object CoreQueries {
         import graft.convert._
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+          // the fixture is one parquet row group = ONE scan task, so the
+          // encode+decode kernel (~25 µs/row measured) ran single-core.
+          // Round-robin the 24-byte proxy rows across the session's
+          // shuffle-partition knob before the kernel (guide §2.5: huge
+          // unsplittable input — repartition immediately after the read;
+          // §8: shuffle the lightweight proxy, not payloads). Result is
+          // orderBy(tx_id)-final, so placement cannot change the hash.
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
           .as[(Long, Long, Long)]
           .map { case (eid, uid, ms) =>
             val assetId =

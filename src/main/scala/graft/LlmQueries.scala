@@ -12,6 +12,25 @@ object LlmQueries {
 
   /** documents ∪ shifted copies of every 7th doc — guarantees exact
     * duplicates so the dedup operators have real work. Mirrored in SQL. */
+  /** `documents` with the rows round-robined across the session's
+    * shuffle-partition knob right after the read. The fixture parquet is
+    * ONE row group, so every scan is a single task (guide §2.5:
+    * unsplittable input — repartition immediately after the read) and a
+    * CPU-heavy row-local kernel above it ran single-core (measured: the
+    * s3b wire-decode kernel dropped 2.5 s → 1.1 s from the same fix).
+    * Used ONLY where the full-suite A/B measured a win: a SINGLE-consumer
+    * frame feeding a heavy scalar kernel (gopher signals, annotate funnel,
+    * tokenizer training/encode). Where the frame is referenced more than
+    * once (corpus(), pmi/bigram double aggs, exact-substr doc+planted) the
+    * repartition subtree is duplicated per reference — each re-runs the
+    * shuffle — and the gate measured SLOWER (llm_dedup_minhash +1.8 s),
+    * so those keep the bare read. Results are partitioning-invariant:
+    * every consumer ends in a keyed aggregation or a total-order sort,
+    * pinned by the oracle hashes. */
+  private def documentsPar(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(
@@ -545,13 +564,13 @@ object LlmQueries {
   }
 
   private def bpeTrained(s: SparkSession, dir: String): (Seq[graft.llm.Bpe.Merge], DataFrame) =
-    trainBpeCached(s, dir, bpeCache, Tables.documents(s, dir).select(col("text")))
+    trainBpeCached(s, dir, bpeCache, documentsPar(s, dir).select(col("text")))
 
   /** BPE vocab trained with the `doc_id % 10 = 7` slice HELD OUT — the
     * train/held-out split of the llm_bpe_oov generalization audit. */
   private def bpeTrainedHeldout(s: SparkSession, dir: String): (Seq[graft.llm.Bpe.Merge], DataFrame) =
     trainBpeCached(s, dir, bpeHeldoutCache,
-      Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7).select(col("text")))
+      documentsPar(s, dir).filter(col("doc_id") % 10 =!= 7).select(col("text")))
 
   private val wpCache =
     new graft.util.SessionCache[(Seq[graft.llm.Wordpiece.Merge], Seq[(String, Long, String)])]
@@ -564,7 +583,7 @@ object LlmQueries {
     import graft.llm.{Bpe, Wordpiece}
     val (merges, vocabRows) = wpCache.getOrCompute(s, dir) {
       val (m, vocab) = Wordpiece.trainMerges(
-        Bpe.wordFrequencies(Tables.documents(s, dir).select(col("text"))), numMerges = 8)
+        Bpe.wordFrequencies(documentsPar(s, dir).select(col("text"))), numMerges = 8)
       (m, vocab.select(col("word"), col("freq"), col("s")).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq)
     }
@@ -987,7 +1006,7 @@ object LlmQueries {
     QueryDef("llm_curation",
       (s, dir) => {
         import graft.llm.Curation
-        Curation.curate(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        Curation.curate(documentsPar(s, dir).select(col("doc_id"), col("text")))
           .select(col("doc_id"), col("n_words").cast("long").as("n_words"), col("quality_score"))
           .orderBy("doc_id")
       },
@@ -1066,7 +1085,7 @@ object LlmQueries {
     QueryDef("llm_curation_decon",
       (s, dir) => {
         import graft.llm.Curation
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val docs = documentsPar(s, dir).select(col("doc_id"), col("text"))
         Curation.curate(docs,
           Curation.Config(maxContamination = Some(0.2)),
           evalDocs = Some(docs.filter(col("doc_id") % 31 === 0)))
@@ -1109,7 +1128,7 @@ object LlmQueries {
       (s, dir) => {
         import graft.llm.Curation
         Curation.tokenBudgetSample(
-          Curation.annotate(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+          Curation.annotate(documentsPar(s, dir).select(col("doc_id"), col("text"))),
           budgetTokens = 10000L)
           .select(col("doc_id"), col("n_tokens"), col("running_total"))
           .orderBy("doc_id")
@@ -1542,7 +1561,7 @@ object LlmQueries {
     QueryDef("llm_tfidf",
       (s, dir) => {
         import graft.llm.CorpusStats
-        CorpusStats.tfIdfTopTerms(Tables.documents(s, dir), k = 3)
+        CorpusStats.tfIdfTopTerms(documentsPar(s, dir), k = 3)
           .orderBy("doc_id", "term_rank")
       },
       Some("""WITH w AS (
@@ -2238,7 +2257,7 @@ object LlmQueries {
           (900003L, Array.fill(10)("same line").mkString("\n"))
         ).toDF("doc_id", "text")
         TextAnalysis.gopherSignals(
-          Tables.documents(s, dir).select(col("doc_id"), col("text")).unionByName(planted))
+          documentsPar(s, dir).select(col("doc_id"), col("text")).unionByName(planted))
           .orderBy("doc_id")
       },
       Some("""WITH d AS (
@@ -2665,7 +2684,7 @@ object LlmQueries {
     QueryDef("llm_curation_nb",
       (s, dir) => {
         import graft.llm.Curation
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val docs = documentsPar(s, dir).select(col("doc_id"), col("text"))
         val labeled = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
           .select((col("lang") === "en").as("label"), col("text"))
         Curation.curate(docs, Curation.Config(minNbScore = Some(0.0)),
@@ -2819,7 +2838,7 @@ object LlmQueries {
       (s, dir) => {
         val (_, finalVocab) = bpeTrained(s, dir)
         graft.llm.Bpe.encodeCounts(
-            Tables.documents(s, dir).select(col("doc_id"), col("text")), finalVocab)
+            documentsPar(s, dir).select(col("doc_id"), col("text")), finalVocab)
           .orderBy("doc_id")
       },
       Some(s"""WITH ${bpeCtes(8)},

@@ -48,8 +48,12 @@ class PlanShapeSpec extends SparkSpec {
     // sort. Deliberately `==`, not `<=`: removing partitionForLadder
     // re-shuffles per edge and MUST fail here (a2); a2b reverting to the
     // allIntervals+filter form reads 5.
+    // a2 = 4 since r15: the gates feed the minute agg through tradesPar's
+    // round-robin repartition (the one-row-group fixture reads as a single
+    // scan task, guide §2.5), adding exactly one exchange ahead of the
+    // three pinned above.
     val a2 = exchanges(SparkEntry.queries("a2_candles_1h_ladder")(spark, dir))
-    assert(a2 == 3, s"a2 ladder plan shape changed: $a2 exchanges (expected 3)")
+    assert(a2 == 4, s"a2 ladder plan shape changed: $a2 exchanges (expected 4)")
     val a2b = exchanges(SparkEntry.queries("a2b_candles_calendar")(spark, dir))
     assert(a2b == 3, s"a2b calendar plan shape changed: $a2b exchanges (expected 3)")
   }
@@ -313,7 +317,12 @@ class PlanShapeSpec extends SparkSpec {
     // their join + output sort.
     val budgets = Seq(
       "o46_salted_agg" -> 3, "o47_rollup" -> 2,
-      "llm_dedup_keeper" -> 2, "llm_rrf_fusion" -> 12,
+      // rrf 12 → 14 in r15: Bm25.topK now semi-filters the postings with
+      // the (tiny) distinct query-term set before the df agg, which
+      // repeats the query-term subtree once more in the initial plan (+2
+      // query-side exchanges over ~dozens of rows) in exchange for
+      // dropping the full-vocabulary hash(term) shuffle of the corpus side
+      "llm_dedup_keeper" -> 2, "llm_rrf_fusion" -> 14,
       "o48_pivot" -> 3, "o49_distinct_agg" -> 3, "llm_cluster_keeper" -> 3,
       "o50_semi_join" -> 2, "o51_anti_join" -> 2, "o52_multijoin_topk" -> 3,
       "llm_mmr" -> 1, "llm_langid_confusion" -> 4,
