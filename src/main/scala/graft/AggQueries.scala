@@ -25,8 +25,7 @@ object AggQueries {
     * the kernel-heavy candle gates; results are partitioning-invariant
     * (decimal/long aggregates, total-order output sorts). */
   private def tradesPar(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    Tables.trades(s, dir)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    Tables.parallelizeKernelInput(Tables.trades(s, dir))
 
   /** Synthetic `assets`-view inputs derived from events — (asset_updates,
     * asset_tickers, asset_origins, waves_data), shared by the view_assets

@@ -92,7 +92,7 @@ object CoreQueries {
         .filter(col("props").contains("\"k\":"))
         // parallelize the JSON parse over the one-row-group fixture (guide
         // §2.5); the presence filter stays pushed at the scan below this
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .transform(Tables.parallelizeKernelInput)
         .select(col("event_id"),
           from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
@@ -123,7 +123,7 @@ object CoreQueries {
           // unsplittable input — repartition immediately after the read;
           // §8: shuffle the lightweight proxy, not payloads). Result is
           // orderBy(tx_id)-final, so placement cannot change the hash.
-          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .transform(Tables.parallelizeKernelInput)
           .as[(Long, Long, Long)]
           .map { case (eid, uid, ms) =>
             val assetId =

@@ -28,8 +28,7 @@ object LlmQueries {
     * every consumer ends in a keyed aggregation or a total-order sort,
     * pinned by the oracle hashes. */
   private def documentsPar(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    Tables.parallelizeKernelInput(Tables.documents(s, dir))
 
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))

@@ -47,6 +47,24 @@ object Tables {
     * timezone is pinned UTC so this matches DuckDB's naive-as-UTC `epoch()`. */
   def epochSecs(c: Column): Column = unix_timestamp(c.cast("timestamp"))
 
+  /** Round-robin `df` across the session's shuffle-partition knob when the
+    * scan would otherwise under-parallelize a CPU-heavy kernel above it:
+    * the sf0.1 fixtures are ONE parquet row group each, so they read as a
+    * single task and a per-row kernel (wire decode, JSON parse, signature
+    * UDFs) runs on one core of 32 (guide §2.5 — unsplittable input,
+    * repartition immediately after the read). INPUT-ADAPTIVE, not a local
+    * constant: when the input already carries at least half the knob's
+    * partitions (the scaled fixtures ship 16-32 files; a cluster input
+    * ships thousands of splits) this is a NO-OP, so the proxy shuffle
+    * never taxes the already-parallel case. Safe only above consumers
+    * whose results are partitioning-invariant (keyed aggs / total-order
+    * sorts) — which every oracle-gated query is, by the cross-engine
+    * hashing discipline. */
+  def parallelizeKernelInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
   /** The exchange-trades mapping of `events` — the candle-engine input
     * (≙ txs_7; see FIXTURES.md A2). Must stay in lockstep with
     * [[tradesOracleSql]]. */
