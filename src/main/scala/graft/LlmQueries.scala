@@ -568,8 +568,11 @@ object LlmQueries {
   /** BPE vocab trained with the `doc_id % 10 = 7` slice HELD OUT — the
     * train/held-out split of the llm_bpe_oov generalization audit. */
   private def bpeTrainedHeldout(s: SparkSession, dir: String): (Seq[graft.llm.Bpe.Merge], DataFrame) =
+    // filter BEFORE the round-robin repartition so the held-out slice never
+    // rides the proxy shuffle (guide §2.3: shuffle fewer bytes; ADVICE r15)
     trainBpeCached(s, dir, bpeHeldoutCache,
-      documentsPar(s, dir).filter(col("doc_id") % 10 =!= 7).select(col("text")))
+      Tables.parallelizeKernelInput(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)).select(col("text")))
 
   private val wpCache =
     new graft.util.SessionCache[(Seq[graft.llm.Wordpiece.Merge], Seq[(String, Long, String)])]
@@ -1085,9 +1088,16 @@ object LlmQueries {
       (s, dir) => {
         import graft.llm.Curation
         val docs = documentsPar(s, dir).select(col("doc_id"), col("text"))
+        // evalDocs from the BARE read: deriving it from the repartitioned
+        // frame duplicated the round-robin shuffle subtree per reference —
+        // the exact multi-consumer pattern documentsPar's contract excludes
+        // (ADVICE r15). The eval side is a tiny slice feeding a distinct-
+        // n-gram collect; partitioning cannot change its result.
+        val evalDocs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).filter(col("doc_id") % 31 === 0)
         Curation.curate(docs,
           Curation.Config(maxContamination = Some(0.2)),
-          evalDocs = Some(docs.filter(col("doc_id") % 31 === 0)))
+          evalDocs = Some(evalDocs))
           .select(col("doc_id"), col("contamination_frac"))
           .orderBy("doc_id")
       },

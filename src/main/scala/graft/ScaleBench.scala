@@ -51,7 +51,13 @@ object ScaleBench {
     "llm_bigram_lm" -> "documents",
     "o40_sessionize" -> "events",
     "o42_interval_join" -> "events",
-    "llm_pq_topk" -> "embeddings")
+    "llm_pq_topk" -> "embeddings",
+    // r16 widening (VERDICT r15 #8): the kernel-repartition family gets its
+    // own 10× receipts (s3b/f18 — the r15 §2.5 repartition-before-kernel
+    // gates), and j4 rides along because r16 rewrites its ranking pass
+    "s3b_wire_decode" -> "events",
+    "f18_json_field" -> "events",
+    "j4_zip_join" -> "events")
 
   val Bounded = Set("llm_components", "chain_fold_candles")
 

@@ -135,6 +135,59 @@ object Pipeline {
     numbered
   }
 
+  /** [[globalRowNumber]] for SEVERAL disjoint row groups of one frame in a
+    * SINGLE pass: rank rows within each `groupCols` value by `orderCol`,
+    * sharing ONE range shuffle and ONE per-partition stats job across all
+    * groups. The per-group form previously paid the whole machinery —
+    * range sample, cache build, stats collect — once PER group (j4 ranked
+    * its two event types separately; VERDICT r15 next-round #3). Range
+    * keys are (groupCols, orderCol) lexicographic, so each group's rows
+    * are contiguous within a partition and ordered across partitions —
+    * global rank within a group = that group's prior-partition counts +
+    * (mid − the group's first mid in this partition). Same persistence
+    * discipline as [[globalRowNumber]] (the cached shuffle pins the
+    * sampled boundaries; bounded unpersist pool). Returns the frame with a
+    * 1-based `__group_rn` column. */
+  def groupedRowNumber(events: DataFrame, groupCols: Seq[String], orderCol: Column,
+      partitions: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "use globalRowNumber for the ungrouped form")
+    val n = if (partitions > 0) partitions
+            else events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keys = groupCols.map(col) :+ orderCol
+    val sorted = events.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist()
+    persistedPool.add(sorted)
+    while (persistedPool.size() > PersistedPoolSize)
+      Option(persistedPool.poll()).foreach(_.unpersist(false))
+    val statsDf = sorted.groupBy("__pid", groupCols: _*)
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__mid0"))
+    val stats = statsDf.collect()
+    // cumulative prior-partition counts PER GROUP, in partition-id order
+    val offsetRows = stats
+      .groupBy(r => groupCols.map(r.getAs[Any]))
+      .values.flatMap { rs =>
+        var acc = 0L
+        rs.sortBy(_.getInt(0)).map { r =>
+          val row = org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.dropRight(2) ++ Seq(acc, r.getLong(r.length - 1)))
+          acc += r.getLong(r.length - 2)
+          row
+        }
+      }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      statsDf.schema.dropRight(2) ++ Seq(
+        org.apache.spark.sql.types.StructField("__offset", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__mid0", org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val offDf = events.sparkSession.createDataFrame(offsetRows.asJava, offSchema)
+    sorted
+      .join(broadcast(offDf), "__pid" +: groupCols)
+      .withColumn("__group_rn", col("__offset") + (col("__mid") - col("__mid0")) + 1)
+      .drop("__pid", "__mid", "__offset", "__mid0")
+  }
+
   /** Distributed inclusive prefix sum — `sum(valueCol) OVER (ORDER BY
     * orderCols)` WITHOUT the single-partition window that the window form
     * plans: range-partition on the order keys, partition-local running sums

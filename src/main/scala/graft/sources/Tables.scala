@@ -62,7 +62,25 @@ object Tables {
     * hashing discipline. */
   def parallelizeKernelInput(df: DataFrame): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+    if (scanParallelism(df) * 2 >= target) df else df.repartition(target)
+  }
+
+  /** Scan-level parallelism of `df` WITHOUT building the full execution
+    * RDD: `df.rdd` on an adaptive plan materializes every upstream exchange
+    * stage at query-CONSTRUCTION time — real jobs run (and upstream work is
+    * done twice) before the query executes (ADVICE r15). Reading the leaf
+    * FileSourceScan's split count instead stays plan-local: splits are
+    * decided from file metadata (maxPartitionBytes packing), no job runs.
+    * Non-file inputs (local relations etc.) fall back to the RDD probe,
+    * which is plan-local exactly when the frame has no upstream Exchange —
+    * the input contract of [[parallelizeKernelInput]]: feed it a scan plus
+    * row-local projections/filters (every call site is), never a frame
+    * with a shuffle already inside. */
+  private def scanParallelism(df: DataFrame): Int = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.inputRDD.getNumPartitions
+    }
+    if (scans.nonEmpty) scans.sum else df.rdd.getNumPartitions
   }
 
   /** The exchange-trades mapping of `events` — the candle-engine input

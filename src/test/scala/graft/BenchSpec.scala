@@ -68,6 +68,16 @@ class BenchSpec extends AnyFunSuite {
     assert(one < 30.0 && many < 30.0) // sanity: 2M ALU iterations are fast
   }
 
+  test("parseField extracts calibration fields from a history line") {
+    val line = """{"metric":"total","value":1.5,"queries":{"a":0.5},"sf":"/x/sf0.1","cpus":32,"heap_gb":48.0000,"cpu_probe_1t":1.9064,"cpu_probe_nt":2.4444}"""
+    assert(Bench.parseField(line, "cpu_probe_nt").contains(2.4444))
+    assert(Bench.parseField(line, "cpus").contains(32.0))
+    assert(Bench.parseField(line, "not_there").isEmpty)
+    // legacy lines predate the cpus field entirely
+    val legacy = """{"metric":"total","value":1.5,"queries":{"a":0.5},"sf":"/x/sf0.1"}"""
+    assert(Bench.parseField(legacy, "cpus").isEmpty)
+  }
+
   test("parseQueries ignores the env-calibration suffix on a history line") {
     val line = """{"metric":"total","value":1.5,"unit":"sec","queries":{"a":0.5},"sf":"/x/sf0.1","heap_gb":48.0,"cpu_probe_1t":1.23,"cpu_probe_nt":1.45}"""
     assert(Bench.parseQueries(line) == Map("a" -> 0.5))

@@ -115,6 +115,30 @@ class OperatorsSpec extends SparkSpec {
     assert(rolled("t2").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("groupedRowNumber equals per-group window row_number, in one shared pass") {
+    import graft.operators.Pipeline
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000)
+      .map(i => (i.toLong, if (rnd.nextBoolean()) "error" else "signup"))
+      .toDF("event_id", "event_type")
+      .repartition(9) // scrambled input
+    val got = Pipeline.groupedRowNumber(rows, Seq("event_type"), col("event_id"))
+      .select(col("event_type"), col("event_id"), col("__group_rn"))
+      .as[(String, Long, Long)].collect()
+    // reference: rank within type by event_id
+    val ref = { val r = new scala.util.Random(11)
+      (1 to 4000).map(i => (i.toLong, if (r.nextBoolean()) "error" else "signup")) }
+      .groupBy(_._2).flatMap { case (t, xs) =>
+        xs.map(_._1).sorted.zipWithIndex.map { case (id, i) => (t, id) -> (i + 1L) } }
+    got.foreach { case (t, id, rn) =>
+      assert(ref((t, id)) == rn, s"rank diverged at ($t, $id)")
+    }
+    // the plan never funnels through one partition
+    val plan = Pipeline.groupedRowNumber(rows, Seq("event_type"), col("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), plan)
+  }
+
   test("runningTotal equals the global-window prefix sum, without the single partition") {
     import graft.operators.Pipeline
     val rnd = new scala.util.Random(7)

@@ -51,9 +51,16 @@ class PlanShapeSpec extends SparkSpec {
     // a2 = 4 since r15: the gates feed the minute agg through tradesPar's
     // round-robin repartition (the one-row-group fixture reads as a single
     // scan task, guide §2.5), adding exactly one exchange ahead of the
-    // three pinned above.
-    val a2 = exchanges(SparkEntry.queries("a2_candles_1h_ladder")(spark, dir))
-    assert(a2 == 4, s"a2 ladder plan shape changed: $a2 exchanges (expected 4)")
+    // three pinned above. The repartition is INPUT-ADAPTIVE — a multi-file
+    // fixture regeneration would flip it to its no-op branch — so the pin
+    // reads the round-robin's presence from the plan itself instead of
+    // assuming the fixture's layout (ADVICE r15): 3 structural exchanges
+    // plus the proxy shuffle exactly when it fired.
+    val a2Plan = executed(SparkEntry.queries("a2_candles_1h_ladder")(spark, dir))
+    val a2 = a2Plan.linesIterator.count(_.contains("Exchange"))
+    val a2rr = if (a2Plan.contains("RoundRobinPartitioning")) 1 else 0
+    assert(a2 == 3 + a2rr,
+      s"a2 ladder plan shape changed: $a2 exchanges (expected ${3 + a2rr}, round-robin fired: ${a2rr == 1})")
     val a2b = exchanges(SparkEntry.queries("a2b_candles_calendar")(spark, dir))
     assert(a2b == 3, s"a2b calendar plan shape changed: $a2b exchanges (expected 3)")
   }
@@ -610,6 +617,48 @@ class PlanShapeSpec extends SparkSpec {
       .filter(col("uid").between(loUid, hiUid) && col("sender") === "addr7")
       .select("uid", "height", "payload")
     assert(q.exceptAll(expected).count() == 0 && expected.exceptAll(q).count() == 0)
+  }
+
+  test("parallelizeKernelInput: adaptive branch contract, probed without running jobs") {
+    // VERDICT r15 #7: the NO-OP-at-scale contract previously lived only in
+    // scale_out numbers, and the partition probe used df.rdd — which on an
+    // adaptive plan materializes upstream stages at CONSTRUCTION time
+    // (ADVICE r15). Pin both branches and the job-free construction here.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // multi-split parquet input (2 files, each its own split under a 1 MB
+    // split target) — the scaled-fixture / cluster shape
+    val out = java.nio.file.Files.createTempDirectory("graft-pki").toString
+    Tables.documents(spark, dir).select(col("doc_id")).limit(100)
+      .repartition(2).write.mode("overwrite").parquet(out)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    // resolve the reads BEFORE the job counter: spark.read.parquet itself
+    // may run a footer/schema job, which is not what this test pins
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    val singleIn = Tables.documents(spark, dir).select(col("doc_id"))
+    val multiIn = spark.read.parquet(out).select(col("doc_id"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // construction must not run jobs (the plan-local scan-split probe)
+      val single = Tables.parallelizeKernelInput(singleIn)
+      val multi = Tables.parallelizeKernelInput(multiIn)
+      Thread.sleep(300) // listener events are async; let any job event land
+      assert(jobs.get() == 0,
+        s"parallelizeKernelInput ran ${jobs.get()} job(s) at query construction")
+      // one-row-group fixture = single scan task -> the round-robin fires
+      assert(executed(single).contains("RoundRobinPartitioning"),
+        s"repartition branch did not fire on a single-task scan:\n${executed(single)}")
+      // 2 splits >= half the 4-partition test knob -> NO-OP
+      assert(!executed(multi).contains("RoundRobinPartitioning"),
+        s"no-op branch re-shuffled an already-parallel input:\n${executed(multi)}")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("single-partition windows are banned from query plans") {
