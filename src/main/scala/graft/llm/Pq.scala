@@ -204,8 +204,15 @@ object Pq {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val centroids = Similarity.seedCentroids(corpus, numCells, idCol, vecCol)
-    searchIndex(queries, ivfPqIndex(corpus, centroids, cb, idCol, vecCol),
-      centroids, cb, k, nprobe, idCol, vecCol)
+    // collect the coarse centroids ONCE: the index build and the probe side
+    // embed the same matrix as a plan constant — the per-call-site collect
+    // was one extra driver job each per execution (r16 PhaseProbe)
+    val cents = Similarity.collectedCentroids(centroids)
+    val index = corpus.select(
+      col(idCol).as("id"),
+      Similarity.nearestCellsOf(cents, col(vecCol), 1).getItem(0).as("cell_id"),
+      encodeCol(cb, col(vecCol)).as("codes"))
+    searchIndexWith(queries, index, cents, cb, k, nprobe, idCol, vecCol)
   }
 
   /** The persistable IVF-PQ corpus index — (id, cell_id, codes), ONE
@@ -238,12 +245,26 @@ object Pq {
       k: Int,
       nprobe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    searchIndexWith(queries, index, Similarity.collectedCentroids(centroids),
+      cb, k, nprobe, idCol, vecCol)
+
+  /** [[searchIndex]] over already-collected coarse centroids (see
+    * [[ivfAdcTopK]] — one collect shared across the projections). */
+  private def searchIndexWith(
+      queries: DataFrame,
+      index: DataFrame,
+      cents: (IndexedSeq[Int], IndexedSeq[IndexedSeq[Double]]),
+      cb: Codebook,
+      k: Int,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val indexed = index.select(col("id").as("neighbor_id"), col("cell_id"),
       reconstructCol(cb, col("codes")).as("__xh"))
       .withColumn("__xn", Similarity.norm(col("__xh")))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv"),
-      explode(Similarity.nearestCells(centroids, col(vecCol), nprobe)).as("cell_id"))
+      explode(Similarity.nearestCellsOf(cents, col(vecCol), nprobe)).as("cell_id"))
       .withColumn("__qn", Similarity.norm(col("__qv")))
     val scored = probes.join(indexed, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

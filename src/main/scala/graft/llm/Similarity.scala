@@ -70,10 +70,22 @@ object Similarity {
     * Scale shape: the candidate pool is bounded (|Q|·candidateK rows,
     * materialized once); the selection loop is DRIVER-UNROLLED over
     * selectK — a small constant, the candle-ladder convention — and each
-    * step is a bounded join of the pool against the ≤|Q|·step selected
-    * rows plus one per-query rank window. No UDF, no iterative shuffle
-    * growth. Ties break on neighbor id at every argmax. The first pick's
-    * score is its raw relevance; later scores are the MMR objective. */
+    * step is a bounded join of the pool against the ≤|Q| selected rows
+    * plus one per-query rank window. No UDF, no iterative shuffle growth.
+    * Ties break on neighbor id at every argmax. The first pick's score is
+    * its raw relevance; later scores are the MMR objective.
+    *
+    * Each step's PICK (one row per query) is collected and re-broadcast as
+    * a local relation — the [[materializeCentroids]] convention (bounded
+    * |Q|·selectK rows, exact row round-trip, so downstream arithmetic and
+    * oracle hashes are unchanged). The previous shape localCheckpoint'ed
+    * the growing result per step instead, which re-materialized the whole
+    * selected set (cache build + its own job) every round and fed the next
+    * round's anti-join through cluster-side reads: 23 jobs / 1.1 s of
+    * plan-BUILD time for selectK = 3 (r16 PhaseProbe). Selected rows are
+    * per-round driver state of the greedy loop, exactly like Lloyd's
+    * centroids — the corpus-sized work (pool scoring, sim joins) stays in
+    * cluster-side joins against the checkpointed pool. */
   def mmrDiversify(
       queries: DataFrame,
       corpus: DataFrame,
@@ -85,23 +97,31 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(selectK >= 1 && candidateK >= selectK,
       s"need candidateK >= selectK >= 1: $candidateK, $selectK")
+    val spark = queries.sparkSession
     val emb = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__v"))
     val pool = bruteForceTopK(queries, corpus, candidateK, queryIdCol, corpusIdCol, vecCol)
       .withColumnRenamed("cosine", "rel")
       .join(emb, Seq("neighbor_id"))
       .localCheckpoint() // feeds every step's anti-join AND sim join
-    var result = pool.filter(col("rank") === 1)
+    val step1 = pool.filter(col("rank") === 1)
       .select(col("query_id"), col("neighbor_id"), col("__v"),
         lit(1).as("mmr_rank"), col("rel").as("mmr_score"))
-      .localCheckpoint()
+    val outSchema = step1.schema
+    // selected-so-far: bounded driver state (≤ |Q|·selectK rows)
+    val selected = scala.collection.mutable.ArrayBuffer(step1.collect().toSeq: _*)
+    def selectedDf(): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(selected.asJava, outSchema)
+    }
     var step = 2
     while (step <= selectK) {
-      val selV = result.select(col("query_id"),
+      val sel = selectedDf()
+      val selV = sel.select(col("query_id"),
         col("neighbor_id").as("__sid"), col("__v").as("__sv"))
       val rem = pool.join(
-        result.select(col("query_id"), col("neighbor_id")),
+        broadcast(sel.select(col("query_id"), col("neighbor_id"))),
         Seq("query_id", "neighbor_id"), "left_anti")
-      val scored = rem.join(selV, Seq("query_id"))
+      val scored = rem.join(broadcast(selV), Seq("query_id"))
         .withColumn("__sim", cosine(col("__v"), col("__sv")))
         .groupBy(col("query_id"), col("neighbor_id"))
         .agg(max(col("rel")).as("rel"), max(col("__v")).as("__v"),
@@ -114,10 +134,10 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("__v"),
           lit(step).as("mmr_rank"), col("__score").as("mmr_score"))
-      result = result.unionByName(pick).localCheckpoint()
+      selected ++= pick.collect()
       step += 1
     }
-    result.drop("__v")
+    selectedDf().drop("__v")
   }
 
   /** Deterministic pseudo-centroids: the `numCells` corpus vectors with the
@@ -164,6 +184,15 @@ object Similarity {
     val (ids, mats) = collectedCentroids(centroids)
     graft.plans.GraftExtensions.nearestCells(vec, ids, mats, n)
   }
+
+  /** [[nearestCells]] over an ALREADY-collected centroid table — for call
+    * paths that embed the same centroids in several projections (IVF index
+    * build + probe side): collect once, reuse the matrix, instead of one
+    * collect job per call site. Same kernel, same matrix — bit-identical. */
+  private[llm] def nearestCellsOf(
+      cents: (IndexedSeq[Int], IndexedSeq[IndexedSeq[Double]]),
+      vec: Column, n: Int): Column =
+    graft.plans.GraftExtensions.nearestCells(vec, cents._1, cents._2, n)
 
   /** Assign each vector to its nearest centroid — a MAP-ONLY row-local
     * argmax: the bounded centroid matrix rides the

@@ -319,7 +319,7 @@ class PlanShapeSpec extends SparkSpec {
     // the segment filter is SF-proportional, so a pinned broadcast would
     // be wrong at 100 TB) and TakeOrdered never sorts globally.
     // llm_mmr's candidate pool and selection rounds materialize at build
-    // (localCheckpoint per step, the cluster_keeper convention) — the
+    // (pool localCheckpoint + bounded per-step pick collects, r16) — the
     // final plan is one output sort. langid_confusion: cm agg + tot agg +
     // their join + output sort.
     val budgets = Seq(
